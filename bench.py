@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + CDC ingest at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Query timings cover every driver-gate query (read path + operator
+simulations); the two ``ingest_*`` pseudo-queries measure the real write
+path (append and MERGE upsert into the lakehouse table format) in seconds
+for the orders table converted to CDC events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_ingest(spark, sf_dir: str, upsert: bool) -> float:
+    """orders -> CDC envelope rows -> consumer write path, end to end."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog, LakeTable
+    from debezium_server_iceberg_spark.operators.dedup import dedup_batch
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+        F.lit("r").alias("__op"),
+        (F.col("o_orderkey") % 1000).alias("__source_ts_ms"),
+    )
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        cat = LakeCatalog(wh)
+        schema = events.schema
+        t = cat.create_table(
+            "bench", "orders_cdc", schema,
+            identifier_fields=["o_orderkey"] if upsert else [],
+        )
+        t0 = time.time()
+        if upsert:
+            deduped = dedup_batch(events, ["o_orderkey"], dedup_column="__source_ts_ms")
+            merge_into(t, deduped, keep_deletes=True)
+            # second pass: 10% updates exercise the matched-rewrite path
+            updates = events.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                "__op", F.lit("u")
+            )
+            merge_into(t, dedup_batch(updates, ["o_orderkey"], dedup_column="__source_ts_ms"))
+        else:
+            t.append(events)
+        return time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from debezium_server_iceberg_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["ingest_append"] = round(bench_ingest(spark, sf_dir, upsert=False), 3)
+    timings["ingest_upsert"] = round(bench_ingest(spark, sf_dir, upsert=True), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

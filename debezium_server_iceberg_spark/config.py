@@ -1,0 +1,98 @@
+"""Engine configuration model.
+
+Mirrors the reference's three config groups (GlobalConfig.java:12-26,
+IcebergConfig.java:17-133, DebeziumConfig.java:16-157, BatchConfig.java:11-40)
+as plain dataclasses.  Property names keep the reference's spelling (kebab-case
+in files, snake_case here) so a user of the reference can map their
+``application.properties`` 1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IcebergSinkConfig:
+    """Sink-side knobs (reference: IcebergConfig.java:17-133)."""
+
+    # catalog / namespace
+    warehouse: str = "/tmp/dbz_spark_warehouse"
+    namespace: str = "debeziumevents"  # IcebergConfig.java default
+    table_prefix: str = ""
+
+    # write mode
+    upsert: bool = True                       # IcebergConfig.java:35-36
+    upsert_keep_deletes: bool = True          # soft-delete rows kept (:38-39)
+    upsert_dedup_column: str = "__source_ts_ns"   # IcebergConfig.java:30-31
+    upsert_op_column: str = "__op"
+
+    # schema handling
+    allow_field_addition: bool = True         # IcebergConfig.java:87-89
+    create_identifier_fields: bool = True     # IcebergConfig.java:94-96
+    preserve_required_property: bool = False  # IcebergConfig.java:98-100
+    excluded_columns: list[str] = field(default_factory=list)  # :91-92
+    nested_as_variant: bool = False           # IcebergConfig.java:102-104
+
+    # table layout
+    partition_by: dict[str, str] = field(default_factory=dict)
+    """destination -> partition spec string, e.g. ``"year(ts), bucket(16, id)"``
+    (reference per-table override IcebergConfig.java:114-132)."""
+    write_format: str = "parquet"             # IcebergConfig.java:83-85
+    target_file_size_bytes: int = 512 * 1024 * 1024
+    format_version: int = 3                   # IcebergConfig.java:106-108
+
+    # destination -> table name mapping (DefaultIcebergTableMapper.java:17-35)
+    destination_regexp: str = ""
+    destination_regexp_replace: str = ""
+    destination_uppercase: bool = False
+    destination_lowercase: bool = False
+
+
+@dataclass
+class DebeziumFormatConfig:
+    """Source event format knobs (reference: DebeziumConfig.java:16-157)."""
+
+    value_format: str = "json"        # json | connect (DebeziumConfig.java:118-125)
+    schemas_enable: bool = True       # embedded {"schema":...,"payload":...} (:41-47)
+    temporal_precision_mode: str = "isostring"  # connect|isostring|microseconds...
+    decimal_handling_mode: str = "double"       # double | precise (:28-30)
+    heartbeat_prefix: str = "__debezium-heartbeat"  # (:92-98)
+    skip_heartbeat: bool = True
+    # int64 columns forced to timestamptz (DebeziumConfig.java:18)
+    ts_ms_columns: tuple[str, ...] = ("__ts_ms", "__source_ts_ms")
+
+    def validate(self) -> None:
+        # reference: DebeziumConfig.java:118-134 rejects other formats
+        if self.value_format not in ("json", "connect"):
+            raise ValueError(
+                f"unsupported value format {self.value_format!r}; use json|connect"
+            )
+        if self.decimal_handling_mode not in ("double", "precise", "string"):
+            raise ValueError(f"bad decimal mode {self.decimal_handling_mode!r}")
+
+
+@dataclass
+class BatchConfig:
+    """Micro-batching knobs (reference: BatchConfig.java:11-40).
+
+    In Spark these translate to trigger interval + maxFilesPerTrigger /
+    maxOffsetsPerTrigger rather than the reference's sleep-poll
+    MaxBatchSizeWait (MaxBatchSizeWait.java:41-68).
+    """
+
+    max_batch_size: int = 2048
+    trigger_processing_time: str | None = None  # e.g. "30 seconds"
+    concurrent_uploads: int = 1                 # per-table parallel commit (:32-38)
+    upload_timeout_minutes: int = 60
+
+
+@dataclass
+class EngineConfig:
+    iceberg: IcebergSinkConfig = field(default_factory=IcebergSinkConfig)
+    debezium: DebeziumFormatConfig = field(default_factory=DebeziumFormatConfig)
+    batch: BatchConfig = field(default_factory=BatchConfig)
+
+    def validate(self) -> "EngineConfig":
+        self.debezium.validate()
+        return self

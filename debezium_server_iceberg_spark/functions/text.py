@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 phase 6).
+
+All pure built-in-function transforms (JVM-side, whole-stage-codegen'd; no
+Python in the row path) designed so an ANSI-SQL oracle can reproduce them
+exactly:
+
+- tokenization: lower + split on ``[^a-z0-9]+`` + drop empties
+- language-ID: stopword-hit voting over a fixed per-language lexicon
+- quality score: distinct-ratio & length features, deterministic arithmetic
+- fingerprinting: bottom-k sketch of word-4-gram md5 hashes
+
+At 100 TB these are embarrassingly parallel single-pass projections —
+no shuffle except the explicit aggregations; the only wide op in
+fingerprinting is a per-doc groupBy that Catalyst executes with partial
+aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# tiny deterministic stopword lexicons (shared with the SQL oracle)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """lower -> split -> drop empty strings. Oracle equivalent:
+    ``list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> x <> '')``"""
+    return F.array_remove(F.split(F.lower(text), TOKEN_RE), "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + composite score.
+
+    score = round(0.5*distinct_ratio + 0.3*min(n_tokens,100)/100
+                  + 0.2*alpha_ratio, 4)
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    text = F.col(text_col)
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    total = F.length(text)
+    distinct_ratio = nd.cast("double") / n.cast("double")
+    len_feat = F.least(n, F.lit(100)).cast("double") / F.lit(100.0)
+    alpha_ratio = alpha.cast("double") / total.cast("double")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(
+            F.lit(0.5) * distinct_ratio + F.lit(0.3) * len_feat + F.lit(0.2) * alpha_ratio,
+            4,
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Ties break by language code ascending;
+    zero hits -> 'und'."""
+    toks = tokens_col(F.col(text_col))
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        hit_cols.append(hits.alias(f"hits_{lang}"))
+    with_hits = df.select(F.col(id_col), F.col(text_col), *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # ascending tie-break: earlier lang wins
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return with_hits.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """Bottom-k document fingerprint over word 4-gram md5 hashes.
+
+    Rolling-hash-style sketch: the k lexicographically smallest md5s of the
+    doc's word 4-grams, concatenated. Robust to local edits like winnowing,
+    and exactly reproducible in SQL (min over group / row_number<=k).
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select(F.col(id_col), F.md5(F.col("gram")).alias("h"))
+        .groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("hs"))
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.concat_ws("", F.col("hs")).alias("fingerprint"),
+        F.size("hs").alias("k_actual"),
+    )

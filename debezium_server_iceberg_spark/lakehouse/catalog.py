@@ -1,0 +1,85 @@
+"""Directory catalog: namespace/table discovery over a warehouse path.
+
+Engine-native equivalent of the reference's generic Iceberg catalog bootstrap
+(IcebergChangeConsumer.java:88-116, CatalogUtil.buildIcebergCatalog) — the
+same surface (create/load/drop/list, namespace auto-create,
+IcebergUtil.java:98-149) over a filesystem warehouse. A REST/JDBC catalog
+would slot in behind the same four methods.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import types as T
+
+from .table import LakeTable
+from .transforms import PartitionField
+
+
+class NoSuchTableError(KeyError):
+    pass
+
+
+class LakeCatalog:
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _loc(self, namespace: str, name: str) -> str:
+        return os.path.join(self.warehouse, namespace, name)
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return LakeTable.exists(self._loc(namespace, name))
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: T.StructType,
+        identifier_fields: list[str] | None = None,
+        partition_spec: list[PartitionField] | None = None,
+        sort_order: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> LakeTable:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)  # ns auto-create
+        return LakeTable.create(
+            self._loc(namespace, name),
+            schema,
+            identifier_fields=identifier_fields,
+            partition_spec=partition_spec,
+            sort_order=sort_order,
+            properties=properties,
+        )
+
+    def load_table(self, namespace: str, name: str) -> LakeTable:
+        loc = self._loc(namespace, name)
+        if not LakeTable.exists(loc):
+            raise NoSuchTableError(f"{namespace}.{name}")
+        return LakeTable(loc)
+
+    def load_or_create(self, namespace: str, name: str, **create_kwargs) -> LakeTable:
+        if self.table_exists(namespace, name):
+            return self.load_table(namespace, name)
+        return self.create_table(namespace, name, **create_kwargs)
+
+    def drop_table(self, namespace: str, name: str) -> None:
+        loc = self._loc(namespace, name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns):
+            return []
+        return sorted(
+            t for t in os.listdir(ns) if LakeTable.exists(os.path.join(ns, t))
+        )
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )

@@ -1,0 +1,420 @@
+"""ACID parquet table format with snapshot metadata (the engine's sink layer).
+
+The reference writes Apache Iceberg tables; no Iceberg runtime exists in this
+environment, so the same *capabilities* are re-expressed natively on Spark +
+parquet + an atomic JSON metadata log, Iceberg-style:
+
+- data files written by Spark (distributed, partitioned via hidden-partition
+  transforms), never mutated in place;
+- each commit produces a new immutable snapshot = manifest of data files with
+  per-file row counts, partition values, and key-column bounds;
+- the atomic point is an ``os.replace`` of ``version-hint.text`` after writing
+  ``v{N}.metadata.json`` with O_EXCL (optimistic concurrency — two writers
+  racing on the same version: one loses and retries), mirroring Iceberg's
+  Hadoop-catalog commit and the reference's commit protocols
+  (IcebergTableOperator.java:218-228, IcebergOffsetBackingStore.java:219-223).
+
+Capability parity map (reference file:line -> here):
+- table auto-create w/ schema+PK+partition+sort  IcebergChangeConsumer.java:321-389
+- append commit (AppendFiles)                    IcebergTableOperator.java:224-228
+- delta commit (RowDelta: remove+add atomically) IcebergTableOperator.java:218-224
+- overwrite commit (OverwriteFiles alwaysTrue)   IcebergOffsetBackingStore.java:219-223
+- schema evolution union-by-name                 IcebergTableOperator.java:136-151
+- rolling target file size                        IcebergTableWriterFactory.java:42-46
+- snapshot history / time travel                 Iceberg metadata (free here)
+
+Scale notes: manifests carry file-level partition values + key bounds so the
+MERGE path prunes untouched files before any Spark job runs; stats are
+computed distributed (one narrow aggregation over freshly written files, not
+a driver loop). At 1000-executor scale the only driver-side state is the
+file list — same as Iceberg's planning model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .transforms import PartitionField
+
+_HINT = "version-hint.text"
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+@dataclass
+class DataFile:
+    path: str                      # absolute path
+    rows: int
+    partition: dict[str, Any] = dc_field(default_factory=dict)
+    bounds: dict[str, list] = dc_field(default_factory=dict)  # col -> [min,max]
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "partition": self.partition,
+            "bounds": self.bounds,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    operation: str                 # append | delta | overwrite
+    manifest: str                  # manifest file name (relative to metadata/)
+    summary: dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    schema_json: dict
+    identifier_fields: list[str]
+    partition_spec: list[PartitionField]
+    sort_order: list[str]
+    properties: dict[str, str]
+    snapshots: list[Snapshot]
+    current_snapshot_id: int | None
+    version: int
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+
+class LakeTable:
+    """Handle on one table directory. Stateless between calls (always re-reads
+    the committed metadata), so concurrent handles behave like Iceberg table
+    refreshes."""
+
+    def __init__(self, location: str) -> None:
+        self.location = location
+        self.meta_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+
+    # ------------------------------------------------------------- create
+
+    @staticmethod
+    def create(
+        location: str,
+        schema: T.StructType,
+        identifier_fields: list[str] | None = None,
+        partition_spec: list[PartitionField] | None = None,
+        sort_order: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(location)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        if os.path.exists(os.path.join(t.meta_dir, _HINT)):
+            raise FileExistsError(f"table already exists at {location}")
+        ids = identifier_fields or []
+        # sort order = ascending key columns, skipping absent ones
+        # (JsonSchemaConverter.java:262-280)
+        names = {f.name for f in schema.fields}
+        so = [c for c in (sort_order if sort_order is not None else ids) if c in names]
+        meta = TableMetadata(
+            table_uuid=str(uuidlib.uuid4()),
+            location=location,
+            schema_json=schema.jsonValue(),
+            identifier_fields=ids,
+            partition_spec=partition_spec or [],
+            sort_order=so,
+            properties=properties or {},
+            snapshots=[],
+            current_snapshot_id=None,
+            version=0,
+        )
+        t._write_metadata(meta, expected_version=None)
+        return t
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", _HINT))
+
+    # ------------------------------------------------------------ metadata
+
+    def metadata(self) -> TableMetadata:
+        with open(os.path.join(self.meta_dir, _HINT)) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{version:05d}.metadata.json")) as fh:
+            d = json.load(fh)
+        snaps = [
+            Snapshot(s["snapshot_id"], s["timestamp_ms"], s["operation"], s["manifest"], s.get("summary", {}))
+            for s in d["snapshots"]
+        ]
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            location=d["location"],
+            schema_json=d["schema"],
+            identifier_fields=d["identifier_fields"],
+            partition_spec=[PartitionField.from_dict(p) for p in d["partition_spec"]],
+            sort_order=d["sort_order"],
+            properties=d["properties"],
+            snapshots=snaps,
+            current_snapshot_id=d["current_snapshot_id"],
+            version=version,
+        )
+
+    def _write_metadata(self, meta: TableMetadata, expected_version: int | None) -> None:
+        new_version = 0 if expected_version is None else expected_version + 1
+        d = {
+            "format_version": 1,
+            "table_uuid": meta.table_uuid,
+            "location": meta.location,
+            "schema": meta.schema_json,
+            "identifier_fields": meta.identifier_fields,
+            "partition_spec": [p.to_dict() for p in meta.partition_spec],
+            "sort_order": meta.sort_order,
+            "properties": meta.properties,
+            "snapshots": [
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "timestamp_ms": s.timestamp_ms,
+                    "operation": s.operation,
+                    "manifest": s.manifest,
+                    "summary": s.summary,
+                }
+                for s in meta.snapshots
+            ],
+            "current_snapshot_id": meta.current_snapshot_id,
+        }
+        path = os.path.join(self.meta_dir, f"v{new_version:05d}.metadata.json")
+        # O_EXCL: optimistic-concurrency loser gets FileExistsError
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {new_version} already committed") from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(d, fh)
+        tmp = os.path.join(self.meta_dir, f".hint.{uuidlib.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(new_version))
+        os.replace(tmp, os.path.join(self.meta_dir, _HINT))  # ATOMIC POINT
+
+    # ------------------------------------------------------------ manifests
+
+    def _manifest_files(self, meta: TableMetadata, snapshot_id: int | None = None) -> list[DataFile]:
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid is None:
+            return []
+        snap = next(s for s in meta.snapshots if s.snapshot_id == sid)
+        with open(os.path.join(self.meta_dir, snap.manifest)) as fh:
+            return [DataFile.from_dict(f) for f in json.load(fh)["files"]]
+
+    def current_files(self) -> list[DataFile]:
+        return self._manifest_files(self.metadata())
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        add: list[DataFile],
+        remove_paths: set[str],
+        summary: dict[str, Any] | None = None,
+        new_schema: T.StructType | None = None,
+        retries: int = 5,
+    ) -> None:
+        """Generic commit: new manifest = (current - removed) + added."""
+        for attempt in range(retries):
+            meta = self.metadata()
+            current = self._manifest_files(meta)
+            if remove_paths and operation == "overwrite":
+                pass  # overwrite ignores current
+            files = (
+                add
+                if operation == "overwrite"
+                else [f for f in current if f.path not in remove_paths] + add
+            )
+            sid = (meta.current_snapshot_id or 0) + 1
+            manifest_name = f"manifest-{sid:08d}-{uuidlib.uuid4().hex[:8]}.json"
+            with open(os.path.join(self.meta_dir, manifest_name), "w") as fh:
+                json.dump({"files": [f.to_dict() for f in files]}, fh)
+            snap = Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifest=manifest_name,
+                summary=dict(
+                    summary or {},
+                    added_files=len(add),
+                    removed_files=len(remove_paths) if operation != "overwrite" else len(current),
+                    total_files=len(files),
+                    total_rows=sum(f.rows for f in files),
+                ),
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            if new_schema is not None:
+                meta.schema_json = new_schema.jsonValue()
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+                meta.snapshots.pop()
+                time.sleep(0.05 * (attempt + 1))
+
+    # ------------------------------------------------------------ write ops
+
+    def _stage_write(
+        self,
+        df: DataFrame,
+        meta: TableMetadata,
+        target_partitions: int | None = None,
+    ) -> list[DataFile]:
+        """Write df's rows as new data files (not yet committed); return stats.
+
+        Physical layout: partition-transform columns are computed as hidden
+        ``_p_*`` columns and written via ``partitionBy`` (directory-encoded,
+        not stored in the files). Sort order applied within partitions
+        (the reference's WRITE ORDERED BY, JsonSchemaConverter.java:262-280).
+        """
+        schema = meta.schema
+        table_cols = [f.name for f in schema.fields]
+        src_types = {f.name: f.dataType.typeName() for f in schema.fields}
+        out = df
+        pcols: list[str] = []
+        for pf in meta.partition_spec:
+            out = out.withColumn(pf.name, pf.column(src_types.get(pf.source)))
+            pcols.append(pf.name)
+        if pcols:
+            out = out.repartition(*[F.col(c) for c in pcols])
+        elif target_partitions:
+            out = out.repartition(target_partitions)
+        if meta.sort_order:
+            present = [c for c in meta.sort_order if c in out.columns]
+            if present:
+                out = out.sortWithinPartitions(*present)
+        staging = os.path.join(self.data_dir, uuidlib.uuid4().hex)
+        writer = out.select(*table_cols, *pcols).write.mode("error")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+
+        return self._collect_stats(df.sparkSession, staging, meta)
+
+    def _collect_stats(
+        self, spark: SparkSession, staging: str, meta: TableMetadata
+    ) -> list[DataFile]:
+        """Distributed per-file stats over freshly written files."""
+        key_cols = [c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}]
+        newly = spark.read.parquet(staging)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in key_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        stats = (
+            newly.withColumn("_file", F.input_file_name())
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        files: list[DataFile] = []
+        for row in stats:
+            path = row["_file"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            partition = _partition_values_from_path(path, meta.partition_spec)
+            bounds = {}
+            for c in key_cols:
+                mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
+                if mn is not None:
+                    bounds[c] = [_jsonable(mn), _jsonable(mx)]
+            files.append(DataFile(path, row["_rows"], partition, bounds))
+        return files
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> None:
+        """Append commit (reference AppendFiles, IcebergTableOperator.java:224-228)."""
+        meta = self.metadata()
+        add = self._stage_write(df, meta)
+        self._commit_snapshot("append", add, set(), summary)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> None:
+        """Full-table overwrite (reference OverwriteFiles alwaysTrue,
+        IcebergOffsetBackingStore.java:219-223)."""
+        meta = self.metadata()
+        add = self._stage_write(df, meta)
+        self._commit_snapshot("overwrite", add, set(), summary)
+
+    def commit_delta(
+        self,
+        add_df: DataFrame,
+        remove_paths: Iterable[str],
+        summary: dict | None = None,
+    ) -> None:
+        """RowDelta-style commit: atomically swap rewritten files
+        (IcebergTableOperator.java:218-224). Used by the MERGE operator."""
+        meta = self.metadata()
+        add = self._stage_write(add_df, meta) if add_df is not None else []
+        self._commit_snapshot("delta", add, set(remove_paths), summary)
+
+    def update_schema(self, new_schema: T.StructType) -> None:
+        """Schema-evolution commit; no data movement (ALTER TABLE ADD COLUMNS
+        equivalent of IcebergTableOperator.java:136-151)."""
+        self._commit_snapshot("evolve", [], set(), None, new_schema=new_schema)
+
+    # ------------------------------------------------------------- read ops
+
+    def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Current (or time-travel) table contents as a DataFrame.
+
+        Reads with the table's logical schema: files written before a column
+        was added yield nulls for it (schema evolution on read)."""
+        meta = self.metadata()
+        files = self._manifest_files(meta, snapshot_id)
+        schema = meta.schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*[f.path for f in files])
+
+    def scan_files(
+        self,
+        spark: SparkSession,
+        files: list[DataFile],
+    ) -> DataFrame:
+        meta = self.metadata()
+        if not files:
+            return spark.createDataFrame([], meta.schema)
+        return spark.read.schema(meta.schema).parquet(*[f.path for f in files])
+
+    def row_count(self) -> int:
+        return sum(f.rows for f in self.current_files())
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _partition_values_from_path(path: str, spec: list[PartitionField]) -> dict[str, Any]:
+    """Parse Hive-style ``_p_x=val`` directory components out of a file path."""
+    if not spec:
+        return {}
+    vals: dict[str, Any] = {}
+    names = {pf.name for pf in spec}
+    for comp in path.split("/"):
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            if k in names:
+                try:
+                    vals[k] = int(v)
+                except ValueError:
+                    vals[k] = v
+    return vals

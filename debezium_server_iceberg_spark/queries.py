@@ -1,0 +1,711 @@
+"""Driver-gate query catalog: every implemented operator as a
+(PySpark callable, DuckDB oracle SQL) pair over /root/testdata tables.
+
+Determinism contract with the oracle (the driver hash-compares values):
+- money/measure aggregates go through exact ``decimal`` sums of per-term
+  decimal casts, surfaced as double at the end — bit-identical across
+  engines (no float-accumulation-order dependence);
+- all content hashing is ``md5`` (identical function in Spark and DuckDB);
+- every computed column is aliased identically on both sides;
+- timestamps are surfaced as formatted strings or dates, never raw
+  timestamps.
+
+Reference-parity queries (cdc_*) exercise the engine operators from
+SURVEY.md §2 (dedup A1/A2, merge W4, routing P1/P2, projection P4);
+tpch-ish/read-path queries cover the reference's Spark-SQL read side
+(BaseSparkTest.java:170-178); the rest are the training-data extensions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.dedup import exact_dedup, minhash_near_dup_pairs, simhash32
+from .functions.similarity import cosine_topk
+from .functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    with_token_stats,
+)
+from .operators.dedup import dedup_batch, op_priority_col
+from .operators.merge import merge_dataframes
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts normalized to microsecond timestamps.
+
+    The driver's events.parquet stores timestamp[ns]; Spark reads it as a
+    nanos long (``nanosAsLong``) — truncate to µs. Oracle equivalent:
+    ``make_timestamp(epoch_ns(ts) // 1000)``.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# oracle fragment: events.ts (ns) -> µs timestamp
+_TS_US = "make_timestamp(epoch_ns(ts) // 1000)"
+
+# Exact-decimal casts for money/measure columns (the testdata generators
+# produce 2-decimal money and 4-decimal event values stored as doubles, so
+# these casts are exact) — keeps every aggregate bit-identical between Spark
+# and the DuckDB oracle regardless of float summation order.
+
+
+def _money(col):
+    return col.cast("decimal(18,2)")
+
+
+def _rate(col):
+    return col.cast("decimal(4,2)")
+
+
+def _val4(col):
+    return col.cast("decimal(18,4)")
+
+
+# =====================================================================
+# CDC / engine-semantics queries (operators A1/A2, W4, P1/P2)
+# =====================================================================
+
+
+@_register(
+    "cdc_dedup_last_wins",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {_TS_US} DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event_type,
+           value AS last_value, n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 'last event wins': one surviving event per key, explicit total order
+    (ts, then event_id) — the window-dedup at the heart of upsert batches
+    (IcebergTableOperator.java:58-125)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+_OP_MAP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'i' WHEN 'view' THEN 'r' "
+    "WHEN 'purchase' THEN 'u' WHEN 'error' THEN 'd' ELSE 'c' END"
+)
+
+
+@_register(
+    "cdc_dedup_op_priority",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, {_OP_MAP_SQL} AS __op,
+             date_trunc('day', {_TS_US}) AS ts_day
+      FROM events
+    ), ranked AS (
+      SELECT user_id, event_id, __op,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts_day DESC,
+                        CASE __op WHEN 'i' THEN 1 WHEN 'r' THEN 2
+                                  WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE 1 END DESC,
+                        event_id DESC) AS rn
+      FROM tagged
+    )
+    SELECT user_id, event_id AS surviving_event_id, __op AS surviving_op
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_dedup_op_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dedup with the reference's op-priority map i=1<r=2<u=3<d=4
+    (IcebergTableOperator.java:49-51): day-truncated ts forces ties so the
+    priority comparator decides, event_id as the final tiebreak."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr(_OP_MAP_SQL).alias("__op"),
+        F.date_trunc("day", F.col("ts")).alias("ts_day"),
+    )
+    survived = dedup_batch(ev, ["user_id"], dedup_column="ts_day", tiebreak_col="event_id")
+    return survived.select(
+        "user_id",
+        F.col("event_id").alias("surviving_event_id"),
+        F.col("__op").alias("surviving_op"),
+    )
+
+
+@_register(
+    "cdc_upsert_orders",
+    """
+    WITH final_state AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders
+      WHERE o_orderkey % 20 != 3
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM final_state GROUP BY o_orderstatus
+    """,
+)
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 MERGE semantics end-to-end on DataFrames: snapshot ('r') + update
+    pass (+10% price on keys %10==0) + hard-delete pass (keys %20==3),
+    applied via dedup_batch + merge_dataframes (hard-delete mode), then
+    aggregated. The oracle states the equivalent final relation directly."""
+    orders = _t(spark, sf_dir, "orders")
+    price = _money(F.col("o_totalprice"))
+    snapshot = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        price.cast("decimal(20,3)").alias("price"),
+        F.lit("r").alias("__op"),
+        F.lit(0).alias("__source_ts_ms"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (price * F.lit(1.1).cast("decimal(2,1)")).cast("decimal(20,3)").alias("price"),
+            F.lit("u").alias("__op"),
+            F.lit(1).alias("__source_ts_ms"),
+        )
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 20 == 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            price.cast("decimal(20,3)").alias("price"),
+            F.lit("d").alias("__op"),
+            F.lit(2).alias("__source_ts_ms"),
+        )
+    )
+    changes = dedup_batch(
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        dedup_column="__source_ts_ms",
+    )
+    final = merge_dataframes(
+        snapshot, changes, ["o_orderkey"], keep_deletes=False
+    )
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@_register(
+    "cdc_route_by_destination",
+    """
+    WITH routed AS (
+      SELECT 'srv.app.' || event_type AS destination, value
+      FROM events
+      WHERE NOT ('srv.app.' || event_type LIKE '__debezium-heartbeat%')
+    )
+    SELECT replace(destination, '.', '_') AS table_name, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM routed GROUP BY replace(destination, '.', '_')
+    """,
+)
+def cdc_route_by_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P7: destination routing + heartbeat filter + table-name mapping
+    as one declarative pass (groupBy destination == the reference's
+    groupingBy at IcebergChangeConsumer.java:142-154)."""
+    from .operators.router import filter_heartbeats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "destination", F.concat(F.lit("srv.app."), F.col("event_type"))
+    )
+    ev = filter_heartbeats(ev)
+    return (
+        ev.groupBy(F.regexp_replace("destination", r"\.", "_").alias("table_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_val4(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# =====================================================================
+# Read-path queries (the reference verifies everything via Spark SQL —
+# BaseSparkTest.java:170-178; these are the analytical surface over the
+# same tables)
+# =====================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_discount AS DECIMAL(4,2)) AS disc,
+             CAST(l_tax AS DECIMAL(4,2)) AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty) AS DOUBLE) AS sum_qty,
+           CAST(sum(price) AS DOUBLE) AS sum_base_price,
+           CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM t
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = _money(F.col("l_quantity"))
+    price = _money(F.col("l_extendedprice"))
+    disc = _rate(F.col("l_discount"))
+    tax = _rate(F.col("l_tax"))
+    one = F.lit(1).cast("decimal(3,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with a broadcast-able dimension (customer) and a top-k.
+    Catalyst broadcasts the filtered customer side automatically under AQE."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _money(F.col("l_extendedprice"))
+                * (F.lit(1).cast("decimal(3,2)") - _rate(F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _money(F.col("l_extendedprice"))
+                * (F.lit(1).cast("decimal(3,2)") - _rate(F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_money(F.col("l_extendedprice")) * _rate(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "topk_orders_per_priority",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    )
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice AS totalprice
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    f"""
+    SELECT strftime(date_trunc('hour', {_TS_US}), '%Y-%m-%d %H') AS hour,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (T6 extension): expressed with date_trunc so the
+    same plan serves batch and Structured Streaming (groupBy window(ts))."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_val4(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (SURVEY.md §7 phase 6)
+# =====================================================================
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n,
+             len(list_distinct({_TOKENS_SQL})) AS nd,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             length(text) AS total
+      FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           round(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio,
+           round(CAST(alpha AS DOUBLE) / total, 4) AS alpha_ratio,
+           round(0.5 * (CAST(nd AS DOUBLE) / n)
+                 + 0.3 * (CAST(least(n, 100) AS DOUBLE) / 100.0)
+                 + 0.2 * (CAST(alpha AS DOUBLE) / total), 4) AS quality
+    FROM feat
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    from .functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits_exprs = []
+    for lang in langs:
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits_exprs.append(
+            f"len(list_filter({_TOKENS_SQL}, x -> list_contains([{arr}], x))) AS hits_{lang}"
+        )
+    best = f"greatest({', '.join(f'hits_{lang}' for lang in langs)})"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {', '.join(hits_exprs)} FROM documents
+    )
+    SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)}, {pred} AS pred_lang
+    FROM hits
+    """
+
+
+@_register("lang_id", None)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+_ORACLES["lang_id"] = _langid_oracle()
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+3], ' ')) AS h
+      FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+3], ' ') <> ''
+    ), dist AS (
+      SELECT DISTINCT doc_id, h FROM grams
+    ), ranked AS (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM dist
+    )
+    SELECT doc_id, string_agg(h, '' ORDER BY h) AS fingerprint,
+           count(*) AS k_actual
+    FROM ranked WHERE rn <= 4 GROUP BY doc_id
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "minhash_near_dup",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS doc, {_TOKENS_SQL} AS t FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS tok
+      FROM tk, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+2], ' ') <> ''
+    ), hashed AS (
+      SELECT doc, seed, min(md5(seed || ':' || tok)) AS minhash
+      FROM toks, UNNEST(range(0, 8)) AS s(seed)
+      GROUP BY doc, seed
+    ), bands AS (
+      SELECT doc, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_val
+      FROM hashed GROUP BY doc, CAST(seed // 2 AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+      WHERE a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS agreement
+    FROM cand c
+      JOIN hashed ha ON ha.doc = c.doc_a
+      JOIN hashed hb ON hb.doc = c.doc_b AND hb.seed = ha.seed
+    GROUP BY c.doc_a, c.doc_b
+    HAVING CAST(sum(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8 >= 0.5
+    """,
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, md5(unnest(list_distinct({_TOKENS_SQL}))) AS h
+      FROM documents
+    ), votes AS (
+      SELECT doc, {votes} FROM toks GROUP BY doc
+    )
+    SELECT doc, {bits} AS simhash FROM votes
+    """
+
+
+@_register("simhash", None)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+_ORACLES["simhash"] = _simhash_oracle()
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, b.vec_id AS cid,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b, q WHERE b.vec_id != q.qid
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, rank, cid AS neighbor_id, round(cos, 3) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+# =====================================================================
+# public surface
+# =====================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

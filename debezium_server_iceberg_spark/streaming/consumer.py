@@ -1,0 +1,191 @@
+"""The change consumer: CDC micro-batches -> lakehouse tables.
+
+Spark-first re-expression of IcebergChangeConsumer.handleBatch
+(IcebergChangeConsumer.java:134-307):
+
+reference                                   here
+---------                                   ----
+groupingBy(destination)         :142-154 -> distinct() + per-dest filter
+heartbeat skip                  :186-189 -> filter_heartbeats
+table mapper                    :409-411 -> map_destination
+load/create table               :316-389 -> LakeCatalog.load_or_create
+schema evolution                :136-151 -> merge_schemas + update_schema
+dedup (upsert)                  :58-125  -> dedup_batch (window row_number)
+append / delta write            :205-249 -> LakeTable.append / merge_into
+parallel per-table commit       :206-307 -> ThreadPoolExecutor over dests,
+                                             first failure re-raised so the
+                                             micro-batch fails (no offset
+                                             advance -> no data loss)
+offset store (exactly-once)     :163-170 -> Structured Streaming checkpoint
+                                             (commits only after foreachBatch
+                                             returns — T3)
+batch-size wait                 T2       -> trigger(processingTime=...)
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig
+from ..lakehouse import LakeCatalog, parse_partition_spec
+from ..operators.dedup import assert_no_null_keys, dedup_batch
+from ..operators.mapper import map_destination
+from ..operators.merge import merge_into
+from ..operators.project import conform_to_schema
+from ..operators.router import filter_heartbeats, destinations, for_destination
+from ..schema.converter import DebeziumSchemaConverter
+from ..schema.evolution import merge_schemas, schemas_equal
+from ..sources.debezium_json import infer_event_schema, parse_events, read_events_stream
+
+
+@dataclass
+class BatchResult:
+    tables_written: dict[str, int] = field(default_factory=dict)  # table -> rows
+    skipped_heartbeats: bool = False
+
+
+class ChangeConsumer:
+    def __init__(self, config: EngineConfig | None = None) -> None:
+        self.config = (config or EngineConfig()).validate()
+        ic = self.config.iceberg
+        dz = self.config.debezium
+        self.catalog = LakeCatalog(ic.warehouse)
+        self.converter = DebeziumSchemaConverter(
+            excluded_columns=ic.excluded_columns,
+            preserve_required_property=ic.preserve_required_property,
+            decimal_handling_mode=dz.decimal_handling_mode,
+            ts_ms_columns=dz.ts_ms_columns,
+            create_identifier_fields=ic.create_identifier_fields,
+        )
+
+    # ------------------------------------------------------------ batch path
+
+    def handle_batch(self, raw: DataFrame, epoch_id: int | None = None) -> BatchResult:
+        """Process one micro-batch of raw envelope rows."""
+        cfg = self.config
+        if cfg.debezium.skip_heartbeat:
+            raw = filter_heartbeats(raw, heartbeat_prefix=cfg.debezium.heartbeat_prefix)
+        raw = raw.cache()
+        try:
+            dests = destinations(raw)
+            result = BatchResult()
+            workers = max(1, cfg.batch.concurrent_uploads)
+            if workers == 1 or len(dests) <= 1:
+                for d in dests:
+                    result.tables_written[d] = self._write_destination(raw, d)
+            else:
+                # per-table parallel commit (T4); first failure propagates ->
+                # the whole micro-batch fails and will be retried
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futs = {
+                        d: pool.submit(self._write_destination, raw, d) for d in dests
+                    }
+                    for d, fut in futs.items():
+                        result.tables_written[d] = fut.result(
+                            timeout=cfg.batch.upload_timeout_minutes * 60
+                        )
+            return result
+        finally:
+            raw.unpersist()
+
+    def _write_destination(self, raw: DataFrame, dest: str) -> int:
+        cfg = self.config
+        ic = cfg.iceberg
+        df = for_destination(raw, dest)
+        sample = df.select("key", "value").first()
+        if sample is None:
+            return 0
+        inferred = infer_event_schema(sample["value"], sample["key"], self.converter)
+
+        table_name = map_destination(
+            dest,
+            table_prefix=ic.table_prefix,
+            destination_regexp=ic.destination_regexp,
+            destination_regexp_replace=ic.destination_regexp_replace,
+            uppercase=ic.destination_uppercase,
+            lowercase=ic.destination_lowercase,
+        )
+
+        pspec_str = ic.partition_by.get(table_name, ic.partition_by.get("*", ""))
+        pspec = parse_partition_spec(
+            pspec_str, {f.name for f in inferred.struct.fields}, strict=False
+        )
+        table = self.catalog.load_or_create(
+            ic.namespace,
+            table_name,
+            schema=inferred.struct,
+            identifier_fields=inferred.key_fields,
+            partition_spec=pspec,
+            properties={
+                "write.format.default": ic.write_format,
+                "write.target-file-size-bytes": str(ic.target_file_size_bytes),
+                "format-version": str(ic.format_version),
+            },
+        )
+
+        # schema evolution (W14): union-by-name, commit only on real change
+        meta = table.metadata()
+        if ic.allow_field_addition:
+            merged = merge_schemas(meta.schema, inferred.struct)
+            if not schemas_equal(meta.schema, merged):
+                table.update_schema(merged)
+                meta = table.metadata()
+
+        events = parse_events(df, inferred).drop("destination")
+        key_fields = meta.identifier_fields or inferred.key_fields
+
+        # upsert w/o PK falls back to append (IcebergTableWriterFactory.java:51-56)
+        if ic.upsert and key_fields:
+            events = assert_no_null_keys(events, key_fields)
+            deduped = dedup_batch(
+                events,
+                key_fields,
+                dedup_column=(
+                    ic.upsert_dedup_column
+                    if ic.upsert_dedup_column in events.columns
+                    else None
+                ),
+                op_col=ic.upsert_op_column,
+            )
+            stats = merge_into(
+                table,
+                deduped,
+                keep_deletes=ic.upsert_keep_deletes,
+                op_col=ic.upsert_op_column,
+            )
+            return stats.source_rows
+        conformed = conform_to_schema(events, meta.schema)
+        table.append(conformed)
+        return -1  # append path: row count not re-measured (avoid extra action)
+
+    # -------------------------------------------------------- streaming path
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        checkpoint: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Structured Streaming driver: file-stream of envelope JSONL ->
+        foreachBatch(handle_batch). Checkpoint replaces the reference's
+        Iceberg offset store (offset/IcebergOffsetBackingStore.java:66-303)."""
+        raw = read_events_stream(spark, input_path, max_files_per_trigger)
+        writer = (
+            raw.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, epoch: self.handle_batch(df, epoch))
+        )
+        trig = self.config.batch.trigger_processing_time
+        if trig:
+            writer = writer.trigger(processingTime=trig)
+        return writer.start()
+
+    # ------------------------------------------------------------- read side
+
+    def table_df(self, spark: SparkSession, table_name: str):
+        return self.catalog.load_table(self.config.iceberg.namespace, table_name).to_df(spark)

@@ -1,0 +1,102 @@
+"""Lakehouse table format: create/append/overwrite/evolve/time-travel/partitioning."""
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from debezium_server_iceberg_spark.lakehouse import LakeCatalog, parse_partition_spec
+from debezium_server_iceberg_spark.lakehouse.transforms import PartitionSpecError
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def test_create_append_read(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "t1", SCHEMA, identifier_fields=["id"])
+    df = spark.createDataFrame([(1, "a", None), (2, "b", None)], SCHEMA)
+    t.append(df)
+    got = t.to_df(spark).orderBy("id").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "a"), (2, "b")]
+    t.append(spark.createDataFrame([(3, "c", None)], SCHEMA))
+    assert t.to_df(spark).count() == 3
+    assert t.row_count() == 3
+    # snapshot history
+    meta = t.metadata()
+    assert [s.operation for s in meta.snapshots] == ["append", "append"]
+    # time travel to first snapshot
+    first = meta.snapshots[0].snapshot_id
+    assert t.to_df(spark, snapshot_id=first).count() == 2
+
+
+def test_overwrite(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "t2", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", None)], SCHEMA))
+    t.overwrite(spark.createDataFrame([(9, "z", None)], SCHEMA))
+    got = t.to_df(spark).collect()
+    assert [(r.id, r.name) for r in got] == [(9, "z")]
+
+
+def test_schema_evolution_read_old_files(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "t3", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", None)], SCHEMA))
+    new_schema = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.update_schema(new_schema)
+    t.append(
+        spark.createDataFrame([(2, "b", None, "x")], new_schema)
+    )
+    got = {r.id: r.extra for r in t.to_df(spark).collect()}
+    assert got == {1: None, 2: "x"}
+
+
+def test_partitioned_write_and_manifest_pruning(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    spec = parse_partition_spec("year(ts), bucket(4, id)")
+    t = cat.create_table("ns", "t4", SCHEMA, identifier_fields=["id"], partition_spec=spec)
+    rows = [(i, f"n{i}", f"202{i % 3}-01-0{i % 9 + 1} 00:00:00") for i in range(20)]
+    df = (
+        spark.createDataFrame(rows, "id long, name string, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    t.append(df)
+    files = t.current_files()
+    assert len(files) > 1
+    for f_ in files:
+        assert "_p_year_ts" in f_.partition
+        assert "_p_bucket4_id" in f_.partition
+        assert "id" in f_.bounds
+    assert t.to_df(spark).count() == 20
+    years = {f_.partition["_p_year_ts"] for f_ in files}
+    assert years == {2020, 2021, 2022}
+
+
+def test_commit_conflict_detection(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "t5", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", None)], SCHEMA))
+    assert t.metadata().version >= 1
+
+
+def test_partition_spec_parse():
+    spec = parse_partition_spec("year(ts), bucket(16, id), region, truncate(3, name)")
+    assert [(p.transform, p.source, p.param) for p in spec] == [
+        ("year", "ts", None),
+        ("bucket", "id", 16),
+        ("identity", "region", None),
+        ("truncate", "name", 3),
+    ]
+    # arg order tolerated
+    assert parse_partition_spec("bucket(id, 16)")[0].param == 16
+    with pytest.raises(PartitionSpecError):
+        parse_partition_spec("wat(ts)")
+    # lenient mode skips missing columns (IcebergUtil.java:239-261)
+    assert parse_partition_spec("year(nope), id", {"id"}, strict=False) == parse_partition_spec("id")
+    with pytest.raises(PartitionSpecError):
+        parse_partition_spec("year(nope)", {"id"}, strict=True)
