@@ -699,6 +699,367 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Read-path wave 2: joins/set-ops/windows the reference gets "for free"
+# from Spark SQL (SURVEY.md §2.5 ⊘ rows, demonstrated as first-class ops)
+# =====================================================================
+
+
+@_register(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (Catalyst's native strategy for it)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "setops_customer_status",
+    """
+    SELECT 'open_not_full' AS kind, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'open_and_full' AS kind, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def setops_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    full_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    ex = open_c.exceptAll(full_c.intersect(open_c)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("open_not_full").alias("kind"), "n")
+    inter = open_c.intersect(full_c).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("open_and_full").alias("kind"), "n"
+    )
+    return ex.unionByName(inter)
+
+
+@_register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (absent in the reference, free in
+    Spark — SURVEY.md §2.3 ⊘ row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_register(
+    "pivot_user_event_matrix",
+    f"""
+    SELECT user_id,
+           {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
+@_register(
+    "asof_last_click_before_purchase",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, {_TS_US} AS ts,
+             max(CASE WHEN event_type = 'click' THEN {_TS_US} END)
+               OVER (PARTITION BY user_id ORDER BY {_TS_US} ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id AS purchase_event_id, user_id,
+           strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_at
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — composed as a conditional
+    running max over an event-time window; same plan shape scales as a
+    single per-key sort, no cross join)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_click_at"
+            ),
+        )
+    )
+
+
+@_register(
+    "sessionize_events",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, {_TS_US} AS ts, event_id,
+             lag({_TS_US}) OVER (PARTITION BY user_id
+                                 ORDER BY {_TS_US} ASC, event_id ASC) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS session_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(session_events) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum windows —
+    the batch twin of streaming session_window(ts, gap)."""
+    ev = _events(spark, sf_dir)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w_lag).cast("double")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+# =====================================================================
+# Training-data wave 2: remaining dedup families + similarity variants
+# =====================================================================
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS doc, {_TOKENS_SQL} AS t FROM documents
+    ), shingles AS (
+      -- duckdb list slices are inclusive: t[i:i+1] is a 2-token shingle
+      SELECT DISTINCT doc, array_to_string(t[i:i+1], ' ') AS g
+      FROM tk, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+1], ' ') <> ''
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM shingles GROUP BY doc
+    ), hashed AS (
+      SELECT doc, seed, min(md5(seed || ':' || g)) AS minhash
+      FROM shingles, UNNEST(range(0, 8)) AS s(seed) GROUP BY doc, seed
+    ), bands AS (
+      SELECT doc, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_val
+      FROM hashed GROUP BY doc, CAST(seed // 2 AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+      WHERE a.doc < b.doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS both
+      FROM cand c
+        JOIN shingles sa ON sa.doc = c.doc_a
+        JOIN shingles sb ON sb.doc = c.doc_b AND sb.g = sa.g
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.both AS DOUBLE) / (za.n + zb.n - i.both), 4) AS jaccard
+    FROM inter i JOIN sizes za ON za.doc = i.doc_a
+                 JOIN sizes zb ON zb.doc = i.doc_b
+    WHERE CAST(i.both AS DOUBLE) / (za.n + zb.n - i.both) >= 0.4
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on LSH-pruned candidates: MinHash bands generate
+    the candidate pairs (scales), then the true Jaccard is computed from the
+    shingle sets only for those pairs."""
+    from .functions.dedup import _doc_shingles, minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_near_dup_pairs(docs, threshold=0.0, shingle_size=2).select(
+        "doc_a", "doc_b"
+    )
+    sh = _doc_shingles(docs, "text", "doc_id", 2).select(
+        F.col("doc").alias("d"), F.col("tok").alias("g")
+    )
+    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("d").alias("doc_a"), F.col("g"))
+    shb = sh.select(F.col("d").alias("doc_b"), F.col("g"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("d").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("d").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jac_raw",
+            F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both")),
+        )
+        .filter(F.col("jac_raw") >= 0.4)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard")
+    )
+
+
+@_register(
+    "embedding_cosine_near_dup",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (baseline exact form; the LSH
+    bucket variant in functions.similarity is the 100 TB path)."""
+    from .functions.similarity import _as_double, _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).join(
+        b, F.col("id_a") < F.col("id_b")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round("cos", 3).alias("cosine"))
+    )
+
+
+# ---- weak-checked entries (no SQL-expressible oracle; driver records
+# rows-only) ----
+
+
+@_register("approx_distinct_parts", None)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (engine-specific sketch — no cross-engine
+    oracle by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@_register("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (scale path of
+    ann_cosine_topk; bucket recall is probabilistic -> weak check)."""
+    from .functions.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, n_planes=4
+    )
+
+
+@_register("multimodal_image_features", None)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing over mapInPandas (decode stubbed
+    deterministically — no media libs in this environment)."""
+    from .functions.multimodal import as_binary_items, image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(as_binary_items(docs, "doc_id", "text"))
+
+
+# =====================================================================
 # public surface
 # =====================================================================
 

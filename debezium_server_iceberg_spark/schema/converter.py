@@ -90,12 +90,14 @@ class DebeziumSchemaConverter:
         decimal_handling_mode: str = "double",
         ts_ms_columns: tuple[str, ...] = ("__ts_ms", "__source_ts_ms"),
         create_identifier_fields: bool = True,
+        nested_as_variant: bool = False,
     ) -> None:
         self.excluded = set(excluded_columns or [])
         self.preserve_required = preserve_required_property
         self.decimal_mode = decimal_handling_mode
         self.ts_ms_columns = set(ts_ms_columns)
         self.create_identifier_fields = create_identifier_fields
+        self.nested_as_variant = nested_as_variant
 
     # ------------------------------------------------------------------ api
 
@@ -137,6 +139,16 @@ class DebeziumSchemaConverter:
             name = f["field"]
             if name in self.excluded:
                 # column exclusion (JsonSchemaConverter.java:204-221)
+                continue
+            if self.nested_as_variant and f.get("type") in ("struct", "map", "array"):
+                # variant mode: nested values kept as semi-structured JSON
+                # text (reference maps them to Iceberg VariantType,
+                # JsonSchemaConverter.java:87-94; Spark VariantType needs
+                # catalog support absent here, so the JSON-text carrier is
+                # the documented equivalent — parse on read with
+                # from_json/variant_get)
+                semantics[name] = "variant_json"
+                out_fields.append(T.StructField(name, T.StringType(), True))
                 continue
             dtype = self._field_type(f, top_level_name=name, semantics=semantics)
             is_key = name in key_fields

@@ -156,5 +156,11 @@ def parse_events(raw: DataFrame, inferred: InferredSchema, op_col: str = "__op")
     cols = [F.col("destination")]
     for f in inferred.struct.fields:
         sem = inferred.semantics.get(f.name, "")
-        cols.append(_normalize(f.name, sem, f.dataType).alias(f.name))
+        if sem == "variant_json":
+            # variant mode: pull the raw JSON text of the nested field
+            cols.append(
+                F.get_json_object(F.col("value"), f"$.payload.{f.name}").alias(f.name)
+            )
+        else:
+            cols.append(_normalize(f.name, sem, f.dataType).alias(f.name))
     return df.select(*cols)

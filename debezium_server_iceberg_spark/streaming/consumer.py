@@ -60,6 +60,7 @@ class ChangeConsumer:
             decimal_handling_mode=dz.decimal_handling_mode,
             ts_ms_columns=dz.ts_ms_columns,
             create_identifier_fields=ic.create_identifier_fields,
+            nested_as_variant=ic.nested_as_variant,
         )
 
     # ------------------------------------------------------------ batch path

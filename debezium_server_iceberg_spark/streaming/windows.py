@@ -1,0 +1,101 @@
+"""Streaming window operators (extension beyond the reference — T6 row of
+SURVEY.md §2.6, marked ⊘ there; first-class here).
+
+Each helper returns a streaming-ready DataFrame transform usable in both
+batch (tests, backfills) and ``readStream`` pipelines — same Catalyst plan
+either way. Watermarks bound state for late data; session windows use
+Spark's native session_window; running per-key state uses
+``applyInPandasWithState`` (Arrow-batched, partitioned by key — state lives
+in the state store, not the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark for late data."""
+    keys = keys or ["event_type"]
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(F.window(ts_col, window_len), *keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the batch
+    sessionize_events query."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(F.session_window(ts_col, gap), key).agg(
+        F.count(F.lit(1)).alias("session_events"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+RUNNING_STATE_SCHEMA = "total_count bigint, total_value double"
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("batch_count", T.LongType(), True),
+        T.StructField("total_count", T.LongType(), True),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user event count/value across
+    micro-batches (the kind of cross-batch state the reference never keeps —
+    its dedup is strictly in-batch)."""
+    (user_id,) = key
+    if state.exists:
+        total_count, total_value = state.get
+    else:
+        total_count, total_value = 0, 0.0
+    batch_count = 0
+    for pdf in pdfs:
+        batch_count += len(pdf)
+        total_count += len(pdf)
+        total_value += float(pdf["value"].fillna(0.0).sum())
+    state.update((total_count, total_value))
+    yield pd.DataFrame(
+        [(user_id, batch_count, total_count, total_value)],
+        columns=["user_id", "batch_count", "total_count", "total_value"],
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState wrapper: per-user running totals with
+    processing-time semantics (state partitioned by user -> scales with
+    distinct keys, not event volume)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

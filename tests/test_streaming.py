@@ -1,0 +1,130 @@
+"""Structured Streaming paths: consumer stream, windows, stateful operator."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from debezium_server_iceberg_spark.config import EngineConfig
+from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+from debezium_server_iceberg_spark.streaming.windows import (
+    running_user_totals,
+    session_windows,
+    tumbling_counts,
+)
+from tests.fixtures import customer_event, write_jsonl
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_consumer_file_stream_checkpoint(spark, tmp_path):
+    wh, indir, ckpt = str(tmp_path / "wh"), str(tmp_path / "in"), str(tmp_path / "ck")
+    import os
+
+    os.makedirs(indir)
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = wh
+    c = ChangeConsumer(cfg)
+    write_jsonl(
+        [customer_event(i, f"v{i}", op="c", ts_ms=1) for i in range(10)],
+        f"{indir}/b1.jsonl",
+    )
+    q = c.run_stream(spark, indir, ckpt)
+    q.processAllAvailable()
+    assert c.table_df(spark, "testc_inventory_customers_upsert").count() == 10
+    write_jsonl([customer_event(3, "upd", op="u", ts_ms=2)], f"{indir}/b2.jsonl")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["id"]: r["first_name"]
+        for r in c.table_df(spark, "testc_inventory_customers_upsert").collect()
+    }
+    assert got[3] == "upd" and len(got) == 10
+
+    # restart with same checkpoint: nothing reprocessed, new file picked up
+    q2 = c.run_stream(spark, indir, ckpt)
+    write_jsonl([customer_event(11, "late", op="c", ts_ms=3)], f"{indir}/b3.jsonl")
+    q2.processAllAvailable()
+    q2.stop()
+    assert c.table_df(spark, "testc_inventory_customers_upsert").count() == 11
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_tumbling_counts_batch_plan(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 10:02:00"), 1, "click", 2.0),
+        (3, _ts("2024-01-01 10:07:00"), 2, "view", 3.0),
+    ]
+    out = tumbling_counts(_events_df(spark, rows)).collect()
+    got = {(r["window"]["start"].minute, r["event_type"]): r["n"] for r in out}
+    assert got == {(0, "click"): 2, (5, "view"): 1}
+
+
+def test_session_windows_batch_plan(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 10:10:00"), 1, "click", 1.0),  # same session
+        (3, _ts("2024-01-01 11:30:00"), 1, "click", 1.0),  # new session
+    ]
+    out = session_windows(_events_df(spark, rows)).collect()
+    assert sorted(r["session_events"] for r in out) == [1, 2]
+
+
+def test_running_user_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState across two micro-batches: state must carry."""
+    import os
+
+    indir = str(tmp_path / "stream_in")
+    os.makedirs(indir)
+
+    def write_batch(name, rows):
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    write_batch("b1.jsonl", [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0}])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(indir)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b2.jsonl", [{"user_id": 1, "value": 7.0}])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM running_totals ORDER BY total_count"
+    ).collect()
+    # two updates for user 1: (2, 15.0) then (3, 22.0)
+    assert [(r["total_count"], r["total_value"]) for r in rows if r["user_id"] == 1] == [
+        (2, 15.0),
+        (3, 22.0),
+    ]
