@@ -44,13 +44,16 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, size: int) -> DataF
     """Distinct ``size``-token shingles per doc (word n-grams joined by a
     space). Far more discriminative than unigrams on small vocabularies —
     keeps LSH candidate sets sparse at scale."""
-    toks = tokens_col(F.col(text_col))
+    # tokens materialized first — see doc_fingerprint for why (6x at sf0.1)
+    with_toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("_tk")
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - size, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, size)),
+        F.sequence(F.lit(0), F.greatest(F.size("_tk") - size, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, size)),
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("tok"))
+        with_toks.select("doc", F.explode(F.array_distinct(grams)).alias("tok"))
         .filter(F.col("tok") != "")
     )
 

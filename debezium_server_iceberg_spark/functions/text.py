@@ -103,13 +103,16 @@ def doc_fingerprint(
     doc's word 4-grams, concatenated. Robust to local edits like winnowing,
     and exactly reproducible in SQL (min over group / row_number<=k).
     """
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array once per row BEFORE gram construction:
+    # inlining the regexp split into the transform lambda re-evaluates it per
+    # sequence element (measured 6x slower at sf0.1)
+    with_toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
+        F.sequence(F.lit(0), F.greatest(F.size("_tk") - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, 4)),
     )
     exploded = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .select(F.col(id_col), F.md5(F.col("gram")).alias("h"))
         .groupBy(id_col)
