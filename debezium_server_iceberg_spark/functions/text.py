@@ -94,6 +94,29 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single non-space
+# symbols — the coarse split GPT-2-style BPE applies before merges.  Plain
+# alternation, valid in both Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting under a BPE-ish regex: totals plus per-class counts
+    (word pieces / digit runs / symbols). One codegen'd projection, no
+    shuffle — a pure map at any scale."""
+    pieces = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+    df = df.select(F.col(id_col), pieces.alias("_p"))
+    n_words = F.size(F.filter(F.col("_p"), lambda x: x.rlike("^[a-z]+$")))
+    n_digits = F.size(F.filter(F.col("_p"), lambda x: x.rlike("^[0-9]+$")))
+    return df.select(
+        F.col(id_col),
+        F.size("_p").alias("n_pieces"),
+        n_words.alias("n_word_pieces"),
+        n_digits.alias("n_digit_pieces"),
+        (F.size("_p") - n_words - n_digits).alias("n_symbol_pieces"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:

@@ -1012,8 +1012,416 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
 
+# =====================================================================
+# Wave 3: remaining §2 engine branches (soft delete, envelope parse,
+# schema evolution) + deeper read-path coverage
+# =====================================================================
+
+
+@_register(
+    "cdc_soft_delete_orders",
+    """
+    WITH merged AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             (o_orderkey % 20 = 3) AS __deleted
+      FROM orders
+    )
+    SELECT o_orderstatus, __deleted, count(*) AS n,
+           CAST(sum(price) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus, __deleted
+    """,
+)
+def cdc_soft_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 keep-deletes branch: delete events UPDATE the row in place (kept,
+    flagged __deleted) instead of removing it — BaseDeltaTaskWriter.java:61-71,
+    verified by IcebergChangeConsumerUpsertTest.java:69-73."""
+    orders = _t(spark, sf_dir, "orders")
+    price = _money(F.col("o_totalprice"))
+    snapshot = orders.select(
+        "o_orderkey", "o_orderstatus", price.alias("price"),
+        F.lit("r").alias("__op"), F.lit(0).alias("__source_ts_ms"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey", "o_orderstatus", price.alias("price"),
+        F.lit("d").alias("__op"), F.lit(1).alias("__source_ts_ms"),
+    )
+    changes = dedup_batch(deletes, ["o_orderkey"], dedup_column="__source_ts_ms")
+    merged = merge_dataframes(snapshot, changes, ["o_orderkey"], keep_deletes=True)
+    return (
+        merged.withColumn("__deleted", F.col("__op") == "d")
+        .groupBy("o_orderstatus", "__deleted")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+    )
+
+
+_ENVELOPE_SAMPLE_VALUE = {
+    "schema": {
+        "type": "struct",
+        "fields": [
+            {"field": "o_orderkey", "type": "int64", "optional": False},
+            {"field": "o_orderstatus", "type": "string", "optional": True},
+            {"field": "o_totalprice", "type": "double", "optional": True},
+            {
+                "field": "o_orderdate",
+                "type": "int64",
+                "optional": True,
+                "name": "io.debezium.time.Timestamp",
+            },
+            {"field": "__op", "type": "string", "optional": True},
+        ],
+    },
+    "payload": {},
+}
+_ENVELOPE_SAMPLE_KEY = {
+    "schema": {
+        "type": "struct",
+        "fields": [{"field": "o_orderkey", "type": "int64", "optional": False}],
+    },
+    "payload": {},
+}
+
+
+@_register(
+    "cdc_envelope_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           strftime(max(date_trunc('second', o_orderdate)), '%Y-%m-%d %H:%M:%S') AS max_orderdate
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P4 end-to-end: rows serialized into Debezium JSON envelopes
+    (epoch-millis temporal wire form), schema inferred from a sample event
+    (JsonSchemaConverter parity), then parsed back columnar with from_json +
+    normalization expressions — the whole ingest front-end as one query."""
+    from .sources.debezium_json import infer_event_schema, parse_events
+
+    orders = _t(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
+            F.lit("r").alias("__op"),
+        )
+    )
+    raw = orders.select(
+        F.lit("srv.public.orders").alias("destination"),
+        F.to_json(F.struct(F.col("o_orderkey"))).alias("key"),
+        F.concat(F.lit('{"payload":'), payload, F.lit("}")).alias("value"),
+    )
+    inferred = infer_event_schema(_ENVELOPE_SAMPLE_VALUE, _ENVELOPE_SAMPLE_KEY)
+    typed = parse_events(raw, inferred)
+    return typed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_orderdate"),
+    )
+
+
+@_register(
+    "cdc_schema_evolution",
+    """
+    WITH unioned AS (
+      SELECT o_orderstatus,
+             CASE WHEN year(o_orderdate) >= 1997 THEN o_orderpriority END AS pri,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n, count(pri) AS n_with_priority,
+           min(pri) AS min_priority,
+           CAST(sum(price) AS DOUBLE) AS sum_price
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 union-by-name evolution: an early event wave lacking a column is
+    conformed to the merged (widened) schema with null fill, then unioned
+    with the later wave — IcebergTableOperator.java:136-151 re-expressed as
+    merge_schemas + conform_to_schema."""
+    from .operators.project import conform_to_schema
+    from .schema.evolution import merge_schemas
+
+    orders = _t(spark, sf_dir, "orders")
+    price = _money(F.col("o_totalprice"))
+    wave1 = orders.filter(F.year("o_orderdate") < 1997).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    wave2 = orders.filter(F.year("o_orderdate") >= 1997).select(
+        "o_orderkey", "o_orderstatus", price.alias("price"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    merged_schema = merge_schemas(wave1.schema, wave2.schema)
+    unioned = conform_to_schema(wave1, merged_schema).unionByName(
+        conform_to_schema(wave2, merged_schema)
+    )
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("pri").alias("n_with_priority"),
+        F.min("pri").alias("min_priority"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+@_register(
+    "token_count_bpe",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS pieces
+      FROM documents
+    )
+    SELECT doc_id, len(pieces) AS n_pieces,
+           len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))) AS n_word_pieces,
+           len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS n_digit_pieces,
+           len(pieces)
+             - len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$')))
+             - len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS n_symbol_pieces
+    FROM p
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON functions (§2.5): get_json_object over the props column —
+    the same path the engine uses for variant-mode fields."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "anti_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (filter pushed below the anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_money(F.col("c_acctbal"))).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@_register(
+    "decorrelated_above_avg",
+    """
+    WITH w AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             count(*) OVER (PARTITION BY o_custkey) AS cnt,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS tot
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_above
+    FROM w WHERE p * cnt > CAST(1.5 AS DECIMAL(2,1)) * tot
+    GROUP BY o_orderstatus
+    """,
+)
+def decorrelated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated 'price > 1.5x my customer's average' decorrelated into a
+    per-key window — the rewrite Catalyst itself applies to correlated
+    scalar subqueries. Stated as p*cnt > 1.5*tot so both engines compare
+    exact decimals (no float-division order dependence)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    p = _money(F.col("o_totalprice"))
+    above = (
+        orders.select("o_orderstatus", "o_custkey", p.alias("p"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("tot", F.sum("p").over(w))
+        .filter(F.col("p") * F.col("cnt") > F.lit(1.5).cast("decimal(2,1)") * F.col("tot"))
+    )
+    return above.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_above"))
+
+
+@_register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q19_or_of_ands",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicate over a join (q19 shape): Catalyst extracts the
+    common p_partkey equi-key and pushes each brand/size conjunct to the
+    part scan; part side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            _money(F.col("l_extendedprice"))
+            * (F.lit(1).cast("decimal(3,2)") - _rate(F.col("l_discount")))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@_register(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@_register(
+    "window_running_revenue",
+    """
+    WITH mine AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY price DESC) AS price_rank,
+           CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3
+    FROM mine
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage beyond row_number: rank, running total, and a
+    3-row moving sum (exact decimal arithmetic inside the frames)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    price = _money(F.col("o_totalprice"))
+    base = orders.select("o_custkey", "o_orderkey", "o_orderdate", price.alias("price"))
+    by_time = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(F.col("price").desc()))
+        .alias("price_rank"),
+        F.sum("price")
+        .over(by_time.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.sum("price")
+        .over(by_time.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_sum_3"),
+    )
+
+
 # ---- weak-checked entries (no SQL-expressible oracle; driver records
 # rows-only) ----
+
+
+@_register("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary fan-out plumbing ('video' -> N frames) over mapInPandas; frame
+    boundaries stubbed to a byte stride (no media libs here)."""
+    from .functions.multimodal import as_binary_items, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    frames = frame_sample(as_binary_items(docs, "doc_id", "text"), every_n_bytes=64)
+    return frames.select("item_id", "frame_index", "frame_sha256")
 
 
 @_register("approx_distinct_parts", None)
