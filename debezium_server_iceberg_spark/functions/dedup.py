@@ -65,24 +65,34 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(doc, seed, minhash) rows: minhash = min over shingles of
-    md5(seed:shingle).
+    """(doc, seed, minhash) rows: minhash for seed s = min over shingles of
+    the 16-hex-char window of md5(shingle) starting at position 2s+1.
 
-    Kept in long form (doc, seed, h) — band construction and signature
-    agreement both derive from it with plain joins/aggs, and the long form is
-    what an SQL oracle can reproduce verbatim.
+    One md5 per shingle (not per shingle*seed) and all seed minima in a
+    single groupBy — the per-seed orderings come from different digest
+    offsets, which is as independent as LSH candidate generation needs.
+    Long form (doc, seed, minhash) so band construction, agreement, and the
+    SQL oracle (``min(substr(md5(tok), 2*seed+1, 16))``) all derive from it
+    verbatim.
     """
+    if num_hashes > 8:
+        raise ValueError("num_hashes > 8 would slide windows past the 32-hex digest")
     toks = _doc_shingles(df, text_col, id_col, shingle_size)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        toks.select("doc", "tok", seeds)
-        .select(
-            "doc",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("tok"))).alias("h"),
-        )
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
+    hashed = toks.select("doc", F.md5("tok").alias("h"))
+    wide = hashed.groupBy("doc").agg(
+        *[
+            F.min(F.substring("h", 2 * s + 1, 16)).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    seed_structs = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ]
+    )
+    return wide.select("doc", F.explode(seed_structs).alias("sm")).select(
+        "doc", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
     )
 
 

@@ -621,7 +621,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tk, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
       WHERE array_to_string(t[i:i+2], ' ') <> ''
     ), hashed AS (
-      SELECT doc, seed, min(md5(seed || ':' || tok)) AS minhash
+      SELECT doc, seed, min(substr(md5(tok), CAST(2*seed+1 AS INT), 16)) AS minhash
       FROM toks, UNNEST(range(0, 8)) AS s(seed)
       GROUP BY doc, seed
     ), bands AS (
@@ -931,7 +931,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sizes AS (
       SELECT doc, count(*) AS n FROM shingles GROUP BY doc
     ), hashed AS (
-      SELECT doc, seed, min(md5(seed || ':' || g)) AS minhash
+      SELECT doc, seed, min(substr(md5(g), CAST(2*seed+1 AS INT), 16)) AS minhash
       FROM shingles, UNNEST(range(0, 8)) AS s(seed) GROUP BY doc, seed
     ), bands AS (
       SELECT doc, CAST(seed // 2 AS INT) AS band,
