@@ -83,6 +83,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
 
+    # warm the JVM + parquet footers once so query #1 isn't charged ~5s of
+    # session initialization (steady-state timings are the comparable metric)
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         df = fn(spark, sf_dir)

@@ -171,6 +171,85 @@ def cosine_pairs_blocked(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: ``n_cells`` centroids chosen deterministically (the
+    vectors whose ids hash lowest — a fixed, data-dependent codebook without
+    an iterative trainer; swap in k-means centroids when a training pass is
+    affordable). Every vector is assigned to its nearest centroid with one
+    GEMM pass; each query probes its ``n_probe`` nearest cells and reranks
+    exactly inside them.
+
+    Scale shape: assignment is a map-only GEMM against a broadcast codebook;
+    the probe join shuffles only by cell id, so per-task work is |cell| × Q —
+    N²/n_cells total instead of N², and n_cells grows with data volume.
+    """
+    # distributed top-k by id hash: only the n_cells codebook rows reach the
+    # driver, never the id list
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.crc32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = _l2_normalize(
+        np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = _l2_normalize(_vec_matrix(pdf[vec_col]))
+            cells = np.argmax(vecs @ cmat.T, axis=1)
+            yield pd.DataFrame(
+                {"cid": pdf[id_col].to_numpy(), "cell": cells, "cvec": pdf[vec_col]}
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"cid long, cell int, cvec {df.schema[vec_col].dataType.simpleString()}"
+    )
+
+    q_rows = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / (np.linalg.norm(qv) or 1.0)
+        order = np.argsort(-(cmat @ qv))[:n_probe]
+        for cell in order:
+            probe_rows.append((int(r[id_col]), int(cell), [float(x) for x in qv]))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema="qid long, cell int, qvec array<double>"
+    )
+
+    joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("cid") != F.col("qid"))
+    cos = _dot(
+        F.transform(F.col("cvec"), lambda x: x.cast("double")), F.col("qvec")
+    ) / _norm(F.transform(F.col("cvec"), lambda x: x.cast("double")))
+    scored = joined.select("qid", "cid", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+            F.round("cos", 3).alias("cosine"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -1435,6 +1435,17 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate ANN (coarse quantizer + n_probe rerank; recall
+    is probabilistic -> weak check)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
 @_register("ann_lsh_topk", None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path of

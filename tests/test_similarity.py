@@ -1,0 +1,84 @@
+"""Similarity-search operators: exact GEMM paths vs a naive numpy oracle,
+approximate paths for shape/recall sanity."""
+
+import numpy as np
+import pytest
+
+from debezium_server_iceberg_spark.functions.similarity import (
+    cosine_pairs_blocked,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+N, DIM = 80, 12
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    base = rng.randn(N, DIM)
+    # plant near-duplicate pairs: (i, i+40) nearly parallel for i < 8
+    for i in range(8):
+        base[i + 40] = base[i] + 0.01 * rng.randn(DIM)
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _naive_cosine(vecs):
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_cosine_topk_matches_naive(emb_df, vecs):
+    sims = _naive_cosine(vecs)
+    out = cosine_topk(emb_df, query_ids=[0, 5], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 5):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        expect = list(np.argsort(-s)[:3])
+        got = [nid for _, nid in sorted(by_q[qid])]
+        assert got == expect
+
+
+def test_cosine_pairs_blocked_matches_naive(emb_df, vecs):
+    sims = _naive_cosine(vecs)
+    iu = np.triu_indices(N, k=1)
+    expect = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_blocked(emb_df, threshold=0.9, n_blocks=4).collect()
+    }
+    assert got == expect
+    assert len(expect) >= 8  # the planted pairs are all found
+
+
+def test_ivf_topk_shape_and_recall(emb_df, vecs):
+    out = ivf_topk(emb_df, query_ids=[0, 1, 2, 3], k=3, n_cells=8, n_probe=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(len(v) == 3 for v in per_q.values())
+    # planted duplicate i+40 is the true #1 neighbor; probing its own cell
+    # must recover at least half of them
+    hits = sum(1 for q in (0, 1, 2, 3) if q + 40 in per_q[q])
+    assert hits >= 2
+
+
+def test_lsh_topk_shape(emb_df):
+    out = lsh_bucketed_topk(emb_df, query_ids=[0, 1], k=3, n_planes=2).collect()
+    assert {r["query_id"] for r in out} <= {0, 1}
+    for r in out:
+        assert 1 <= r["rank"] <= 3
