@@ -75,16 +75,7 @@ def minhash_signatures(
     SQL oracle (``min(substr(md5(tok), 2*seed+1, 16))``) all derive from it
     verbatim.
     """
-    if num_hashes > 8:
-        raise ValueError("num_hashes > 8 would slide windows past the 32-hex digest")
-    toks = _doc_shingles(df, text_col, id_col, shingle_size)
-    hashed = toks.select("doc", F.md5("tok").alias("h"))
-    wide = hashed.groupBy("doc").agg(
-        *[
-            F.min(F.substring("h", 2 * s + 1, 16)).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_size)
     seed_structs = F.array(
         *[
             F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
@@ -93,6 +84,23 @@ def minhash_signatures(
     )
     return wide.select("doc", F.explode(seed_structs).alias("sm")).select(
         "doc", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
+    )
+
+
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_size: int
+) -> DataFrame:
+    """One row per doc: (doc, m0..m{num_hashes-1}) — all seed minima in a
+    single partial-aggregating groupBy over one md5 per shingle."""
+    if num_hashes > 8:
+        raise ValueError("num_hashes > 8 would slide windows past the 32-hex digest")
+    toks = _doc_shingles(df, text_col, id_col, shingle_size)
+    hashed = toks.select("doc", F.md5("tok").alias("h"))
+    return hashed.groupBy("doc").agg(
+        *[
+            F.min(F.substring("h", 2 * s + 1, 16)).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
     )
 
 
@@ -110,33 +118,62 @@ def minhash_near_dup_pairs(
     bands of ``band_size`` consecutive seeds; candidates share >=1 band;
     agreement = matching signature positions / num_hashes >= threshold.
     Returns (doc_a, doc_b, agreement) with doc_a < doc_b.
+
+    Everything derives from the one-row-per-doc wide signature: bands are
+    in-row concats (an explode of num_bands structs, not a seed-level
+    shuffle), and agreement is computed by joining the candidate pairs back
+    to the wide row once per side — position-wise equality is a row-local
+    expression, so no (doc, seed)-grained join ever happens.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).cache()
-    bands = (
-        sig.withColumn("band", (F.col("seed") / F.lit(band_size)).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_val"))
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_size).cache()
+    n_bands = (num_hashes + band_size - 1) // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[
+                                F.col(f"m{s}")
+                                for s in range(
+                                    b * band_size, min((b + 1) * band_size, num_hashes)
+                                )
+                            ]
+                        )
+                    ),
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    b2 = bands.select(
-        F.col("doc").alias("doc_b"), F.col("band"), F.col("band_val")
+    bands = wide.select("doc", F.explode(band_structs).alias("bv")).select(
+        "doc", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
     )
+    b2 = bands.select(F.col("doc").alias("doc_b"), "band", "band_val")
     cand = (
         bands.join(b2, on=["band", "band_val"])
         .filter(F.col("doc") < F.col("doc_b"))
         .select(F.col("doc").alias("doc_a"), "doc_b")
         .distinct()
     )
-    s_a = sig.select(F.col("doc").alias("doc_a"), "seed", F.col("minhash").alias("h_a"))
-    s_b = sig.select(F.col("doc").alias("doc_b"), "seed", F.col("minhash").alias("h_b"))
-    agree = (
-        cand.join(s_a, "doc_a")
-        .join(s_b, ["doc_b", "seed"])
-        .withColumn("m", (F.col("h_a") == F.col("h_b")).cast("int"))
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum("m") / F.lit(float(num_hashes))).alias("agreement"))
-        .filter(F.col("agreement") >= F.lit(threshold))
+    w_a = wide.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(num_hashes)]
     )
-    return agree
+    w_b = wide.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(num_hashes)]
+    )
+    matches = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(num_hashes)
+    )
+    return (
+        cand.join(w_a, "doc_a")
+        .join(w_b, "doc_b")
+        .withColumn("agreement", matches / F.lit(float(num_hashes)))
+        .filter(F.col("agreement") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "agreement")
+    )
 
 
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
