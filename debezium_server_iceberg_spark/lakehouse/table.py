@@ -56,6 +56,7 @@ class DataFile:
     rows: int
     partition: dict[str, Any] = dc_field(default_factory=dict)
     bounds: dict[str, list] = dc_field(default_factory=dict)  # col -> [min,max]
+    bytes: int = 0                 # on-disk size (0 = unknown, pre-stat manifests)
 
     def to_dict(self) -> dict:
         return {
@@ -63,11 +64,14 @@ class DataFile:
             "rows": self.rows,
             "partition": self.partition,
             "bounds": self.bounds,
+            "bytes": self.bytes,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}))
+        return DataFile(
+            d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}), d.get("bytes", 0)
+        )
 
 
 @dataclass
@@ -336,7 +340,11 @@ class LakeTable:
                 mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
                 if mn is not None:
                     bounds[c] = [_jsonable(mn), _jsonable(mx)]
-            files.append(DataFile(path, row["_rows"], partition, bounds))
+            try:
+                nbytes = os.path.getsize(path)
+            except OSError:
+                nbytes = 0
+            files.append(DataFile(path, row["_rows"], partition, bounds, nbytes))
         return files
 
     def append(self, df: DataFrame, summary: dict | None = None) -> None:
@@ -368,6 +376,85 @@ class LakeTable:
         """Schema-evolution commit; no data movement (ALTER TABLE ADD COLUMNS
         equivalent of IcebergTableOperator.java:136-151)."""
         self._commit_snapshot("evolve", [], set(), None, new_schema=new_schema)
+
+    # --------------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int | None = None,
+        min_input_files: int = 2,
+    ) -> int:
+        """rewrite_data_files: bin-pack small files into ~target-size ones.
+
+        The reference only *documents* compaction as required upsert hygiene
+        (docs/faq.md:5-7); here it is a first-class table op. Small files
+        (< 75% of target) are read back and rewritten as
+        ceil(total_bytes/target) files in one job; the swap is an atomic
+        delta commit, so readers never see a partial state. Partition
+        transforms are recomputed from the rows, so compaction preserves
+        the partition layout by construction.
+
+        Returns the number of files removed.
+        """
+        target = target_file_bytes or int(
+            self.metadata().properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+        )
+        files = self.current_files()
+        small = [f for f in files if 0 < f.bytes < target * 0.75]
+        if len(small) < min_input_files:
+            return 0
+        total = sum(f.bytes for f in small)
+        n_out = max(1, -(-total // target))  # ceil
+        data = self.scan_files(spark, small)
+        self.commit_delta(
+            data.repartition(int(n_out)),
+            [f.path for f in small],
+            summary={"operation_detail": "compact", "input_files": len(small)},
+        )
+        return len(small)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files referenced only by the expired ones (Iceberg's
+        expire_snapshots maintenance procedure). Returns files deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        for attempt in range(5):
+            meta = self.metadata()
+            if len(meta.snapshots) <= keep_last:
+                return 0
+            keep = meta.snapshots[-keep_last:]
+            expired = meta.snapshots[:-keep_last]
+            live_paths = {
+                f.path for s in keep for f in self._manifest_files(meta, s.snapshot_id)
+            }
+            dead_paths = {
+                f.path
+                for s in expired
+                for f in self._manifest_files(meta, s.snapshot_id)
+            } - live_paths
+            old_manifests = [s.manifest for s in expired]
+            meta.snapshots = keep
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+                continue
+            for p in dead_paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            for m in old_manifests:
+                try:
+                    os.remove(os.path.join(self.meta_dir, m))
+                except OSError:
+                    pass
+            return len(dead_paths)
+        return 0
 
     # ------------------------------------------------------------- read ops
 

@@ -100,3 +100,38 @@ def test_partition_spec_parse():
     assert parse_partition_spec("year(nope), id", {"id"}, strict=False) == parse_partition_spec("id")
     with pytest.raises(PartitionSpecError):
         parse_partition_spec("year(nope)", {"id"}, strict=True)
+
+
+def test_compact_binpacks_small_files(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "tc", SCHEMA)
+    # five tiny appends -> five+ small files
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, f"r{i}", None)], SCHEMA))
+    before = t.current_files()
+    assert len(before) >= 5
+    removed = t.compact(spark, target_file_bytes=1 << 20)
+    assert removed == len(before)
+    after = t.current_files()
+    assert len(after) < len(before)
+    assert t.to_df(spark).count() == 5
+    assert {r.id for r in t.to_df(spark).collect()} == set(range(5))
+    # idempotent: nothing left to compact
+    assert t.compact(spark, target_file_bytes=1 << 20) == 0
+
+
+def test_expire_snapshots_deletes_orphans(spark, warehouse):
+    import os
+
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "te", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", None)], SCHEMA))
+    t.overwrite(spark.createDataFrame([(2, "b", None)], SCHEMA))
+    old_files = {f.path for f in t._manifest_files(t.metadata(), t.metadata().snapshots[0].snapshot_id)}
+    assert all(os.path.exists(p) for p in old_files)
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted == len(old_files) and deleted > 0
+    assert all(not os.path.exists(p) for p in old_files)
+    # current data untouched, history truncated
+    assert [r.id for r in t.to_df(spark).collect()] == [2]
+    assert len(t.metadata().snapshots) == 1
