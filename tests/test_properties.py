@@ -1,0 +1,86 @@
+"""Property-based checks (hypothesis): the Spark dedup + merge operators
+agree with a direct Python model of the reference semantics
+(IcebergTableOperator.java:58-125, BaseDeltaTaskWriter.java:52-72) on
+arbitrary batches."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from debezium_server_iceberg_spark.operators.dedup import OP_PRIORITY, dedup_batch
+from debezium_server_iceberg_spark.operators.merge import merge_dataframes
+
+KEYS = st.integers(min_value=0, max_value=5)
+OPS = st.sampled_from(["c", "i", "r", "u", "d"])
+TS = st.integers(min_value=0, max_value=3)
+
+events = st.lists(
+    st.tuples(KEYS, OPS, TS, st.integers(min_value=-100, max_value=100)),
+    min_size=1,
+    max_size=25,
+)
+
+SCHEMA = "k long, __op string, __source_ts_ms long, payload long, seq long"
+
+
+def _model_dedup(rows):
+    """Reference comparator: max by (ts, op-priority, batch order)."""
+    best = {}
+    for seq, (k, op, ts, payload) in enumerate(rows):
+        cand = (ts, OP_PRIORITY[op], seq, op, payload)
+        if k not in best or cand > best[k]:
+            best[k] = cand
+    return {k: (op, ts, payload) for k, (ts, _, _, op, payload) in best.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events)
+def test_dedup_batch_matches_reference_model(spark, rows):
+    df = spark.createDataFrame(
+        [(k, op, ts, p, i) for i, (k, op, ts, p) in enumerate(rows)], SCHEMA
+    )
+    got = {
+        r["k"]: (r["__op"], r["__source_ts_ms"], r["payload"])
+        for r in dedup_batch(
+            df, ["k"], dedup_column="__source_ts_ms", tiebreak_col="seq"
+        ).collect()
+    }
+    assert got == _model_dedup(rows)
+
+
+def _model_merge(target, changes, keep_deletes):
+    """target: {k: payload}; changes: {k: (op, payload)} (already deduped)."""
+    out = dict(target)
+    for k, (op, payload) in changes.items():
+        if op == "d" and not keep_deletes:
+            out.pop(k, None)
+        else:
+            out[k] = payload  # update, insert, or soft-delete row
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(KEYS, st.integers(-100, 100), max_size=6),
+    st.dictionaries(KEYS, st.tuples(OPS, st.integers(-100, 100)), max_size=6),
+    st.booleans(),
+)
+def test_merge_dataframes_matches_reference_model(spark, target, changes, keep):
+    tgt_schema = "k long, __op string, payload long"
+    tgt = spark.createDataFrame(
+        [(k, "r", p) for k, p in target.items()] or [], tgt_schema
+    )
+    src = spark.createDataFrame(
+        [(k, op, p) for k, (op, p) in changes.items()] or [], tgt_schema
+    )
+    got_rows = merge_dataframes(tgt, src, ["k"], keep_deletes=keep).collect()
+    got = {r["k"]: r["payload"] for r in got_rows}
+    assert got == _model_merge(target, changes, keep)
+    assert len(got_rows) == len(got)  # exactly one row per key survives
+
+
+def test_dedup_null_key_guard(spark):
+    from debezium_server_iceberg_spark.operators.dedup import assert_no_null_keys
+
+    df = spark.createDataFrame([(1, "u"), (None, "u")], "k long, __op string")
+    with pytest.raises(Exception, match="null identifier field"):
+        assert_no_null_keys(df, ["k"]).collect()
