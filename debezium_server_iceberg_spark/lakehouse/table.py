@@ -297,19 +297,39 @@ class LakeTable:
         for pf in meta.partition_spec:
             out = out.withColumn(pf.name, pf.column(src_types.get(pf.source)))
             pcols.append(pf.name)
+        key_cols = [c for c in meta.identifier_fields if c in out.columns]
+        cached = None
         if pcols:
             out = out.repartition(*[F.col(c) for c in pcols])
+        elif key_cols:
+            # range-cluster unpartitioned keyed tables by identifier fields:
+            # each file then covers a narrow key range, so the MERGE
+            # planner's min/max bounds pruning actually eliminates files
+            # (the WRITE ORDERED BY effect, JsonSchemaConverter.java:262-280).
+            # repartitionByRange samples its input — cache so the upstream
+            # plan (often a merge's anti-join) isn't computed twice.
+            cached = out.persist()
+            out = cached
+            if target_partitions:
+                out = out.repartitionByRange(target_partitions, *key_cols)
+            else:
+                out = out.repartitionByRange(*key_cols)
         elif target_partitions:
             out = out.repartition(target_partitions)
-        if meta.sort_order:
-            present = [c for c in meta.sort_order if c in out.columns]
+        sort_cols = meta.sort_order or key_cols
+        if sort_cols:
+            present = [c for c in sort_cols if c in out.columns]
             if present:
                 out = out.sortWithinPartitions(*present)
         staging = os.path.join(self.data_dir, uuidlib.uuid4().hex)
-        writer = out.select(*table_cols, *pcols).write.mode("error")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(staging)
+        try:
+            writer = out.select(*table_cols, *pcols).write.mode("error")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(staging)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
         return self._collect_stats(df.sparkSession, staging, meta)
 
@@ -365,11 +385,16 @@ class LakeTable:
         add_df: DataFrame,
         remove_paths: Iterable[str],
         summary: dict | None = None,
+        target_partitions: int | None = None,
     ) -> None:
         """RowDelta-style commit: atomically swap rewritten files
         (IcebergTableOperator.java:218-224). Used by the MERGE operator."""
         meta = self.metadata()
-        add = self._stage_write(add_df, meta) if add_df is not None else []
+        add = (
+            self._stage_write(add_df, meta, target_partitions)
+            if add_df is not None
+            else []
+        )
         self._commit_snapshot("delta", add, set(remove_paths), summary)
 
     def update_schema(self, new_schema: T.StructType) -> None:
@@ -408,9 +433,10 @@ class LakeTable:
         n_out = max(1, -(-total // target))  # ceil
         data = self.scan_files(spark, small)
         self.commit_delta(
-            data.repartition(int(n_out)),
+            data,
             [f.path for f in small],
             summary={"operation_detail": "compact", "input_files": len(small)},
+            target_partitions=int(n_out),
         )
         return len(small)
 

@@ -15,7 +15,7 @@ explicit arrival-order column provides the same total order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # tableoperator/IcebergTableOperator.java:49-51 (c and i share rank 1)
 OP_PRIORITY = {"c": 1, "i": 1, "r": 2, "u": 3, "d": 4}
@@ -48,27 +48,41 @@ def dedup_batch(
     """One surviving event per key: max by (dedup_column, op-priority,
     arrival order). ``tiebreak_col`` replaces the implicit arrival-order
     column with an explicit deterministic one (useful when batch order is
-    not meaningful, e.g. re-sorted inputs)."""
+    not meaningful, e.g. re-sorted inputs).
+
+    Executed as ``groupBy(keys).agg(max_by(struct(*), order_struct))`` rather
+    than a window ``row_number``: the aggregate combines map-side (partial
+    aggregation), so the shuffle carries one row per key per input partition
+    instead of every event, and a hot key degrades to a cheap combine tree
+    instead of a single-task sort. The order struct compares
+    lexicographically — exactly the reference comparator's precedence
+    (IcebergTableOperator.java:108-125). Nulls in the dedup column lose to
+    non-nulls (struct null ordering), matching desc_nulls_last."""
     if not key_cols:
         return df
-    order = []
+    order_parts = []
     if dedup_column and dedup_column in df.columns:
-        order.append(F.col(dedup_column).desc_nulls_last())
+        order_parts.append(F.col(dedup_column).alias("_o_ts"))
     if op_col in df.columns:
-        order.append(op_priority_col(op_col).desc())
+        order_parts.append(op_priority_col(op_col).alias("_o_pri"))
     drop_extra = []
     if tiebreak_col:
-        order.append(F.col(tiebreak_col).desc())
+        order_parts.append(F.col(tiebreak_col).alias("_o_tie"))
     else:
         df = with_arrival_order(df)
-        order.append(F.col(ARRIVAL_COL).desc())
+        order_parts.append(F.col(ARRIVAL_COL).alias("_o_tie"))
         drop_extra.append(ARRIVAL_COL)
-    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", *drop_extra)
+    payload_cols = [c for c in df.columns if c not in drop_extra]
+    won = (
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload_cols]), F.struct(*order_parts)
+            ).alias("_win")
+        )
+        .select("_win.*")
     )
+    return won
 
 
 def assert_no_null_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
