@@ -1,0 +1,69 @@
+"""Physical-plan regression guards: the properties that make these operators
+scale (pushdown, pruning, broadcast, partial aggregation) must stay visible
+in the optimized plans — a silent plan regression is a 100x cliff at 100 TB
+even when results stay correct."""
+
+import pytest
+
+from debezium_server_iceberg_spark import queries as qmod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return qmod.queries()
+
+
+def test_q1_filter_pushed_to_scan(spark, fns):
+    plan = _plan(fns["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, fns):
+    plan = _plan(fns["q1_pricing_summary"](spark, SF))
+    # only the 7 needed columns reach the scan — no l_orderkey/l_partkey/...
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dimensions(spark, fns):
+    plan = _plan(fns["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q19_disjunction_reaches_both_scans(spark, fns):
+    plan = _plan(fns["q19_or_of_ands"](spark, SF))
+    # the OR-of-ANDs predicate must be split: quantity bounds on lineitem,
+    # brand/size conjuncts on part
+    assert "GreaterThanOrEqual(l_quantity" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+
+
+def test_dedup_is_partial_aggregate_not_window(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.operators.dedup import dedup_batch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", F.lit("u").alias("__op"), F.col("ts").alias("__source_ts_ms")
+    )
+    plan = _plan(dedup_batch(ev, ["user_id"], dedup_column="__source_ts_ms"))
+    # two-phase aggregate (partial map-side combine), no window sort-all-rows
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark, fns):
+    semi = _optimized(fns["q4_order_priority_exists"](spark, SF))
+    anti = _optimized(fns["anti_customers_without_orders"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
