@@ -1216,6 +1216,30 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark VariantType path (format-v3 variant mode): parse_json into a
+    variant column, extract typed values with variant_get — same results the
+    JSON-text oracle computes, proving the two carriers agree."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("props_v"))
+    k = F.variant_get(F.col("props_v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
     "anti_customers_without_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers,

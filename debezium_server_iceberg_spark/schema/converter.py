@@ -141,14 +141,13 @@ class DebeziumSchemaConverter:
                 # column exclusion (JsonSchemaConverter.java:204-221)
                 continue
             if self.nested_as_variant and f.get("type") in ("struct", "map", "array"):
-                # variant mode: nested values kept as semi-structured JSON
-                # text (reference maps them to Iceberg VariantType,
-                # JsonSchemaConverter.java:87-94; Spark VariantType needs
-                # catalog support absent here, so the JSON-text carrier is
-                # the documented equivalent — parse on read with
-                # from_json/variant_get)
-                semantics[name] = "variant_json"
-                out_fields.append(T.StructField(name, T.StringType(), True))
+                # variant mode: nested values become Spark VariantType
+                # (the reference maps them to Iceberg VariantType, format v3 —
+                # JsonSchemaConverter.java:87-94, value conversion
+                # JsonVariantObject.java:44-120); queried with
+                # variant_get / to_json, stored natively in parquet
+                semantics[name] = "variant"
+                out_fields.append(T.StructField(name, T.VariantType(), True))
                 continue
             dtype = self._field_type(f, top_level_name=name, semantics=semantics)
             is_key = name in key_fields

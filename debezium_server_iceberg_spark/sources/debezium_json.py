@@ -87,6 +87,8 @@ _WIRE_OVERRIDES = {
     "ts_zoned_iso": T.StringType(),
     "binary_b64": T.StringType(),
     "uuid": T.StringType(),
+    # variant fields are extracted from the raw envelope text, not from_json
+    "variant": T.StringType(),
 }
 
 
@@ -159,8 +161,16 @@ def parse_events(raw: DataFrame, inferred: InferredSchema, op_col: str = "__op")
     cols = [F.col("destination")]
     for f in inferred.struct.fields:
         sem = inferred.semantics.get(f.name, "")
-        if sem == "variant_json":
-            # variant mode: pull the raw JSON text of the nested field
+        if sem == "variant":
+            # variant mode: raw JSON text of the nested field -> VariantType
+            # (JsonVariantObject.java:44-120 equivalent, parsed not rebuilt)
+            cols.append(
+                F.parse_json(
+                    F.get_json_object(F.col("value"), f"$.payload.{f.name}")
+                ).alias(f.name)
+            )
+        elif sem == "variant_json":
+            # legacy JSON-text carrier mode
             cols.append(
                 F.get_json_object(F.col("value"), f"$.payload.{f.name}").alias(f.name)
             )

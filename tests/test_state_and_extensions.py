@@ -65,7 +65,7 @@ def test_events_archive_partitioned_append(spark, warehouse):
     assert all("_p_event_destination" in f.partition for f in files)
 
 
-def test_variant_mode_nested_as_json(spark):
+def test_variant_mode_nested_as_variant(spark):
     ev = make_event(
         "d.t",
         {"id": 1, "geo": {"lat": 1.5, "lon": 2.5}, "tags": [1, 2, 3]},
@@ -76,12 +76,16 @@ def test_variant_mode_nested_as_json(spark):
     conv = DebeziumSchemaConverter(nested_as_variant=True)
     inferred = infer_event_schema(ev["value"], ev["key"], conv)
     by = {f.name: f.dataType.typeName() for f in inferred.struct.fields}
-    assert by["geo"] == "string" and by["tags"] == "string"
-    parsed = parse_events(
-        spark.createDataFrame([ev], RAW_ENVELOPE_SCHEMA), inferred
+    assert by["geo"] == "variant" and by["tags"] == "variant"
+    typed = parse_events(spark.createDataFrame([ev], RAW_ENVELOPE_SCHEMA), inferred)
+    row = typed.select(
+        F.variant_get("geo", "$.lat", "double").alias("lat"),
+        F.to_json("geo").alias("geo_json"),
+        F.variant_get("tags", "$[1]", "int").alias("tag1"),
     ).collect()[0]
-    assert json.loads(parsed["geo"]) == {"lat": 1.5, "lon": 2.5}
-    assert json.loads(parsed["tags"]) == [1, 2, 3]
+    assert row["lat"] == 1.5
+    assert json.loads(row["geo_json"]) == {"lat": 1.5, "lon": 2.5}
+    assert row["tag1"] == 2
 
 
 def test_schema_change_topic_goes_append_only(spark, warehouse):
