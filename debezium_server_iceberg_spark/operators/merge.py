@@ -66,6 +66,7 @@ def merge_into(
     keep_deletes: bool = True,
     op_col: str = "__op",
     broadcast_source: bool | None = None,
+    summary: dict | None = None,
 ) -> MergeStats:
     """Upsert a deduped source batch into the table (one row per key)."""
     spark = source.sparkSession
@@ -131,7 +132,9 @@ def merge_into(
         table.commit_delta(
             new_data,
             [f.path for f in affected],
-            summary={"operation_detail": "merge", "source_rows": n_src},
+            summary=dict(
+                summary or {}, operation_detail="merge", source_rows=n_src
+            ),
         )
         return MergeStats(len(candidates), len(affected), n_src)
     finally:

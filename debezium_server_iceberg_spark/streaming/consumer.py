@@ -77,13 +77,14 @@ class ChangeConsumer:
             workers = max(1, cfg.batch.concurrent_uploads)
             if workers == 1 or len(dests) <= 1:
                 for d in dests:
-                    result.tables_written[d] = self._write_destination(raw, d)
+                    result.tables_written[d] = self._write_destination(raw, d, epoch_id)
             else:
                 # per-table parallel commit (T4); first failure propagates ->
                 # the whole micro-batch fails and will be retried
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     futs = {
-                        d: pool.submit(self._write_destination, raw, d) for d in dests
+                        d: pool.submit(self._write_destination, raw, d, epoch_id)
+                        for d in dests
                     }
                     for d, fut in futs.items():
                         result.tables_written[d] = fut.result(
@@ -93,7 +94,24 @@ class ChangeConsumer:
         finally:
             raw.unpersist()
 
-    def _write_destination(self, raw: DataFrame, dest: str) -> int:
+    @staticmethod
+    def _epoch_already_applied(table, epoch_id: int | None) -> bool:
+        """Exactly-once guard for replayed micro-batches (SURVEY §7 risk
+        register): MERGE is idempotent by key, but a replayed *append* would
+        duplicate rows. Every commit records its epoch in the snapshot
+        summary; a replay of an already-committed (epoch, table) pair is
+        skipped. Checkpoint guarantees epochs are monotone per query."""
+        if epoch_id is None:
+            return False
+        for s in reversed(table.metadata().snapshots):
+            e = s.summary.get("epoch_id")
+            if e is not None:
+                return int(e) >= epoch_id
+        return False
+
+    def _write_destination(
+        self, raw: DataFrame, dest: str, epoch_id: int | None = None
+    ) -> int:
         cfg = self.config
         ic = cfg.iceberg
         df = for_destination(raw, dest)
@@ -128,6 +146,9 @@ class ChangeConsumer:
             },
         )
 
+        if self._epoch_already_applied(table, epoch_id):
+            return 0
+
         # schema evolution (W14): union-by-name, commit only on real change
         meta = table.metadata()
         if ic.allow_field_addition:
@@ -157,10 +178,14 @@ class ChangeConsumer:
                 deduped,
                 keep_deletes=ic.upsert_keep_deletes,
                 op_col=ic.upsert_op_column,
+                summary={"epoch_id": epoch_id} if epoch_id is not None else None,
             )
             return stats.source_rows
         conformed = conform_to_schema(events, meta.schema)
-        table.append(conformed)
+        table.append(
+            conformed,
+            summary={"epoch_id": epoch_id} if epoch_id is not None else None,
+        )
         return -1  # append path: row count not re-measured (avoid extra action)
 
     # -------------------------------------------------------- streaming path

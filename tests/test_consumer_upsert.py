@@ -162,3 +162,16 @@ def test_upsert_is_idempotent_per_key(spark, warehouse):
     c.handle_batch(to_df(spark, rows))
     c.handle_batch(to_df(spark, rows))
     assert read_table(c, spark).count() == 5
+
+
+def test_append_replay_epoch_guard(spark, warehouse):
+    """Replayed micro-batch (same epoch_id) must not duplicate appended rows;
+    the next epoch must append normally (exactly-once, SURVEY §7 risk)."""
+    c = build_consumer(warehouse, upsert=False)
+    batch = to_df(spark, [customer_event(1, "a", "c", 1), customer_event(2, "b", "c", 1)])
+    c.handle_batch(batch, epoch_id=0)
+    assert read_table(c, spark).count() == 2
+    c.handle_batch(batch, epoch_id=0)  # replay after simulated crash
+    assert read_table(c, spark).count() == 2
+    c.handle_batch(to_df(spark, [customer_event(3, "z", "c", 2)]), epoch_id=1)
+    assert read_table(c, spark).count() == 3
