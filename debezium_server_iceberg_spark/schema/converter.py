@@ -270,6 +270,12 @@ class DebeziumSchemaConverter:
         self, params: dict, top_level_name: str | None, semantics: dict[str, str]
     ) -> T.DataType:
         if self.decimal_mode == "double":
+            # the wire value is still a number-string or base64 bytes
+            # (AbstractEventConverter.java:86-104 then .doubleValue()) — mark
+            # it so the parse layer decodes before casting to double
+            if top_level_name:
+                scale = int(params.get("scale", 10) or 10)
+                semantics[top_level_name] = f"decimal_dbl:{scale}"
             return T.DoubleType()
         if self.decimal_mode == "string":
             return T.StringType()

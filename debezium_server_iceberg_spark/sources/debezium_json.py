@@ -100,7 +100,7 @@ def wire_struct(inferred: InferredSchema) -> T.StructType:
         sem = inferred.semantics.get(f.name, "")
         if sem in _WIRE_OVERRIDES:
             wt: T.DataType = _WIRE_OVERRIDES[sem]
-        elif sem.startswith("decimal_b64"):
+        elif sem.startswith(("decimal_b64", "decimal_dbl")):
             wt = T.StringType()
         else:
             wt = f.dataType
@@ -141,6 +141,14 @@ def _normalize(name: str, sem: str, target: T.DataType) -> F.Column:
             / F.pow(F.lit(10.0), F.lit(int(s)))
         ).cast(dec)
         return F.when(is_numeric, c.cast(dec)).otherwise(from_b64)
+    if sem.startswith("decimal_dbl"):
+        # double decimal mode: same two wire forms, surfaced as double
+        _, s = sem.split(":")
+        is_numeric = c.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+        from_b64 = F.conv(F.hex(F.unbase64(c)), 16, 10).cast("double") / F.pow(
+            F.lit(10.0), F.lit(int(s))
+        )
+        return F.when(is_numeric, c.cast("double")).otherwise(from_b64)
     return c.cast(target)
 
 
