@@ -176,6 +176,81 @@ def minhash_near_dup_pairs(
     )
 
 
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as a '0'/'1' string: 32 bit-votes from md5(token) hex
+    parities + 32 from md5('x:' || token). 32 bits is too coarse for corpora
+    with heavy shared vocabulary (every same-language pair looks close); 64
+    keeps unrelated docs apart while true near-dups stay within a few bits."""
+    toks = _doc_tokens(df, text_col, id_col).select(
+        "doc", F.md5("tok").alias("h1"), F.md5(F.concat(F.lit("x:"), F.col("tok"))).alias("h2")
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j * 32 + i}")
+        for j, h in enumerate(("h1", "h2"))
+        for i in range(32)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
+    )
+    return agg.select(F.col("doc"), bits.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under 64-bit SimHash Hamming distance — exact
+    for ``max_hamming <= 3``: the signature splits into 4 bands of 16 bits,
+    and by pigeonhole any pair differing in at most 3 bits shares at least
+    one untouched band, so the band equi-join loses no true pair; the exact
+    64-position popcount then decides. Candidate generation is an equi-join
+    on (band, band_bits) — the same shuffle shape as MinHash LSH, never
+    O(n²)."""
+    if max_hamming > 3:
+        raise ValueError("banding is exact only for max_hamming <= 3")
+    sig = simhash64(df, text_col, id_col)  # (doc, simhash '0'/'1' * 64)
+    bands = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", 16 * b + 1, 16).alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    right = bands.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+    )
+    cand = (
+        bands.join(right, on=["band", "bits"])
+        .filter(F.col("doc") < F.col("doc_b"))
+        .select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "doc_b", "sim_b")
+        .distinct()
+    )
+    # exact Hamming distance: 64 positional compares (codegen'd; identical
+    # form to the SQL oracle)
+    diff = sum(
+        (F.substring("sim_a", i + 1, 1) != F.substring("sim_b", i + 1, 1)).cast("int")
+        for i in range(64)
+    )
+    return (
+        cand.withColumn("hamming", diff)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash: bit i set iff sum over distinct tokens of
     (+1 if hex digit i of md5(token) >= '8' else -1) > 0.

@@ -674,6 +674,62 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["simhash"] = _simhash_oracle()
 
 
+def _simhash64_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h{j + 1}, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j * 32 + i}"
+        for j in range(2)
+        for i in range(32)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_TOKENS_SQL})) AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc, md5(t) AS h1, md5('x:' || t) AS h2 FROM tok
+    ), votes AS (
+      SELECT doc, {votes} FROM toks GROUP BY doc
+    )
+    SELECT doc, {bits} AS simhash FROM votes
+    """
+
+
+def _simhash_near_dup_oracle(max_hamming: int = 3) -> str:
+    base = _simhash64_oracle()
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    bands = " OR ".join(
+        f"substr(a.simhash, {16 * b + 1}, 16) = substr(b.simhash, {16 * b + 1}, 16)"
+        for b in range(4)
+    )
+    # gate scope: doc_id % 10 = 0 — this synthetic corpus is template-heavy,
+    # so unrestricted Hamming<=3 yields hundreds of thousands of true pairs;
+    # the subset keeps the oracle compare meaningful and bounded
+    return f"""
+    WITH sigs AS ({base})
+    SELECT a.doc AS doc_a, b.doc AS doc_b, ({ham}) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc < b.doc AND ({bands})
+    WHERE a.doc % 10 = 0 AND b.doc % 10 = 0 AND ({ham}) <= {max_hamming}
+    """
+
+
+@_register("simhash_near_dup", None)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash_near_dup_pairs(docs)
+
+
+_ORACLES["simhash_near_dup"] = _simhash_near_dup_oracle()
+
+
 @_register(
     "ann_cosine_topk",
     """
