@@ -1272,6 +1272,40 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sliding_counts",
+    f"""
+    WITH base AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+             epoch_us({_TS_US}) AS us
+      FROM events
+    ), assigned AS (
+      SELECT event_type, v,
+             make_timestamp((us // 1800000000 - shift) * 1800000000) AS win_start
+      FROM base, UNNEST([0, 1]) s(shift)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start, event_type,
+           count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows, T6 extension: 1-hour windows every 30
+    minutes — each event lands in exactly two. Same plan serves
+    readStream; the oracle states the window assignment arithmetic
+    directly."""
+    from .streaming.windows import sliding_counts
+
+    ev = _events(spark, sf_dir).withColumn("value", _val4(F.col("value")))
+    out = sliding_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@_register(
     "variant_props_extract",
     """
     SELECT event_type,

@@ -196,15 +196,39 @@ class ChangeConsumer:
         input_path: str,
         checkpoint: str,
         max_files_per_trigger: int | None = None,
+        mirror_offsets: bool = False,
     ):
         """Structured Streaming driver: file-stream of envelope JSONL ->
         foreachBatch(handle_batch). Checkpoint replaces the reference's
-        Iceberg offset store (offset/IcebergOffsetBackingStore.java:66-303)."""
+        Iceberg offset store (offset/IcebergOffsetBackingStore.java:66-303);
+        ``mirror_offsets=True`` additionally writes a queryable offsets table
+        after each committed batch (the reference's externalized state,
+        SQL-visible: epoch + per-table row counts)."""
+        store = None
+        if mirror_offsets:
+            from ..state import OffsetStore
+
+            store = OffsetStore(self.catalog, self.config.iceberg.namespace)
+
+        def process(df, epoch):
+            result = self.handle_batch(df, epoch)
+            if store is not None:
+                store.save(
+                    spark,
+                    {
+                        "epoch": str(epoch),
+                        **{
+                            f"rows.{t}": str(n)
+                            for t, n in result.tables_written.items()
+                        },
+                    },
+                )
+
         raw = read_events_stream(spark, input_path, max_files_per_trigger)
         writer = (
             raw.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(lambda df, epoch: self.handle_batch(df, epoch))
+            .foreachBatch(process)
         )
         trig = self.config.batch.trigger_processing_time
         if trig:

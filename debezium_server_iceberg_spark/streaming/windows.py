@@ -34,6 +34,24 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window_len/slide overlapping windows. Same plan batch or streaming."""
+    keys = keys or ["event_type"]
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(F.window(ts_col, window_len, slide), *keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -128,3 +128,43 @@ def test_running_user_totals_stateful_stream(spark, tmp_path):
         (2, 15.0),
         (3, 22.0),
     ]
+
+
+def test_sliding_counts_batch_plan(spark):
+    ev = _events_df(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:05:00"), 1, "click", 1.0),
+            (2, _ts("2024-01-01T10:40:00"), 1, "click", 2.0),
+        ],
+    )
+    from debezium_server_iceberg_spark.streaming.windows import sliding_counts
+
+    out = sliding_counts(ev, "1 hour", "30 minutes").collect()
+    # each event in exactly 2 windows; 10:00-11:00 holds both
+    by_start = {(r["window"]["start"].isoformat(), r["n"]) for r in out}
+    assert ("2024-01-01T10:00:00", 2) in by_start
+    assert ("2024-01-01T09:30:00", 1) in by_start
+    assert ("2024-01-01T10:30:00", 1) in by_start
+
+
+def test_offset_mirror_table(spark, tmp_path):
+    import os
+
+    from debezium_server_iceberg_spark.state import OffsetStore
+
+    wh, indir, ckpt = str(tmp_path / "wh"), str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(indir)
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = wh
+    c = ChangeConsumer(cfg)
+    write_jsonl(
+        [customer_event(i, f"v{i}", op="c", ts_ms=1) for i in range(4)],
+        f"{indir}/b1.jsonl",
+    )
+    q = c.run_stream(spark, indir, ckpt, mirror_offsets=True)
+    q.processAllAvailable()
+    q.stop()
+    mirrored = OffsetStore(c.catalog, cfg.iceberg.namespace).load(spark)
+    assert mirrored["epoch"] == "0"
+    assert mirrored["rows.testc.inventory.customers_upsert"] == "4"
