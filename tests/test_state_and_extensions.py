@@ -131,3 +131,63 @@ def test_multimodal_frame_sample_fanout(spark):
     assert len(frames) == 2
     assert {f["frame_index"] for f in frames} == {0, 1}
     assert all(len(f["frame_bytes"]) > 0 for f in frames)
+
+
+def test_variant_end_to_end_through_lakehouse(spark, warehouse):
+    """nested_as_variant=True: events flow through the consumer into a table
+    whose variant column survives the parquet roundtrip and is queryable
+    with variant_get (IcebergChangeConsumerVariantTest.java:45-166 parity)."""
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = warehouse
+    cfg.iceberg.nested_as_variant = True
+    c = ChangeConsumer(cfg)
+    rows = [
+        make_event(
+            "v.t.docs",
+            {"id": i, "meta": {"tag": f"t{i}", "rank": i * 10}},
+            ["id"],
+            "c",
+            i,
+        )
+        for i in range(3)
+    ]
+    c.handle_batch(
+        spark.createDataFrame(rows, RAW_ENVELOPE_SCHEMA), epoch_id=0
+    )
+    tdf = c.table_df(spark, "v_t_docs")
+    assert dict(tdf.dtypes)["meta"] == "variant"
+    got = {
+        r["id"]: (r["tag"], r["rank"])
+        for r in tdf.select(
+            "id",
+            F.variant_get("meta", "$.tag", "string").alias("tag"),
+            F.variant_get("meta", "$.rank", "int").alias("rank"),
+        ).collect()
+    }
+    assert got == {0: ("t0", 0), 1: ("t1", 10), 2: ("t2", 20)}
+
+
+def test_two_dimensional_arrays(spark):
+    """2-D arrays (IcebergChangeConsumerTest.java:244-282 coverage): nested
+    array-of-array schema conversion + value parse."""
+    value = {
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"field": "id", "type": "int64"},
+                {
+                    "field": "grid",
+                    "type": "array",
+                    "items": {"type": "array", "items": {"type": "int32"}},
+                },
+            ],
+        },
+        "payload": {"id": 1, "grid": [[1, 2], [3, 4]]},
+    }
+    ev = {"destination": "d.t", "key": None, "value": json.dumps(value)}
+    inferred = infer_event_schema(ev["value"], None, DebeziumSchemaConverter())
+    assert inferred.struct["grid"].dataType.simpleString() == "array<array<int>>"
+    row = parse_events(
+        spark.createDataFrame([ev], RAW_ENVELOPE_SCHEMA), inferred
+    ).collect()[0]
+    assert row["grid"] == [[1, 2], [3, 4]]
