@@ -90,32 +90,18 @@ def minhash_signatures(
 def _minhash_wide(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_size: int
 ) -> DataFrame:
-    """One row per doc: (doc, m0..m{num_hashes-1}), computed fully in-row —
-    shingle array -> one md5 per distinct shingle -> per-seed array_min over
-    digest windows. A pure projection: no explode, no groupBy, no shuffle;
-    the doc's whole signature falls out of one pass over its token array."""
+    """One row per doc: (doc, m0..m{num_hashes-1}) — all seed minima in a
+    single partial-aggregating groupBy over one md5 per shingle."""
     if num_hashes > 8:
         raise ValueError("num_hashes > 8 would slide windows past the 32-hex digest")
-    with_toks = df.select(
-        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("_tk")
+    toks = _doc_shingles(df, text_col, id_col, shingle_size)
+    hashed = toks.select("doc", F.md5("tok").alias("h"))
+    return hashed.groupBy("doc").agg(
+        *[
+            F.min(F.substring("h", 2 * s + 1, 16)).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_tk") - shingle_size, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, shingle_size)),
-    )
-    hashes = F.transform(
-        F.array_distinct(F.filter(grams, lambda g: g != "")), lambda g: F.md5(g)
-    )
-    out = with_toks.select("doc", hashes.alias("_h")).filter(F.size("_h") > 0)
-
-    def window_min(s: int):
-        # NB: single-arg lambda — a 2-arg lambda would be interpreted by
-        # transform() as the (element, index) form
-        return F.array_min(
-            F.transform(F.col("_h"), lambda h: F.substring(h, 2 * s + 1, 16))
-        ).alias(f"m{s}")
-
-    return out.select("doc", *[window_min(s) for s in range(num_hashes)])
 
 
 def minhash_near_dup_pairs(

@@ -126,27 +126,23 @@ def doc_fingerprint(
     doc's word 4-grams, concatenated. Robust to local edits like winnowing,
     and exactly reproducible in SQL (min over group / row_number<=k).
     """
-    # fully in-row: tokens -> 4-grams -> distinct md5s -> sorted bottom-k,
-    # all array expressions on one row. No explode, no groupBy, no shuffle —
-    # a pure projection at any scale. (Token array materialized once per row
-    # BEFORE gram construction: inlining the regexp split into the transform
-    # lambda re-evaluates it per sequence element — 6x slower at sf0.1.)
+    # materialize the token array once per row BEFORE gram construction:
+    # inlining the regexp split into the transform lambda re-evaluates it per
+    # sequence element (measured 6x slower at sf0.1)
     with_toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_tk") - 4, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, 4)),
     )
-    hashes = F.sort_array(
-        F.array_distinct(
-            F.transform(
-                F.filter(grams, lambda g: g != ""),
-                lambda g: F.md5(g),
-            )
-        )
+    exploded = (
+        with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select(F.col(id_col), F.md5(F.col("gram")).alias("h"))
+        .groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("hs"))
     )
-    bottom_k = F.slice(hashes, 1, k)
-    return with_toks.filter(F.size(F.filter(grams, lambda g: g != "")) > 0).select(
+    return exploded.select(
         F.col(id_col),
-        F.concat_ws("", bottom_k).alias("fingerprint"),
-        F.least(F.size(hashes), F.lit(k)).alias("k_actual"),
+        F.concat_ws("", F.col("hs")).alias("fingerprint"),
+        F.size("hs").alias("k_actual"),
     )
