@@ -213,7 +213,8 @@ def simhash_near_dup_pairs(
     O(n²)."""
     if max_hamming > 3:
         raise ValueError("banding is exact only for max_hamming <= 3")
-    sig = simhash64(df, text_col, id_col)  # (doc, simhash '0'/'1' * 64)
+    # cached: the band self-join and both agreement sides reuse the signature
+    sig = simhash64(df, text_col, id_col).cache()  # (doc, '0'/'1' * 64)
     bands = sig.select(
         "doc",
         "simhash",

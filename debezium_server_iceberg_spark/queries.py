@@ -914,6 +914,52 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_register(
+    "asof_join_purchases_clicks",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, {_TS_US} AS ts FROM events
+    ), purchases AS (
+      SELECT user_id, ts, event_id AS purchase_event_id FROM ev
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id FROM ev
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.purchase_event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_at,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_at,
+           c.click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class as-of join operator (operators/temporal.asof_join: union +
+    single per-key window pass, no conditional join) checked against
+    DuckDB's native ASOF JOIN. Right side deduped to one row per (key, ts)
+    so tie-breaking is engine-independent."""
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts")
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_at"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_at"),
+        F.col("click_event_id_right").alias("click_event_id"),
+    )
+
+
+@_register(
     "sessionize_events",
     f"""
     WITH ordered AS (

@@ -1,0 +1,78 @@
+"""as-of and range joins vs naive Python models."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_iceberg_spark.operators.temporal import asof_join, range_join
+
+TRADES = [  # (sym, ts, qty)
+    ("A", 10, 100),
+    ("A", 20, 200),
+    ("A", 20, 201),
+    ("B", 15, 300),
+    ("B", 5, 50),
+]
+QUOTES = [  # (sym, ts, px)
+    ("A", 5, 1.0),
+    ("A", 10, 1.5),
+    ("A", 18, 2.0),
+    ("B", 20, 9.0),
+]
+
+
+def _dfs(spark):
+    t = spark.createDataFrame(TRADES, "sym string, ts long, qty long")
+    q = spark.createDataFrame(QUOTES, "sym string, ts long, px double")
+    return t, q
+
+
+def test_asof_backward(spark):
+    t, q = _dfs(spark)
+    out = {
+        (r["sym"], r["ts"], r["qty"]): r["px_right"]
+        for r in asof_join(t, q, ["sym"], "ts", "ts").collect()
+    }
+    # latest quote at-or-before each trade
+    assert out[("A", 10, 100)] == 1.5   # quote at ts=10 (<=)
+    assert out[("A", 20, 200)] == 2.0
+    assert out[("A", 20, 201)] == 2.0
+    assert out[("B", 15, 300)] is None  # no quote yet
+    assert out[("B", 5, 50)] is None
+    assert len(out) == len(TRADES)      # every left row kept
+
+
+def test_asof_forward(spark):
+    t, q = _dfs(spark)
+    out = {
+        (r["sym"], r["ts"], r["qty"]): r["px_right"]
+        for r in asof_join(t, q, ["sym"], "ts", "ts", direction="forward").collect()
+    }
+    assert out[("A", 10, 100)] == 1.5   # quote at ts=10 (>=)
+    assert out[("A", 20, 200)] is None  # nothing after ts=20 for A
+    assert out[("B", 5, 50)] == 9.0
+    assert out[("B", 15, 300)] == 9.0
+
+
+def test_range_join_overlap(spark):
+    left = spark.createDataFrame(
+        [("k", 0, 100, "l1"), ("k", 200, 300, "l2"), ("x", 0, 10, "l3")],
+        "key string, s long, e long, lname string",
+    )
+    right = spark.createDataFrame(
+        [("k", 50, 250, "r1"), ("k", 400, 500, "r2"), ("x", 5, 6, "r3")],
+        "key string, rs long, re long, rname string",
+    )
+    got = {
+        (r["lname"], r["rname"])
+        for r in range_join(
+            left, right, ["key"], "s", "e", "rs", "re", bucket_width=64
+        ).collect()
+    }
+    assert got == {("l1", "r1"), ("l2", "r1"), ("l3", "r3")}
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # intervals spanning many buckets must still pair exactly once
+    left = spark.createDataFrame([("k", 0, 1000, "L")], "key string, s long, e long, n string")
+    right = spark.createDataFrame([("k", 500, 1500, "R")], "key string, rs long, re long, m string")
+    rows = range_join(left, right, ["key"], "s", "e", "rs", "re", bucket_width=10).collect()
+    assert len(rows) == 1
