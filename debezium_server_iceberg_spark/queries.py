@@ -960,6 +960,52 @@ def asof_join_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "range_join_order_overlaps",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             epoch(o_orderdate) AS s, epoch(o_orderdate) + 604800 AS e
+      FROM orders WHERE o_custkey % 10 = 0
+    )
+    SELECT a.o_custkey, count(*) AS n_overlapping_pairs
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.o_custkey
+    """,
+)
+def range_join_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-overlap) join via bucketing (operators/temporal.
+    range_join): 7-day order windows of the same customer that overlap.
+    The oracle is the naive non-equi join — same pairs, different plan."""
+    from .operators.temporal import range_join
+
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("s"),
+            (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) + 604800).alias("e"),
+        )
+    )
+    left = iv.select("o_custkey", F.col("o_orderkey").alias("k_a"), "s", "e")
+    right = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k_b"),
+        F.col("s").alias("rs"),
+        F.col("e").alias("re"),
+    )
+    pairs = range_join(
+        left, right, ["o_custkey"], "s", "e", "rs", "re", bucket_width=604800
+    ).filter(F.col("k_a") < F.col("k_b"))
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )
+
+
+@_register(
     "sessionize_events",
     f"""
     WITH ordered AS (

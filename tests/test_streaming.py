@@ -204,3 +204,45 @@ def test_progress_listener_accumulates(spark, tmp_path):
         assert snap is None or snap.total_input_rows >= 5 or snap.batches >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_continuous_rollup_incremental(spark, tmp_path):
+    """Hypertable-style continuous aggregate: two batches fold additively;
+    untouched buckets stay as committed."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.streaming.rollup import ContinuousRollup
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    roll = ContinuousRollup(cat)
+    b1 = _events_df(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:05:00"), 1, "click", 1.0),
+            (2, _ts("2024-01-01T10:20:00"), 1, "click", 2.0),
+            (3, _ts("2024-01-01T11:05:00"), 1, "view", 4.0),
+        ],
+    )
+    roll.update(b1)
+    got = {
+        (r["bucket_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in roll.to_df(spark).collect()
+    }
+    assert got == {(10, "click"): (2, 3.0), (11, "view"): (1, 4.0)}
+    # batch 2: late event for the 10:00 bucket + a new bucket
+    b2 = _events_df(
+        spark,
+        [
+            (4, _ts("2024-01-01T10:59:00"), 2, "click", 5.0),
+            (5, _ts("2024-01-01T12:00:00"), 2, "view", 7.0),
+        ],
+    )
+    roll.update(b2)
+    got = {
+        (r["bucket_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in roll.to_df(spark).collect()
+    }
+    assert got == {
+        (10, "click"): (3, 8.0),
+        (11, "view"): (1, 4.0),
+        (12, "view"): (1, 7.0),
+    }
