@@ -110,15 +110,13 @@ def range_join(
     equi-join on (keys, bucket) followed by the exact overlap predicate and
     a dedup (an interval pair can share several buckets). Never a cross
     join; shuffle is keyed by (keys, bucket)."""
-    def bucketed(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         b0 = F.floor(F.col(start) / bucket_width).cast("long")
         b1 = F.floor(F.col(end) / bucket_width).cast("long")
-        return df.withColumn(
-            f"_bucket", F.explode(F.sequence(b0, b1))
-        )
+        return df.withColumn("_bucket", F.explode(F.sequence(b0, b1)))
 
-    lb = bucketed(left, left_start, left_end, "l")
-    rb = bucketed(right, right_start, right_end, "r")
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
     joined = lb.join(rb, on=on + ["_bucket"])
     overlap = (F.col(left_start) <= F.col(right_end)) & (
         F.col(right_start) <= F.col(left_end)
