@@ -1545,6 +1545,32 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "percentiles_order_value",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates (exact interpolated percentiles) — Spark
+    percentile() and DuckDB quantile_cont share the interpolation formula,
+    verified bit-identical at round(4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@_register(
     "cube_order_stats",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
