@@ -143,3 +143,44 @@ def test_time_types_stay_raw(spark):
     assert inferred.struct["t_us"].dataType == T.LongType()
     assert inferred.struct["t_z"].dataType == T.StringType()
     assert row["t_us"] == 3723000000 and row["t_z"] == "01:02:03Z"
+
+
+def test_map_type_hstore_roundtrip(spark):
+    """hstore-style map field (IcebergChangeConsumerTest hstore coverage):
+    map<string,string> schema conversion + columnar parse."""
+    fields = [
+        {"field": "id", "type": "int64"},
+        {
+            "field": "attrs",
+            "type": "map",
+            "keys": {"type": "string"},
+            "values": {"type": "string"},
+        },
+    ]
+    inferred, row = _roundtrip(
+        spark, fields, {"id": 1, "attrs": {"color": "red", "size": "xl"}}
+    )
+    assert inferred.struct["attrs"].dataType == T.MapType(
+        T.StringType(), T.StringType(), True
+    )
+    assert row["attrs"] == {"color": "red", "size": "xl"}
+
+
+def test_map_with_struct_key_rejected(spark):
+    import pytest
+
+    from debezium_server_iceberg_spark.schema.converter import (
+        SchemaConversionError,
+    )
+
+    fields = [
+        {
+            "field": "bad",
+            "type": "map",
+            "keys": {"type": "struct", "fields": []},
+            "values": {"type": "string"},
+        }
+    ]
+    ev = _envelope(fields, {})
+    with pytest.raises(SchemaConversionError, match="primitive"):
+        infer_event_schema(ev["value"], None, DebeziumSchemaConverter())
