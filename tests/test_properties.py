@@ -84,3 +84,51 @@ def test_dedup_null_key_guard(spark):
     df = spark.createDataFrame([(1, "u"), (None, "u")], "k long, __op string")
     with pytest.raises(Exception, match="null identifier field"):
         assert_no_null_keys(df, ["k"]).collect()
+
+
+# ---- schema evolution properties (no Spark jobs — pure StructType algebra)
+
+from pyspark.sql import types as T  # noqa: E402
+
+from debezium_server_iceberg_spark.schema.evolution import (  # noqa: E402
+    merge_schemas,
+    schemas_equal,
+)
+
+_TYPES = [T.IntegerType(), T.LongType(), T.FloatType(), T.DoubleType(), T.StringType()]
+_names = st.sampled_from(["a", "b", "c", "d", "e"])
+_structs = st.dictionaries(_names, st.sampled_from(_TYPES), min_size=0, max_size=5).map(
+    lambda d: T.StructType([T.StructField(k, v, True) for k, v in sorted(d.items())])
+)
+
+
+def _compatible(a, b):
+    widenable = {("integer", "long"), ("float", "double")}
+    for f in a.fields:
+        for g in b.fields:
+            if f.name == g.name and f.dataType != g.dataType:
+                p = (f.dataType.typeName(), g.dataType.typeName())
+                if p not in widenable and (p[1], p[0]) not in widenable:
+                    return False
+    return True
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_structs, _structs)
+def test_merge_schemas_union_and_idempotent(a, b):
+    from debezium_server_iceberg_spark.schema.evolution import SchemaEvolutionError
+
+    if not _compatible(a, b):
+        with pytest.raises(SchemaEvolutionError):
+            merge_schemas(a, b)
+        return
+    m = merge_schemas(a, b)
+    # contains every field name from both sides
+    assert {f.name for f in m.fields} == {f.name for f in a.fields} | {
+        f.name for f in b.fields
+    }
+    # table-side field order preserved as prefix
+    assert [f.name for f in m.fields[: len(a.fields)]] == [f.name for f in a.fields]
+    # idempotent: merging the incoming again changes nothing
+    assert schemas_equal(merge_schemas(m, b), m)
+    assert schemas_equal(merge_schemas(m, a), m)
