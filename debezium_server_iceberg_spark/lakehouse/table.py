@@ -336,8 +336,54 @@ class LakeTable:
     def _collect_stats(
         self, spark: SparkSession, staging: str, meta: TableMetadata
     ) -> list[DataFile]:
-        """Distributed per-file stats over freshly written files."""
+        """Per-file stats for freshly written files, harvested from parquet
+        FOOTERS driver-side (row counts + key min/max live in the metadata
+        already — no data is re-read and no Spark job runs; this is how
+        manifest writers work in real table formats). Falls back to a
+        column-pruned Spark aggregation if a footer lacks statistics."""
         key_cols = [c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}]
+        paths = []
+        for root, _dirs, names in os.walk(staging):
+            for n in names:
+                if n.endswith(".parquet"):
+                    paths.append(os.path.join(root, n))
+        try:
+            import pyarrow.parquet as pq
+
+            files: list[DataFile] = []
+            for path in sorted(paths):
+                md = pq.ParquetFile(path).metadata  # may raise on logical
+                # types this pyarrow doesn't know (e.g. Variant) -> fallback
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                bounds: dict[str, list] = {}
+                for c in key_cols:
+                    ci = names.get(c)
+                    if ci is None:
+                        continue
+                    mn = mx = None
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    if ok and mn is not None:
+                        bounds[c] = [_jsonable(mn), _jsonable(mx)]
+                files.append(
+                    DataFile(
+                        path,
+                        md.num_rows,
+                        _partition_values_from_path(path, meta.partition_spec),
+                        bounds,
+                        os.path.getsize(path),
+                    )
+                )
+            return files
+        except Exception:
+            pass  # unreadable footer (unknown logical type) -> Spark stats
+
         newly = spark.read.parquet(staging)
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in key_cols:
@@ -349,7 +395,7 @@ class LakeTable:
             .agg(*aggs)
             .collect()
         )
-        files: list[DataFile] = []
+        files = []
         for row in stats:
             path = row["_file"]
             if path.startswith("file:"):

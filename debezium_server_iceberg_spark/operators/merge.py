@@ -110,7 +110,9 @@ def merge_into(
                 .distinct()
                 .collect()
             }
-            affected = [f for f in candidates if f.path in affected_paths]
+            affected = [
+                f for f in candidates if _strip_scheme(f.path) in affected_paths
+            ]
         else:
             affected = []
 
@@ -142,7 +144,13 @@ def merge_into(
 
 
 def _strip_scheme(p: str) -> str:
-    return p[len("file:"):] if p.startswith("file:") else p
+    """Normalize 'file:///x', 'file:/x', '///x' and '/x' to one form so
+    manifest paths (filesystem walk) match input_file_name() paths."""
+    import os
+
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    return os.path.normpath(p)
 
 
 def merge_dataframes(
