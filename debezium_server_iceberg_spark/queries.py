@@ -1828,6 +1828,98 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum({_REVENUE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: view reuse + scalar max subquery. The revenue totals are
+    exact decimal sums surfaced once as double, so the max-equality
+    comparison is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue_col()).cast("double").alias("total_revenue"))
+        .cache()
+    )
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("m"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "funnel_signup_click_purchase",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {_TS_US} AS ts FROM events
+    ), t1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS ts1
+      FROM ev GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM ev e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM ev e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT count(*) FROM t1 WHERE ts1 IS NOT NULL) AS n_signup,
+      (SELECT count(*) FROM t2) AS n_signup_then_click,
+      (SELECT count(*) FROM t3) AS n_full_funnel
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup -> click -> purchase, strictly in
+    time order): stepwise conditional minima, each stage a per-key
+    aggregation — the sequence-pattern workhorse for event pipelines."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("ts1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1.filter(F.col("ts1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    n1 = t1.filter(F.col("ts1").isNotNull()).count()
+    n2 = t2.count()
+    n3 = t3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3)], "n_signup long, n_signup_then_click long, n_full_funnel long"
+    )
+
+
+@_register(
     "q22_idle_balances",
     """
     WITH avg_bal AS (
