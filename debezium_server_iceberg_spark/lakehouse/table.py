@@ -324,6 +324,11 @@ class LakeTable:
         staging = os.path.join(self.data_dir, uuidlib.uuid4().hex)
         try:
             writer = out.select(*table_cols, *pcols).write.mode("error")
+            # rolling files (reference write.target-file-size-bytes,
+            # IcebergTableWriterFactory.java:42-46): row-count cap per file
+            max_recs = meta.properties.get("write.max-records-per-file")
+            if max_recs:
+                writer = writer.option("maxRecordsPerFile", int(max_recs))
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(staging)

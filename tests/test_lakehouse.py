@@ -135,3 +135,17 @@ def test_expire_snapshots_deletes_orphans(spark, warehouse):
     # current data untouched, history truncated
     assert [r.id for r in t.to_df(spark).collect()] == [2]
     assert len(t.metadata().snapshots) == 1
+
+
+def test_max_records_per_file_rolls_files(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table(
+        "ns", "troll", SCHEMA, properties={"write.max-records-per-file": "3"}
+    )
+    t.append(
+        spark.createDataFrame([(i, f"r{i}", None) for i in range(10)], SCHEMA).coalesce(1)
+    )
+    files = t.current_files()
+    assert len(files) >= 4  # 10 rows / 3 per file
+    assert max(f.rows for f in files) <= 3
+    assert t.to_df(spark).count() == 10
