@@ -5,6 +5,14 @@ Engine-native equivalent of the reference's generic Iceberg catalog bootstrap
 same surface (create/load/drop/list, namespace auto-create,
 IcebergUtil.java:98-149) over a filesystem warehouse. A REST/JDBC catalog
 would slot in behind the same four methods.
+
+Storage note (100 TB deployment): data files are written/read by Spark, so
+any Hadoop-FS scheme (s3a://, gs://, abfss://) works for the data path
+unchanged. The commit protocol needs two primitives from the metadata
+store: create-if-absent (the optimistic-concurrency gate, here O_EXCL) and
+atomic swap (the version hint, here rename). On object stores those map to
+conditional PUT (If-None-Match) or a tiny DynamoDB/REST commit endpoint —
+exactly the trade Iceberg/Delta make; only `_write_metadata` changes.
 """
 
 from __future__ import annotations
