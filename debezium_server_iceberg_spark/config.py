@@ -48,6 +48,12 @@ class IcebergSinkConfig:
     destination_uppercase: bool = False
     destination_lowercase: bool = False
 
+    # maintenance: auto-compact a table every N commits to it (0 = off).
+    # The reference only documents compaction as required upsert hygiene
+    # (docs/faq.md:5-7); here it is part of the consumer loop.
+    compact_every_commits: int = 0
+    compact_min_input_files: int = 4
+
 
 @dataclass
 class DebeziumFormatConfig:

@@ -1545,6 +1545,36 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_rank_functions",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lead(o_orderkey, 1) OVER w AS next_orderkey
+    FROM orders WHERE o_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window-function family: ntile / percent_rank / cume_dist /
+    lead, deterministic under a unique-key ordering."""
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        )
+    )
+
+
+@_register(
     "percentiles_order_value",
     """
     SELECT o_orderstatus,

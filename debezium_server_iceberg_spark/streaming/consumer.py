@@ -180,13 +180,28 @@ class ChangeConsumer:
                 op_col=ic.upsert_op_column,
                 summary={"epoch_id": epoch_id} if epoch_id is not None else None,
             )
+            self._maybe_compact(raw.sparkSession, table)
             return stats.source_rows
         conformed = conform_to_schema(events, meta.schema)
         table.append(
             conformed,
             summary={"epoch_id": epoch_id} if epoch_id is not None else None,
         )
+        self._maybe_compact(raw.sparkSession, table)
         return -1  # append path: row count not re-measured (avoid extra action)
+
+    def _maybe_compact(self, spark: SparkSession, table) -> None:
+        """Scheduled compaction (upsert read-amplification hygiene the
+        reference documents at docs/faq.md:5-7)."""
+        ic = self.config.iceberg
+        n = ic.compact_every_commits
+        if not n:
+            return
+        data_commits = [
+            s for s in table.metadata().snapshots if s.operation != "evolve"
+        ]
+        if len(data_commits) % n == 0:
+            table.compact(spark, min_input_files=ic.compact_min_input_files)
 
     # -------------------------------------------------------- streaming path
 

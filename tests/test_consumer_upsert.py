@@ -204,3 +204,22 @@ def test_per_table_partition_override(spark, warehouse):
     names = {f.partition["_p_first_name"] for f in files}
     assert names == {"n0", "n1"}
     assert read_table(c, spark).count() == 6
+
+
+def test_auto_compaction_in_consumer_loop(spark, warehouse):
+    """compact_every_commits: after N data commits the consumer bin-packs
+    small files (docs/faq.md:5-7 made operational)."""
+    c = build_consumer(
+        warehouse, upsert=False, compact_every_commits=4, compact_min_input_files=2
+    )
+    for i in range(4):
+        c.handle_batch(
+            to_df(spark, [customer_event(10 * i + j, f"v{i}", "c", 1) for j in range(3)]),
+            epoch_id=i,
+        )
+    table = c.catalog.load_table("debeziumevents", TABLE)
+    ops = [s.operation for s in table.metadata().snapshots]
+    assert ops.count("delta") >= 1  # the compaction rewrite committed
+    assert read_table(c, spark).count() == 12
+    # fewer live files than commits after bin-packing
+    assert len(table.current_files()) < 4
