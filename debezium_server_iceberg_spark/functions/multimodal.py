@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -106,6 +107,112 @@ def image_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("resized_bytes", T.BinaryType(), True),
+        T.StructField("resized_sha256", T.StringType(), True),
+        T.StructField("resizer", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "item_id",
+    bin_col: str = "content",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing (binary in -> binary out, fixed target dims).
+
+    Real implementation needs an image lib; this environment has none, so
+    the transform is STUBBED deterministically: output bytes are a
+    content-derived sample of the input sized to width*height/64 (so batch
+    shapes, Arrow transfer, and downstream hashing are all real).
+    ``strict=True`` raises NotImplementedError instead (the honest mode)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(data) if data is not None else b""
+                if _try_real_image_decode(data) is None and strict:
+                    raise NotImplementedError(
+                        "no image decoder in this environment; strict=False "
+                        "uses the deterministic stub"
+                    )
+                n_out = max(1, (width * height) // 64)
+                # deterministic fake resample: cycle the source bytes
+                fake = (data * (n_out // max(1, len(data)) + 1))[:n_out] if data else b""
+                rows.append(
+                    (
+                        item_id,
+                        width,
+                        height,
+                        fake,
+                        hashlib.sha256(fake).hexdigest(),
+                        "fake-cycle" if data else "empty",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, bin_col).mapInPandas(op, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("est_duration_ms", T.LongType(), True),
+        T.StructField("rms_proxy", T.DoubleType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("decoder", T.StringType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    bytes_per_ms: int = 32,
+    id_col: str = "item_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """Audio metadata plumbing: duration estimate from byte length at an
+    assumed bitrate and an 'RMS' computed over the raw bytes as a stand-in
+    signal (STUB — a real impl decodes PCM with an audio lib). The Spark
+    side — schema, batching, vectorized numpy per batch — is real."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(data) if data is not None else b""
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                    rms = float(np.sqrt(np.mean((arr - 128.0) ** 2)))
+                else:
+                    rms = 0.0
+                rows.append(
+                    (
+                        item_id,
+                        len(data),
+                        len(data) // bytes_per_ms,
+                        round(rms, 6),
+                        hashlib.sha256(data).hexdigest(),
+                        "fake-bytes" if data else "empty",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(

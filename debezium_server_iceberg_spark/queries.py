@@ -2000,6 +2000,27 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only) ----
 
 
+@_register("multimodal_resize", None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary->binary, fixed dims) over mapInPandas; the
+    resample itself is a deterministic stub (no image libs here)."""
+    from .functions.multimodal import as_binary_items, resize_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = resize_images(as_binary_items(docs, "doc_id", "text"), 64, 64)
+    return out.select("item_id", "out_width", "out_height", "resized_sha256")
+
+
+@_register("multimodal_audio_features", None)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing (duration estimate + RMS proxy) over
+    mapInPandas with numpy per batch; decode stubbed."""
+    from .functions.multimodal import as_binary_items, audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return audio_features(as_binary_items(docs, "doc_id", "text"))
+
+
 @_register("multimodal_frame_sample", None)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary fan-out plumbing ('video' -> N frames) over mapInPandas; frame

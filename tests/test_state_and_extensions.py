@@ -191,3 +191,29 @@ def test_two_dimensional_arrays(spark):
         spark.createDataFrame([ev], RAW_ENVELOPE_SCHEMA), inferred
     ).collect()[0]
     assert row["grid"] == [[1, 2], [3, 4]]
+
+
+def test_multimodal_resize_and_audio_stubs(spark):
+    docs = spark.createDataFrame(
+        [(1, "some image bytes here"), (2, ""), (3, None)],
+        "doc_id long, payload string",
+    )
+    items = as_binary_items(docs, "doc_id", "payload")
+
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        audio_features,
+        resize_images,
+    )
+
+    rz = {r["item_id"]: r for r in resize_images(items, 32, 32).collect()}
+    assert len(rz[1]["resized_bytes"]) == 32 * 32 // 64
+    assert rz[1]["resizer"] == "fake-cycle"
+    assert rz[2]["resizer"] == "empty" and rz[3]["resizer"] == "empty"
+    # deterministic: same input -> same output hash
+    again = {r["item_id"]: r for r in resize_images(items, 32, 32).collect()}
+    assert rz[1]["resized_sha256"] == again[1]["resized_sha256"]
+
+    au = {r["item_id"]: r for r in audio_features(items).collect()}
+    assert au[1]["n_bytes"] == 21 and au[1]["est_duration_ms"] == 0
+    assert au[1]["rms_proxy"] > 0
+    assert au[2]["decoder"] == "empty"
