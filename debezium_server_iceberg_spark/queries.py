@@ -1545,6 +1545,71 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "string_functions_showcase",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           levenshtein(c_name, 'Customer') AS lev_dist
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (§2.5): case, substring, padding,
+    regex replace, edit distance — all codegen'd built-ins."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+            F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+            F.levenshtein(F.col("c_name"), F.lit("Customer")).alias("lev_dist"),
+        )
+    )
+
+
+@_register(
+    "date_functions_showcase",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m, dayofmonth(o_orderdate) AS d,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           datediff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS days_to_1999,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar temporal-function surface (§2.5): extraction, arithmetic,
+    truncation — identical semantics both engines."""
+    d = F.col("o_orderdate")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .select(
+            "o_orderkey",
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+            F.dayofmonth(d).alias("d"),
+            F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+            F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date")).alias(
+                "days_to_1999"
+            ),
+            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        )
+    )
+
+
+@_register(
     "window_rank_functions",
     """
     SELECT o_orderstatus, o_orderkey,
