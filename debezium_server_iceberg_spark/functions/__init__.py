@@ -1,12 +1,27 @@
+from .dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash32,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from .multimodal import (
+    as_binary_items,
+    audio_features,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+from .similarity import cosine_pairs_blocked, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .text import (
-    tokens_col,
-    with_token_stats,
+    bpe_token_count,
+    doc_fingerprint,
     language_id,
     quality_score,
-    doc_fingerprint,
+    tokens_col,
+    with_token_stats,
 )
-from .dedup import exact_dedup, minhash_signatures, minhash_near_dup_pairs, simhash32
-from .similarity import cosine_topk
 
 __all__ = [
     "tokens_col",
@@ -14,9 +29,20 @@ __all__ = [
     "language_id",
     "quality_score",
     "doc_fingerprint",
+    "bpe_token_count",
     "exact_dedup",
     "minhash_signatures",
     "minhash_near_dup_pairs",
     "simhash32",
+    "simhash64",
+    "simhash_near_dup_pairs",
     "cosine_topk",
+    "cosine_pairs_blocked",
+    "ivf_topk",
+    "lsh_bucketed_topk",
+    "as_binary_items",
+    "image_features",
+    "resize_images",
+    "audio_features",
+    "frame_sample",
 ]
