@@ -176,6 +176,63 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-duplicate pair list -> one cluster
+    id (the minimum member) per doc, plus the canonical flag.
+
+    Iterative min-label propagation (the hash-join form of GraphX connected
+    components): every doc starts labeled with itself; each round a doc
+    takes the min of its own and its neighbors' labels; stop when a round
+    changes nothing. Each round is one shuffle keyed by doc; rounds needed
+    = component diameter (near-dup clusters are shallow). The driver only
+    evaluates the single-int "did anything change" aggregate per round —
+    no data is collected.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("u").alias("doc")).distinct().withColumn(
+        "label", F.col("doc")
+    ).cache()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.u, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("doc"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash as a '0'/'1' string: 32 bit-votes from md5(token) hex
     parities + 32 from md5('x:' || token). 32 bits is too coarse for corpora

@@ -646,6 +646,40 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+_MINHASH_PAIRS_ORACLE = _ORACLES["minhash_near_dup"]
+
+
+@_register(
+    "dedup_canonical_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc,
+           least(u, min(v)) AS cluster_id,
+           (u = least(u, min(v))) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: MinHash-LSH pairs -> connected components (min-
+    label propagation, iterated to convergence) -> canonical doc per
+    cluster. Oracle computes the same transitive closure with a recursive
+    CTE."""
+    from .functions.dedup import near_dup_clusters
+
+    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return near_dup_clusters(pairs)
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "

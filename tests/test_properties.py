@@ -132,3 +132,22 @@ def test_merge_schemas_union_and_idempotent(a, b):
     # idempotent: merging the incoming again changes nothing
     assert schemas_equal(merge_schemas(m, b), m)
     assert schemas_equal(merge_schemas(m, a), m)
+
+
+def test_near_dup_clusters_connected_components(spark):
+    from debezium_server_iceberg_spark.functions.dedup import near_dup_clusters
+
+    # two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc"]: (r["cluster_id"], r["is_canonical"])
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
