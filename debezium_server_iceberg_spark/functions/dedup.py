@@ -224,13 +224,17 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(
+    # truncate the multi-round lineage (standard for iterative algorithms),
+    # then release every cache the loop held — callers get a self-contained
+    # DataFrame and the session keeps no residue
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return final.select(
         F.col("doc"),
         F.col("label").alias("cluster_id"),
         (F.col("doc") == F.col("label")).alias("is_canonical"),
     )
-    edges.unpersist()
-    return out
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
