@@ -88,13 +88,24 @@ def minhash_signatures(
 
 
 def _minhash_wide(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_size: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: (doc, m0..m{num_hashes-1}) — all seed minima in a
-    single partial-aggregating groupBy over one md5 per shingle."""
+    single partial-aggregating groupBy over one md5 per shingle.
+    ``shingles``: optional precomputed (doc, tok) DF (e.g. cached and shared
+    with an exact-Jaccard pass)."""
     if num_hashes > 8:
         raise ValueError("num_hashes > 8 would slide windows past the 32-hex digest")
-    toks = _doc_shingles(df, text_col, id_col, shingle_size)
+    toks = (
+        shingles
+        if shingles is not None
+        else _doc_shingles(df, text_col, id_col, shingle_size)
+    )
     hashed = toks.select("doc", F.md5("tok").alias("h"))
     return hashed.groupBy("doc").agg(
         *[
@@ -112,6 +123,7 @@ def minhash_near_dup_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding.
 
@@ -125,7 +137,7 @@ def minhash_near_dup_pairs(
     to the wide row once per side — position-wise equality is a row-local
     expression, so no (doc, seed)-grained join ever happens.
     """
-    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_size).cache()
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_size, shingles).cache()
     n_bands = (num_hashes + band_size - 1) // band_size
     band_structs = F.array(
         *[

@@ -560,6 +560,29 @@ class LakeTable:
     def row_count(self) -> int:
         return sum(f.rows for f in self.current_files())
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (the SQL-visible operational
+        surface the reference gets from its Iceberg state tables): one row
+        per snapshot with operation, counts, and summary JSON."""
+        meta = self.metadata()
+        rows = [
+            (
+                s.snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                int(s.summary.get("added_files", 0)),
+                int(s.summary.get("removed_files", 0)),
+                int(s.summary.get("total_rows", 0)),
+                json.dumps(s.summary, sort_keys=True),
+            )
+            for s in meta.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, timestamp_ms long, operation string, "
+            "added_files int, removed_files int, total_rows long, summary string",
+        )
+
 
 def _jsonable(v: Any) -> Any:
     if isinstance(v, (int, float, str, bool)) or v is None:

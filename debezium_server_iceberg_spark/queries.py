@@ -1144,12 +1144,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import _doc_shingles, minhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_near_dup_pairs(docs, threshold=0.0, shingle_size=2).select(
-        "doc_a", "doc_b"
-    )
-    sh = _doc_shingles(docs, "text", "doc_id", 2).select(
-        F.col("doc").alias("d"), F.col("tok").alias("g")
-    )
+    shingles = _doc_shingles(docs, "text", "doc_id", 2).cache()
+    cand = minhash_near_dup_pairs(
+        docs, threshold=0.0, shingle_size=2, shingles=shingles
+    ).select("doc_a", "doc_b")
+    sh = shingles.select(F.col("doc").alias("d"), F.col("tok").alias("g"))
     sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("d").alias("doc_a"), F.col("g"))
     shb = sh.select(F.col("d").alias("doc_b"), F.col("g"))

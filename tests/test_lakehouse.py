@@ -149,3 +149,14 @@ def test_max_records_per_file_rolls_files(spark, warehouse):
     assert len(files) >= 4  # 10 rows / 3 per file
     assert max(f.rows for f in files) <= 3
     assert t.to_df(spark).count() == 10
+
+
+def test_table_history_surface(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "th", SCHEMA, identifier_fields=["id"])
+    t.append(spark.createDataFrame([(1, "a", None)], SCHEMA))
+    t.overwrite(spark.createDataFrame([(2, "b", None)], SCHEMA))
+    hist = t.history(spark).orderBy("snapshot_id").collect()
+    assert [h["operation"] for h in hist] == ["append", "overwrite"]
+    assert hist[1]["total_rows"] == 1
+    assert hist[0]["snapshot_id"] < hist[1]["snapshot_id"]
