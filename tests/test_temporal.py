@@ -76,3 +76,68 @@ def test_range_join_no_duplicate_pairs(spark):
     right = spark.createDataFrame([("k", 500, 1500, "R")], "key string, rs long, re long, m string")
     rows = range_join(left, right, ["key"], "s", "e", "rs", "re", bucket_width=10).collect()
     assert len(rows) == 1
+
+
+# ---- property-based: random instances vs naive python models
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30), st.integers(0, 99)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows, _rows)
+def test_asof_join_matches_model(spark, lrows, rrows):
+    # dedup right to one row per (key, ts) for deterministic tie-breaks
+    rmap = {}
+    for k, ts, v in rrows:
+        if (k, ts) not in rmap or v > rmap[(k, ts)]:
+            rmap[(k, ts)] = v
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _v) in enumerate(lrows)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rmap.items()], "k string, ts long, rv long"
+    )
+    out = {
+        (r["k"], r["ts"], r["lid"]): r["rv_right"]
+        for r in asof_join(left, right, ["k"], "ts", "ts").collect()
+    }
+    assert len(out) == len(lrows)
+    for i, (k, ts, _v) in enumerate(lrows):
+        eligible = [(t, v) for (kk, t), v in rmap.items() if kk == k and t <= ts]
+        expect = max(eligible)[1] if eligible else None
+        assert out[(k, ts, i)] == expect
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 30)).map(lambda p: (p[0], p[0] + p[1])),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_intervals, _intervals, st.sampled_from([3, 7, 64]))
+def test_range_join_matches_model(spark, livs, rivs, width):
+    left = spark.createDataFrame(
+        [("k", s, e, i) for i, (s, e) in enumerate(livs)], "key string, s long, e long, li long"
+    )
+    right = spark.createDataFrame(
+        [("k", s, e, j) for j, (s, e) in enumerate(rivs)], "key string, rs long, re long, rj long"
+    )
+    got = {
+        (r["li"], r["rj"])
+        for r in range_join(left, right, ["key"], "s", "e", "rs", "re", bucket_width=width).collect()
+    }
+    expect = {
+        (i, j)
+        for i, (ls, le) in enumerate(livs)
+        for j, (rs, re) in enumerate(rivs)
+        if ls <= re and rs <= le
+    }
+    assert got == expect
