@@ -90,6 +90,32 @@ def merge_into(
         all_files = table.current_files()
         candidates = [f for f in all_files if _bounds_overlap(f, key_cols, lo, hi)]
 
+        # partition pruning (partitioned tables): a file whose partition
+        # tuple no source row maps to can't contain matched keys. The
+        # distinct source-partition set is tiny (partitions touched by one
+        # CDC batch), so the driver-side intersection is cheap.
+        if meta.partition_spec:
+            src_types = {f.name: f.dataType.typeName() for f in schema.fields}
+            pcols = [
+                pf.column(src_types.get(pf.source)).alias(pf.name)
+                for pf in meta.partition_spec
+                if pf.source in {f.name for f in schema.fields}
+            ]
+            if len(pcols) == len(meta.partition_spec):
+                touched = {
+                    tuple(str(r[pf.name]) for pf in meta.partition_spec)
+                    for r in source.select(*pcols).distinct().collect()
+                }
+                candidates = [
+                    f
+                    for f in candidates
+                    if not f.partition
+                    or tuple(
+                        str(f.partition.get(pf.name)) for pf in meta.partition_spec
+                    )
+                    in touched
+                ]
+
         # --- exact affected-file set via column-pruned key scan
         src_keys = source.select(*key_cols).dropDuplicates(key_cols)
         if broadcast_source is None:

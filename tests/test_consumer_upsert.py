@@ -223,3 +223,38 @@ def test_auto_compaction_in_consumer_loop(spark, warehouse):
     assert read_table(c, spark).count() == 12
     # fewer live files than commits after bin-packing
     assert len(table.current_files()) < 4
+
+
+def test_merge_partition_pruning(spark, warehouse):
+    """Upsert into a partitioned table: only files of partitions the batch
+    touches participate in the rewrite."""
+    from debezium_server_iceberg_spark.operators.dedup import dedup_batch
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog, parse_partition_spec
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, grp string, v long, __op string, __source_ts_ms long"
+    snap = spark.createDataFrame(
+        [(i, f"g{i % 3}", i, "r", 0) for i in range(30)], schema
+    )
+    t = cat.create_table(
+        "ns", "pm", snap.schema,
+        identifier_fields=["id"],
+        partition_spec=parse_partition_spec("grp", {"id", "grp", "v"}),
+    )
+    merge_into(t, dedup_batch(snap, ["id"], dedup_column="__source_ts_ms"))
+    files_before = t.current_files()
+    parts_before = {f.partition["_p_grp"] for f in files_before}
+    assert parts_before == {"g0", "g1", "g2"}
+
+    # update only g1 rows
+    upd = spark.createDataFrame(
+        [(i, f"g{i % 3}", 1000 + i, "u", 1) for i in range(30) if i % 3 == 1], schema
+    )
+    stats = merge_into(t, dedup_batch(upd, ["id"], dedup_column="__source_ts_ms"))
+    g1_files = [f for f in files_before if f.partition["_p_grp"] == "g1"]
+    assert stats.candidate_files <= len(g1_files)
+    assert stats.rewritten_files <= len(g1_files)
+    got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert all(got[i] == 1000 + i for i in range(30) if i % 3 == 1)
+    assert all(got[i] == i for i in range(30) if i % 3 != 1)
