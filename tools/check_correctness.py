@@ -71,9 +71,20 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from debezium_server_iceberg_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="check_correctness")
+    # Deliberately a VANILLA session (not session.get_spark()): the driver's
+    # harness builds its own plain SparkSession, so any conf the queries need
+    # (e.g. nanosAsLong for events.parquet) must be set inside the queries
+    # themselves.  Round 1 missed that because this tool used get_spark().
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("check_correctness")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
