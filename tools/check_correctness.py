@@ -27,12 +27,18 @@ TABLES = [
 ]
 
 
-def _norm_cell(v):
+def _norm_cell(v, huge=False):
     if v is None:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
+        v = float(v)
+    if huge and isinstance(v, int):
+        # Mimic the driver: DuckDB HUGEINT becomes float64 through its
+        # pandas/arrow fetch, so "5" hashes as "5.0" there.  Reproducing that
+        # locally means an un-CAST sum() oracle goes red here, not just in
+        # CORRECTNESS_r{N}.json (VERDICT r2 item 7).
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
@@ -50,10 +56,11 @@ def _norm_cell(v):
     return str(v)
 
 
-def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+def value_hash(rows: list[tuple], colnames: list[str], huge_cols=()) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
-        "\x01".join(_norm_cell(r[i]) for i in order) for r in rows
+        "\x01".join(_norm_cell(r[i], colnames[i] in huge_cols) for i in order)
+        for r in rows
     )
     h = hashlib.md5()
     for line in lines:
@@ -77,6 +84,11 @@ def main() -> int:
     # harness builds its own plain SparkSession, so any conf the queries need
     # (e.g. nanosAsLong for events.parquet) must be set inside the queries
     # themselves.  Round 1 missed that because this tool used get_spark().
+    # getOrCreate() silently reuses any live session with its configs, which
+    # would void the vanilla-conf guarantee — stop it first (ADVICE r2).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
@@ -111,9 +123,12 @@ def main() -> int:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle) [{t_spark:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            huge_cols = {
+                c for c, t in zip(d_cols, rel.types) if str(t).upper() == "HUGEINT"
+            }
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -124,14 +139,18 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
         if not problems:
-            hs, hd = value_hash(s_rows, s_cols), value_hash(d_rows, d_cols)
+            hs = value_hash(s_rows, s_cols)
+            hd = value_hash(d_rows, d_cols, huge_cols)
             if hs != hd:
                 problems.append("value hash mismatch")
                 # print first differing normalized rows for debugging
                 order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
                 order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
                 ls = sorted("\x01".join(_norm_cell(r[i]) for i in order_s) for r in s_rows)
-                ld = sorted("\x01".join(_norm_cell(r[i]) for i in order_d) for r in d_rows)
+                ld = sorted(
+                    "\x01".join(_norm_cell(r[i], d_cols[i] in huge_cols) for i in order_d)
+                    for r in d_rows
+                )
                 for a, b in zip(ls, ld):
                     if a != b:
                         print(f"      spark : {a[:220]}")
