@@ -48,11 +48,22 @@ class IcebergSinkConfig:
     destination_uppercase: bool = False
     destination_lowercase: bool = False
 
+    # upsert execution strategy: "" derives from format_version exactly like
+    # the reference's useDv = formatVersion > 2
+    # (IcebergTableWriterFactory.java:97-108): v3 tables take the
+    # merge-on-read equality-delete path, v2 copy-on-write. Explicit
+    # "merge-on-read" / "copy-on-write" overrides.
+    upsert_mode: str = ""
+
     # maintenance: auto-compact a table every N commits to it (0 = off).
     # The reference only documents compaction as required upsert hygiene
     # (docs/faq.md:5-7); here it is part of the consumer loop.
     compact_every_commits: int = 0
     compact_min_input_files: int = 4
+    # materialize (purge) equality-delete files once this many accumulate
+    # on a table at the compaction checkpoint — bounds merge-on-read scan
+    # overhead the same way the reference's documented compaction does
+    rewrite_delete_files_min: int = 8
 
 
 @dataclass

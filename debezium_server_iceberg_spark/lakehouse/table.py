@@ -57,6 +57,7 @@ class DataFile:
     partition: dict[str, Any] = dc_field(default_factory=dict)
     bounds: dict[str, list] = dc_field(default_factory=dict)  # col -> [min,max]
     bytes: int = 0                 # on-disk size (0 = unknown, pre-stat manifests)
+    seq: int = 0                   # data sequence number (snapshot id at add time)
 
     def to_dict(self) -> dict:
         return {
@@ -65,12 +66,47 @@ class DataFile:
             "partition": self.partition,
             "bounds": self.bounds,
             "bytes": self.bytes,
+            "seq": self.seq,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "DataFile":
         return DataFile(
-            d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}), d.get("bytes", 0)
+            d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}),
+            d.get("bytes", 0), d.get("seq", 0)
+        )
+
+
+@dataclass
+class DeleteFile:
+    """Equality-delete file (Iceberg v2 semantics): a parquet file of key
+    tuples that logically removes every matching row in data files with a
+    LOWER sequence number. This is the merge-on-read half of the reference's
+    delta writer (IcebergTableWriterFactory.java:97-108 equalityFieldIds,
+    BaseDeltaTaskWriter.java:60-71 deleteKey-then-write)."""
+
+    path: str
+    rows: int
+    seq: int                       # applies to data files with data.seq < seq
+    equality_cols: list[str] = dc_field(default_factory=list)
+    bounds: dict[str, list] = dc_field(default_factory=dict)
+    bytes: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "seq": self.seq,
+            "equality_cols": self.equality_cols,
+            "bounds": self.bounds,
+            "bytes": self.bytes,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "DeleteFile":
+        return DeleteFile(
+            d["path"], d["rows"], d["seq"], d.get("equality_cols", []),
+            d.get("bounds", {}), d.get("bytes", 0)
         )
 
 
@@ -213,16 +249,29 @@ class LakeTable:
 
     # ------------------------------------------------------------ manifests
 
-    def _manifest_files(self, meta: TableMetadata, snapshot_id: int | None = None) -> list[DataFile]:
+    def _manifest_entry(self, meta: TableMetadata, snapshot_id: int | None = None) -> dict:
         sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
         if sid is None:
-            return []
+            return {"files": [], "delete_files": []}
         snap = next(s for s in meta.snapshots if s.snapshot_id == sid)
         with open(os.path.join(self.meta_dir, snap.manifest)) as fh:
-            return [DataFile.from_dict(f) for f in json.load(fh)["files"]]
+            d = json.load(fh)
+        return {"files": d["files"], "delete_files": d.get("delete_files", [])}
+
+    def _manifest_files(self, meta: TableMetadata, snapshot_id: int | None = None) -> list[DataFile]:
+        return [DataFile.from_dict(f) for f in self._manifest_entry(meta, snapshot_id)["files"]]
+
+    def _manifest_deletes(self, meta: TableMetadata, snapshot_id: int | None = None) -> list[DeleteFile]:
+        return [
+            DeleteFile.from_dict(f)
+            for f in self._manifest_entry(meta, snapshot_id)["delete_files"]
+        ]
 
     def current_files(self) -> list[DataFile]:
         return self._manifest_files(self.metadata())
+
+    def current_deletes(self) -> list[DeleteFile]:
+        return self._manifest_deletes(self.metadata())
 
     def _commit_snapshot(
         self,
@@ -232,22 +281,43 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         new_schema: T.StructType | None = None,
         retries: int = 5,
+        add_deletes: list[DeleteFile] | None = None,
+        drop_deletes: bool = False,
     ) -> None:
-        """Generic commit: new manifest = (current - removed) + added."""
+        """Generic commit: new manifest = (current - removed) + added.
+
+        Delete-file lifecycle: equality-delete files are carried forward
+        snapshot to snapshot (unless ``drop_deletes`` or overwrite), new ones
+        get seq = the new snapshot id, and any delete file that no longer has
+        a live data file older than itself is pruned (it can never match)."""
         for attempt in range(retries):
             meta = self.metadata()
             current = self._manifest_files(meta)
-            if remove_paths and operation == "overwrite":
-                pass  # overwrite ignores current
+            cur_deletes = self._manifest_deletes(meta)
             files = (
                 add
                 if operation == "overwrite"
                 else [f for f in current if f.path not in remove_paths] + add
             )
             sid = (meta.current_snapshot_id or 0) + 1
+            # freshly added files get this snapshot's sequence number
+            for f in add:
+                f.seq = sid
+            deletes = [] if (drop_deletes or operation == "overwrite") else list(cur_deletes)
+            for d in add_deletes or []:
+                d.seq = sid
+                deletes.append(d)
+            # prune dead delete files: nothing older than them is live
+            deletes = [d for d in deletes if any(f.seq < d.seq for f in files)]
             manifest_name = f"manifest-{sid:08d}-{uuidlib.uuid4().hex[:8]}.json"
             with open(os.path.join(self.meta_dir, manifest_name), "w") as fh:
-                json.dump({"files": [f.to_dict() for f in files]}, fh)
+                json.dump(
+                    {
+                        "files": [f.to_dict() for f in files],
+                        "delete_files": [d.to_dict() for d in deletes],
+                    },
+                    fh,
+                )
             snap = Snapshot(
                 snapshot_id=sid,
                 timestamp_ms=int(time.time() * 1000),
@@ -259,6 +329,9 @@ class LakeTable:
                     removed_files=len(remove_paths) if operation != "overwrite" else len(current),
                     total_files=len(files),
                     total_rows=sum(f.rows for f in files),
+                    added_delete_files=len(add_deletes or []),
+                    total_delete_files=len(deletes),
+                    total_delete_rows=sum(d.rows for d in deletes),
                 ),
             )
             meta.snapshots.append(snap)
@@ -437,6 +510,7 @@ class LakeTable:
         remove_paths: Iterable[str],
         summary: dict | None = None,
         target_partitions: int | None = None,
+        drop_deletes: bool = False,
     ) -> None:
         """RowDelta-style commit: atomically swap rewritten files
         (IcebergTableOperator.java:218-224). Used by the MERGE operator."""
@@ -446,7 +520,59 @@ class LakeTable:
             if add_df is not None
             else []
         )
-        self._commit_snapshot("delta", add, set(remove_paths), summary)
+        self._commit_snapshot(
+            "delta", add, set(remove_paths), summary, drop_deletes=drop_deletes
+        )
+
+    def commit_row_delta(
+        self,
+        add_df: DataFrame | None,
+        delete_keys_df: DataFrame | None,
+        summary: dict | None = None,
+        delete_target_files: int = 1,
+    ) -> tuple[int, int]:
+        """Merge-on-read upsert commit: append new data files AND an
+        equality-delete file of source keys in ONE atomic snapshot — no
+        existing data file is read or rewritten. This is the Spark-side
+        equivalent of the reference's equality-delta writer
+        (BaseDeltaTaskWriter.java:60-71: deleteKey(key) then write(row);
+        IcebergTableWriterFactory.java:97-108: equality field ids = the
+        table's identifier fields). Returns (added_rows, delete_rows)."""
+        meta = self.metadata()
+        key_cols = [
+            c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}
+        ]
+        if not key_cols:
+            raise ValueError("commit_row_delta requires identifier fields")
+        add = self._stage_write(add_df, meta) if add_df is not None else []
+        add_deletes: list[DeleteFile] = []
+        if delete_keys_df is not None:
+            staging = os.path.join(self.data_dir, "deletes-" + uuidlib.uuid4().hex)
+            # few small files per batch: a CDC batch's distinct keys are tiny
+            # relative to the table; key-clustered + sorted so footer min/max
+            # bounds are tight for scan-side pruning (callers size
+            # delete_target_files up for snapshot-load-sized batches)
+            keys = delete_keys_df.select(*key_cols)
+            keys = (
+                keys.repartitionByRange(delete_target_files, *key_cols)
+                if delete_target_files > 1
+                else keys.coalesce(1)
+            )
+            (
+                keys.sortWithinPartitions(*key_cols)
+                .write.mode("error")
+                .parquet(staging)
+            )
+            for f in self._collect_stats(
+                (add_df or delete_keys_df).sparkSession, staging, meta
+            ):
+                add_deletes.append(
+                    DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
+                )
+        self._commit_snapshot(
+            "rowdelta", add, set(), summary, add_deletes=add_deletes
+        )
+        return (sum(f.rows for f in add), sum(d.rows for d in add_deletes))
 
     def update_schema(self, new_schema: T.StructType) -> None:
         """Schema-evolution commit; no data movement (ALTER TABLE ADD COLUMNS
@@ -491,6 +617,42 @@ class LakeTable:
         )
         return len(small)
 
+    def materialize_deletes(self, spark: SparkSession) -> int:
+        """Rewrite-the-deletes maintenance (Iceberg's rewrite_position_deletes
+        / the reference's documented upsert compaction hygiene, docs/faq.md:5-7):
+        rewrite every data file an equality delete could still hit — older
+        than some delete AND key-bounds-overlapping it — with deletes applied,
+        then drop all delete files in the same atomic commit. Read
+        amplification returns to zero; untouched files are not rewritten.
+
+        Returns the number of data files rewritten."""
+        meta = self.metadata()
+        deletes = self._manifest_deletes(meta)
+        if not deletes:
+            return 0
+        files = self._manifest_files(meta)
+        key_cols = [
+            c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}
+        ]
+
+        def hit(f: DataFile) -> bool:
+            for d in deletes:
+                if f.seq >= d.seq:
+                    continue
+                if _bounds_intersect(f.bounds, d.bounds, key_cols):
+                    return True
+            return False
+
+        affected = [f for f in files if hit(f)]
+        clean = self._read(spark, meta, affected, deletes) if affected else None
+        self.commit_delta(
+            clean,
+            [f.path for f in affected],
+            summary={"operation_detail": "materialize-deletes", "input_files": len(affected)},
+            drop_deletes=True,
+        )
+        return len(affected)
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots and delete data
         files referenced only by the expired ones (Iceberg's
@@ -503,14 +665,16 @@ class LakeTable:
                 return 0
             keep = meta.snapshots[-keep_last:]
             expired = meta.snapshots[:-keep_last]
-            live_paths = {
-                f.path for s in keep for f in self._manifest_files(meta, s.snapshot_id)
-            }
-            dead_paths = {
-                f.path
-                for s in expired
-                for f in self._manifest_files(meta, s.snapshot_id)
-            } - live_paths
+            def _all_paths(sid: int) -> set[str]:
+                e = self._manifest_entry(meta, sid)
+                return {f["path"] for f in e["files"]} | {
+                    d["path"] for d in e["delete_files"]
+                }
+
+            live_paths = set().union(*(_all_paths(s.snapshot_id) for s in keep))
+            dead_paths = (
+                set().union(*(_all_paths(s.snapshot_id) for s in expired)) - live_paths
+            )
             old_manifests = [s.manifest for s in expired]
             meta.snapshots = keep
             try:
@@ -539,25 +703,101 @@ class LakeTable:
         """Current (or time-travel) table contents as a DataFrame.
 
         Reads with the table's logical schema: files written before a column
-        was added yield nulls for it (schema evolution on read)."""
+        was added yield nulls for it (schema evolution on read). Equality
+        deletes recorded in the (possibly historical) manifest are applied
+        at scan time — the merge-on-read half of the format."""
         meta = self.metadata()
         files = self._manifest_files(meta, snapshot_id)
-        schema = meta.schema
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*[f.path for f in files])
+        deletes = self._manifest_deletes(meta, snapshot_id)
+        return self._read(spark, meta, files, deletes)
 
     def scan_files(
         self,
         spark: SparkSession,
         files: list[DataFile],
+        file_col: str | None = None,
+        apply_deletes: bool = True,
     ) -> DataFrame:
+        """Read a subset of data files (with current-snapshot equality
+        deletes applied unless opted out). ``file_col`` attaches each row's
+        originating manifest path as a column — resolved via a tiny
+        broadcast filename->path map so it stays correct even after the
+        delete anti-join (plain input_file_name() would not survive it)."""
         meta = self.metadata()
+        deletes = self._manifest_deletes(meta) if apply_deletes else []
+        return self._read(spark, meta, files, deletes, file_col=file_col)
+
+    def _read(
+        self,
+        spark: SparkSession,
+        meta: TableMetadata,
+        files: list[DataFile],
+        deletes: list[DeleteFile],
+        file_col: str | None = None,
+    ) -> DataFrame:
+        """Scan plan: ONE multi-file parquet read; per-file sequence numbers
+        attached via a broadcast (filename -> seq) map; equality-delete rows
+        removed with a single anti-join on (key columns, data.seq < del.seq).
+        The delete side is a second small parquet read, broadcast when its
+        manifest-known row count is CDC-batch-sized — so the whole
+        merge-on-read scan is scan + broadcast-anti-join, no shuffle of the
+        data side (Iceberg's read-path model for equality deletes)."""
+        schema = meta.schema
         if not files:
-            return spark.createDataFrame([], meta.schema)
-        return spark.read.schema(meta.schema).parquet(*[f.path for f in files])
+            df = spark.createDataFrame([], schema)
+            return df.withColumn(file_col, F.lit(None).cast("string")) if file_col else df
+
+        key_cols = [c for c in meta.identifier_fields if c in {f.name for f in schema.fields}]
+        # a delete file is relevant only if some scanned file is older
+        min_seq = min(f.seq for f in files)
+        relevant = [d for d in deletes if d.seq > min_seq] if key_cols else []
+
+        df = spark.read.schema(schema).parquet(*[f.path for f in files])
+        if not relevant and not file_col:
+            return df
+
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.withColumn("_fname", fname)
+        fmap = spark.createDataFrame(
+            [(os.path.basename(f.path), f.seq, f.path) for f in files],
+            "_fname string, _seq long, _fpath string",
+        )
+        df = df.join(F.broadcast(fmap), "_fname")
+
+        if relevant:
+            key_schema = T.StructType([f for f in schema.fields if f.name in key_cols])
+            dels = spark.read.schema(key_schema).parquet(*[d.path for d in relevant])
+            dmap = spark.createDataFrame(
+                [(os.path.basename(d.path), d.seq) for d in relevant],
+                "_fname string, _dseq long",
+            )
+            dels = (
+                dels.withColumn("_fname", fname)
+                .join(F.broadcast(dmap), "_fname")
+                .select(
+                    *[F.col(c).alias(f"_d_{c}") for c in key_cols], "_dseq"
+                )
+            )
+            # broadcast the delete side when manifest stats say it's small
+            del_rows = sum(d.rows for d in relevant)
+            if del_rows * _est_row_width(key_schema) <= _BROADCAST_BYTES:
+                dels = F.broadcast(dels)
+            cond = F.col("_seq") < F.col("_dseq")
+            for c in key_cols:
+                cond = cond & (F.col(c) == F.col(f"_d_{c}"))
+            df = df.join(dels, cond, "left_anti")
+
+        keep = [f.name for f in schema.fields]
+        if file_col:
+            df = df.withColumn(file_col, F.col("_fpath"))
+            keep = keep + [file_col]
+        return df.select(*keep)
 
     def row_count(self) -> int:
+        """PHYSICAL data rows (Iceberg's total-records semantics): does not
+        subtract equality-deleted rows — a delete key may match zero rows,
+        so the live count is only knowable at scan time (``to_df().count()``).
+        Exact whenever the table has no delete files."""
         return sum(f.rows for f in self.current_files())
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -582,6 +822,42 @@ class LakeTable:
             "snapshot_id long, timestamp_ms long, operation string, "
             "added_files int, removed_files int, total_rows long, summary string",
         )
+
+
+# conservative broadcast budget for delete/key sides (well under typical
+# driver/executor memory; Spark's own default autoBroadcastJoinThreshold is
+# 10MB but key-only relations compress far better, so allow more)
+_BROADCAST_BYTES = 64 * 1024 * 1024
+
+_TYPE_WIDTH = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def _est_row_width(schema: T.StructType) -> int:
+    """Byte estimate per row for broadcast decisions: fixed widths for
+    primitives, a pessimistic default for strings/binary/nested."""
+    w = 8  # row overhead
+    for f in schema.fields:
+        w += _TYPE_WIDTH.get(f.dataType.typeName(), 32)
+    return w
+
+
+def _bounds_intersect(
+    a: dict[str, list], b: dict[str, list], cols: list[str]
+) -> bool:
+    """Do two [min,max] bound maps possibly share a key tuple? Missing
+    stats on either side -> must assume yes."""
+    for c in cols:
+        ba, bb = a.get(c), b.get(c)
+        if ba is None or bb is None:
+            continue
+        if ba[1] is not None and bb[0] is not None and ba[1] < bb[0]:
+            return False
+        if ba[0] is not None and bb[1] is not None and ba[0] > bb[1]:
+            return False
+    return True
 
 
 def _jsonable(v: Any) -> Any:

@@ -1,4 +1,5 @@
-"""Copy-on-write MERGE INTO (upsert core, operators W4-W6).
+"""MERGE INTO (upsert core, operators W4-W6) — merge-on-read by default,
+copy-on-write as an option.
 
 Reference semantics (BaseDeltaTaskWriter.java:52-72 +
 IcebergChangeConsumerUpsertTest scenarios):
@@ -13,21 +14,32 @@ IcebergChangeConsumerUpsertTest scenarios):
 - unmatched (otherwise)                   -> insert (even for op='d' when
   keeping deletes — IcebergChangeConsumerUpsertTest.java:69-73)
 
-Execution strategy (scale-first):
+Two execution strategies, selected by the ``write.upsert.mode`` table
+property or the ``mode=`` argument:
 
+**merge-on-read** (default; W7 parity with the reference's equality-delta
+writer, IcebergTableWriterFactory.java:97-108 + BaseDeltaTaskWriter.java:60-71):
+write the surviving source rows as new data files plus ONE equality-delete
+file of the batch's keys, in a single atomic ``rowdelta`` commit. Zero
+existing files are read or rewritten — upsert cost is O(batch), independent
+of table size and key scatter. Deletes are folded in at scan time
+(broadcast anti-join) and physically purged by
+``LakeTable.materialize_deletes`` / compaction.
+
+**copy-on-write** (read-optimized tables):
 1. *File pruning, no Spark job*: candidate files = manifest files whose key
    bounds overlap the source key range (driver-side min/max check over file
    stats, same planning model as Iceberg).
 2. *Exact match*: read candidate files' key columns only (column-pruned scan)
-   tagged with ``input_file_name`` and semi-join against the (broadcast)
-   source keys -> the set of files that truly contain matched keys.
+   and semi-join against the (broadcast when byte-estimate-small) source
+   keys -> the set of files that truly contain matched keys.
 3. *Rewrite*: anti-join those files' rows against source keys, union with the
    surviving source rows, write as new files.
 4. *Atomic delta commit*: remove the rewritten files, add the new ones.
 
-Untouched files are never read or rewritten, so cost scales with the number
-of files containing matched keys — not table size.  The source side is
-broadcast when small (typical CDC batch ≪ table).
+Broadcast decisions are byte-estimated (rows x schema width), never
+row-counted: wide composite keys on millions of rows fall back to a shuffle
+join instead of blowing the broadcast limit.
 """
 
 from __future__ import annotations
@@ -36,7 +48,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..lakehouse.table import DataFile, LakeTable
+from ..lakehouse.table import (
+    _BROADCAST_BYTES,
+    _est_row_width,
+    DataFile,
+    LakeTable,
+)
 from .project import conform_to_schema
 
 
@@ -45,6 +62,8 @@ class MergeStats:
     candidate_files: int
     rewritten_files: int
     source_rows: int
+    mode: str = "copy-on-write"
+    delete_rows: int = 0
 
 
 def _bounds_overlap(f: DataFile, key_cols: list[str], lo: dict, hi: dict) -> bool:
@@ -67,6 +86,7 @@ def merge_into(
     op_col: str = "__op",
     broadcast_source: bool | None = None,
     summary: dict | None = None,
+    mode: str | None = None,
 ) -> MergeStats:
     """Upsert a deduped source batch into the table (one row per key)."""
     spark = source.sparkSession
@@ -74,11 +94,17 @@ def merge_into(
     key_cols = meta.identifier_fields
     if not key_cols:
         raise ValueError("merge_into requires identifier fields; use append")
+    mode = mode or meta.properties.get("write.upsert.mode", "merge-on-read")
+    if mode not in ("merge-on-read", "copy-on-write"):
+        raise ValueError(f"unknown upsert mode {mode!r}")
 
     schema = meta.schema
     source = conform_to_schema(source, schema, keep_extra=[op_col]).cache()
     try:
-        # --- source key range (one tiny agg) + row count
+        if mode == "merge-on-read":
+            return _merge_mor(table, source, keep_deletes, op_col, summary, key_cols, schema)
+
+        # --- copy-on-write: source key range (one tiny agg) + row count
         aggs = [F.count(F.lit(1)).alias("_n")]
         for k in key_cols:
             aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
@@ -119,16 +145,17 @@ def merge_into(
         # --- exact affected-file set via column-pruned key scan
         src_keys = source.select(*key_cols).dropDuplicates(key_cols)
         if broadcast_source is None:
-            broadcast_source = n_src <= 2_000_000
+            # byte-estimated, not row-counted: wide composite keys on many
+            # rows must take the shuffle path, not blow the broadcast limit
+            key_schema = _key_schema(schema, key_cols)
+            broadcast_source = n_src * _est_row_width(key_schema) <= _BROADCAST_BYTES
         if candidates:
-            keys_scan = (
-                table.scan_files(spark, candidates)
-                .select(*key_cols)
-                .withColumn("_file", F.input_file_name())
-            )
+            keys_scan = table.scan_files(
+                spark, candidates, file_col="_file"
+            ).select(*key_cols, "_file")
             probe = F.broadcast(src_keys) if broadcast_source else src_keys
             affected_paths = {
-                _strip_scheme(r["_file"])
+                r["_file"]
                 for r in keys_scan.join(
                     probe, on=key_cols, how="left_semi"
                 )
@@ -136,9 +163,7 @@ def merge_into(
                 .distinct()
                 .collect()
             }
-            affected = [
-                f for f in candidates if _strip_scheme(f.path) in affected_paths
-            ]
+            affected = [f for f in candidates if f.path in affected_paths]
         else:
             affected = []
 
@@ -164,19 +189,44 @@ def merge_into(
                 summary or {}, operation_detail="merge", source_rows=n_src
             ),
         )
-        return MergeStats(len(candidates), len(affected), n_src)
+        return MergeStats(len(candidates), len(affected), n_src, "copy-on-write")
     finally:
         source.unpersist()
 
 
-def _strip_scheme(p: str) -> str:
-    """Normalize 'file:///x', 'file:/x', '///x' and '/x' to one form so
-    manifest paths (filesystem walk) match input_file_name() paths."""
-    import os
+def _key_schema(schema, key_cols: list[str]):
+    from pyspark.sql import types as T
 
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-    return os.path.normpath(p)
+    return T.StructType([f for f in schema.fields if f.name in key_cols])
+
+
+def _merge_mor(
+    table: LakeTable,
+    source: DataFrame,
+    keep_deletes: bool,
+    op_col: str,
+    summary: dict | None,
+    key_cols: list[str],
+    schema,
+) -> MergeStats:
+    """Merge-on-read upsert: equality-delete the batch's keys + append the
+    surviving rows, one atomic commit, zero files read or rewritten
+    (BaseDeltaTaskWriter.java:60-71: deleteKey then write — unmatched
+    deleteKeys are no-ops, so no match probe is needed at all)."""
+    table_cols = [f.name for f in schema.fields]
+    surviving = (
+        source if keep_deletes else source.filter(F.col(op_col) != F.lit("d"))
+    )
+    # skip the delete file entirely on a first write into an empty table
+    # (nothing older to delete from) — the commit would prune it anyway,
+    # but this also skips staging the extra parquet write
+    empty_table = not table.current_files()
+    added, deleted = table.commit_row_delta(
+        surviving.select(*table_cols),
+        None if empty_table else source.select(*key_cols).dropDuplicates(key_cols),
+        summary=dict(summary or {}, operation_detail="merge-mor"),
+    )
+    return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
 
 
 def merge_dataframes(
@@ -193,14 +243,28 @@ def merge_dataframes(
     The anti-join is the WHEN MATCHED branch collapsed: every matched target
     row is replaced (update/soft-delete) or dropped (hard delete); unmatched
     source rows are the WHEN NOT MATCHED INSERT branch. Source must be
-    deduped to one row per key first (dedup_batch)."""
+    deduped to one row per key first (dedup_batch).
+
+    The source-keys side is broadcast only when Catalyst's own byte estimate
+    says it fits (shuffle-join fallback otherwise — a 5M-row wide-key source
+    must not be forced through the broadcast limit); with no hint, AQE can
+    still convert to broadcast at runtime from the real shuffle size."""
     surviving = (
         source if keep_deletes else source.filter(F.col(op_col) != F.lit("d"))
     )
     target_cols = target.columns
-    kept = target.join(
-        F.broadcast(source.select(*key_cols).dropDuplicates(key_cols)),
-        on=key_cols,
-        how="left_anti",
-    )
+    src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+    size = _plan_size_bytes(src_keys)
+    if size is not None and size <= _BROADCAST_BYTES:
+        src_keys = F.broadcast(src_keys)
+    kept = target.join(src_keys, on=key_cols, how="left_anti")
     return kept.unionByName(surviving.select(*target_cols))
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (the same number its own
+    broadcast planning uses); None when the JVM plan is unreachable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None

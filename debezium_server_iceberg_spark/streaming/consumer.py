@@ -173,12 +173,18 @@ class ChangeConsumer:
                 ),
                 op_col=ic.upsert_op_column,
             )
+            # useDv semantics (IcebergTableWriterFactory.java:97-108):
+            # format v3+ upserts via equality deletes, v2 via copy-on-write
+            mode = ic.upsert_mode or (
+                "merge-on-read" if int(ic.format_version) > 2 else "copy-on-write"
+            )
             stats = merge_into(
                 table,
                 deduped,
                 keep_deletes=ic.upsert_keep_deletes,
                 op_col=ic.upsert_op_column,
                 summary={"epoch_id": epoch_id} if epoch_id is not None else None,
+                mode=mode,
             )
             self._maybe_compact(raw.sparkSession, table)
             return stats.source_rows
@@ -192,8 +198,12 @@ class ChangeConsumer:
 
     def _maybe_compact(self, spark: SparkSession, table) -> None:
         """Scheduled compaction (upsert read-amplification hygiene the
-        reference documents at docs/faq.md:5-7)."""
+        reference documents at docs/faq.md:5-7): bin-pack small data files
+        and, once enough equality-delete files accumulate, materialize the
+        deletes so merge-on-read scan overhead stays bounded."""
         ic = self.config.iceberg
+        if len(table.current_deletes()) >= max(1, ic.rewrite_delete_files_min):
+            table.materialize_deletes(spark)
         n = ic.compact_every_commits
         if not n:
             return

@@ -225,6 +225,104 @@ def test_auto_compaction_in_consumer_loop(spark, warehouse):
     assert len(table.current_files()) < 4
 
 
+def test_mor_upsert_rewrites_zero_files(spark, warehouse):
+    """W7 parity: a small-touch merge-on-read upsert must append new data +
+    an equality-delete file and rewrite NOTHING
+    (IcebergTableWriterFactory.java:97-108, BaseDeltaTaskWriter.java:60-71)."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    base = spark.createDataFrame([(i, f"v{i}", "r") for i in range(20)], schema)
+    t = cat.create_table("ns", "mor", base.schema, identifier_fields=["id"])
+    merge_into(t, base, mode="merge-on-read")
+    files_v1 = {f.path for f in t.current_files()}
+    assert not t.current_deletes()  # first write into empty table: no deletes
+
+    upd = spark.createDataFrame([(5, "updated", "u"), (99, "new", "c")], schema)
+    stats = merge_into(t, upd, mode="merge-on-read")
+    assert stats.rewritten_files == 0
+    assert stats.mode == "merge-on-read"
+    # every original data file is still live, plus the new ones
+    paths_v2 = {f.path for f in t.current_files()}
+    assert files_v1 <= paths_v2
+    assert len(t.current_deletes()) == 1
+
+    got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got[5] == "updated" and got[99] == "new" and len(got) == 21
+    assert t.row_count() == 22  # physical rows: 20 + 2 appended (1 shadowed)
+
+
+def test_mor_hard_and_soft_delete(spark, warehouse):
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    base = spark.createDataFrame([(i, f"v{i}", "r") for i in range(6)], schema)
+
+    t = cat.create_table("ns", "mor_hard", base.schema, identifier_fields=["id"])
+    merge_into(t, base, mode="merge-on-read")
+    dels = spark.createDataFrame([(2, None, "d"), (4, None, "d")], schema)
+    merge_into(t, dels, keep_deletes=False, mode="merge-on-read")
+    assert {r["id"] for r in t.to_df(spark).collect()} == {0, 1, 3, 5}
+
+    t2 = cat.create_table("ns", "mor_soft", base.schema, identifier_fields=["id"])
+    merge_into(t2, base, mode="merge-on-read")
+    merge_into(t2, dels, keep_deletes=True, mode="merge-on-read")
+    got = {r["id"]: r["__op"] for r in t2.to_df(spark).collect()}
+    assert len(got) == 6 and got[2] == "d" and got[4] == "d" and got[0] == "r"
+
+
+def test_mor_time_travel_and_materialize(spark, warehouse):
+    """Historical snapshots apply only their own delete files; materializing
+    purges delete files and leaves identical query results."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    base = spark.createDataFrame([(i, f"v{i}", "r") for i in range(10)], schema)
+    t = cat.create_table("ns", "mor_tt", base.schema, identifier_fields=["id"])
+    merge_into(t, base, mode="merge-on-read")
+    sid_v1 = t.metadata().current_snapshot_id
+
+    for batch in range(3):
+        upd = spark.createDataFrame(
+            [(i, f"b{batch}", "u") for i in range(batch, 10, 3)], schema
+        )
+        merge_into(t, upd, mode="merge-on-read")
+    assert len(t.current_deletes()) == 3
+
+    # time travel: v1 predates every delete file
+    assert {r["v"] for r in t.to_df(spark, snapshot_id=sid_v1).collect()} == {
+        f"v{i}" for i in range(10)
+    }
+    expect = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert len(expect) == 10
+
+    rewritten = t.materialize_deletes(spark)
+    assert rewritten >= 1
+    assert t.current_deletes() == []
+    after = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert after == expect
+    # second call is a no-op
+    assert t.materialize_deletes(spark) == 0
+
+
+def test_consumer_materializes_deletes_at_threshold(spark, warehouse):
+    c = build_consumer(warehouse, rewrite_delete_files_min=2)
+    c.handle_batch(to_df(spark, [customer_event(i, f"v{i}", "c", 1) for i in range(4)]))
+    for ts in (2, 3, 4):
+        c.handle_batch(to_df(spark, [customer_event(1, f"u{ts}", "u", ts)]))
+    table = c.catalog.load_table("debeziumevents", TABLE)
+    # the threshold fired at least once: fewer delete files than update batches
+    assert len(table.current_deletes()) < 3
+    got = {r["id"]: r["first_name"] for r in read_table(c, spark).collect()}
+    assert got[1] == "u4" and len(got) == 4
+
+
 def test_merge_partition_pruning(spark, warehouse):
     """Upsert into a partitioned table: only files of partitions the batch
     touches participate in the rewrite."""
@@ -242,7 +340,10 @@ def test_merge_partition_pruning(spark, warehouse):
         identifier_fields=["id"],
         partition_spec=parse_partition_spec("grp", {"id", "grp", "v"}),
     )
-    merge_into(t, dedup_batch(snap, ["id"], dedup_column="__source_ts_ms"))
+    merge_into(
+        t, dedup_batch(snap, ["id"], dedup_column="__source_ts_ms"),
+        mode="copy-on-write",
+    )
     files_before = t.current_files()
     parts_before = {f.partition["_p_grp"] for f in files_before}
     assert parts_before == {"g0", "g1", "g2"}
@@ -251,7 +352,10 @@ def test_merge_partition_pruning(spark, warehouse):
     upd = spark.createDataFrame(
         [(i, f"g{i % 3}", 1000 + i, "u", 1) for i in range(30) if i % 3 == 1], schema
     )
-    stats = merge_into(t, dedup_batch(upd, ["id"], dedup_column="__source_ts_ms"))
+    stats = merge_into(
+        t, dedup_batch(upd, ["id"], dedup_column="__source_ts_ms"),
+        mode="copy-on-write",
+    )
     g1_files = [f for f in files_before if f.partition["_p_grp"] == "g1"]
     assert stats.candidate_files <= len(g1_files)
     assert stats.rewritten_files <= len(g1_files)
