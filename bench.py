@@ -9,6 +9,11 @@ Query timings cover every driver-gate query (read path + operator
 simulations); the two ``ingest_*`` pseudo-queries measure the real write
 path (append and MERGE upsert into the lakehouse table format) in seconds
 for the orders table converted to CDC events.
+
+Each timing is the MIN of $SPARK_GRAFT_BENCH_REPS runs (default 3) in one
+warm session: min-of-N erases JVM/codegen cold-start landing on whichever
+query happens to run first (the r2/r3 ``cdc_upsert_orders`` 8.6s-vs-2.7s
+artifact) and is the steady-state number a long-lived cluster would see.
 """
 
 from __future__ import annotations
@@ -90,14 +95,23 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    timings["ingest_append"] = round(bench_ingest(spark, sf_dir, upsert=False), 3)
-    timings["ingest_upsert"] = round(bench_ingest(spark, sf_dir, upsert=True), 3)
+    for name, fn in entrymod.queries().items():
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    timings["ingest_append"] = round(
+        min(bench_ingest(spark, sf_dir, upsert=False) for _ in range(reps)), 3
+    )
+    timings["ingest_upsert"] = round(
+        min(bench_ingest(spark, sf_dir, upsert=True) for _ in range(reps)), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(

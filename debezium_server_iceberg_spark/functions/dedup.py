@@ -188,17 +188,20 @@ def minhash_near_dup_pairs(
     )
 
 
-def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, max_rounds: int | None = None) -> DataFrame:
     """Connected components over a near-duplicate pair list -> one cluster
     id (the minimum member) per doc, plus the canonical flag.
 
-    Iterative min-label propagation (the hash-join form of GraphX connected
-    components): every doc starts labeled with itself; each round a doc
-    takes the min of its own and its neighbors' labels; stop when a round
-    changes nothing. Each round is one shuffle keyed by doc; rounds needed
-    = component diameter (near-dup clusters are shallow). The driver only
-    evaluates the single-int "did anything change" aggregate per round —
-    no data is collected.
+    Min-label propagation WITH pointer doubling (the hash-join form of the
+    large-star/small-star CC algorithm, Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round first takes
+    the min over neighbors' labels (small-star), then contracts label
+    chains by substituting every label with its label's label, twice
+    (pointer doubling / large-star). Propagation distance roughly doubles
+    per round, so convergence is O(log diameter) shuffles instead of
+    O(diameter) — a 10k-node path converges in ~a dozen rounds. The driver
+    only evaluates the single-int "did anything change" aggregate per
+    round — no data is collected.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -206,10 +209,32 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
         .distinct()
         .cache()
     )
+    # localCheckpoint (not cache) every round: each round's plan references
+    # the previous one 4x (two nested _shorten self-joins), so without
+    # lineage truncation the analyzed plan grows ~4^rounds and the driver
+    # OOMs on plan analysis long before data size matters
     labels = edges.select(F.col("u").alias("doc")).distinct().withColumn(
         "label", F.col("doc")
-    ).cache()
+    ).localCheckpoint(eager=True)
+
+    def _shorten(lab: DataFrame) -> DataFrame:
+        """Pointer doubling: label <- label[label] (labels form a forest
+        rooted at component minima, so the parent lookup is a self-join)."""
+        parent = lab.select(
+            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        return lab.join(
+            parent, lab.label == parent.p_doc, "left"
+        ).select(
+            "doc",
+            F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+        )
+
+    rounds = 0
     while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(f"did not converge within {max_rounds} rounds")
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc)
             .groupBy("u")
@@ -223,8 +248,8 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .cache()
         )
+        new_labels = _shorten(_shorten(new_labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
@@ -232,17 +257,11 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # truncate the multi-round lineage (standard for iterative algorithms),
-    # then release every cache the loop held — callers get a self-contained
-    # DataFrame and the session keeps no residue
-    final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
     edges.unpersist()
-    return final.select(
+    return labels.select(
         F.col("doc"),
         F.col("label").alias("cluster_id"),
         (F.col("doc") == F.col("label")).alias("is_canonical"),

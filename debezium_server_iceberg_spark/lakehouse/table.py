@@ -860,10 +860,27 @@ def _bounds_intersect(
     return True
 
 
+def bound_key(v: Any) -> Any:
+    """Normalize a value for manifest-bounds storage/comparison. Datetimes
+    become fixed-width naive-UTC strings (lexicographically ordered), so
+    footer stats (tz-aware micros), Spark-collected values (naive), and
+    persisted manifest bounds all compare consistently."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _jsonable(v: Any) -> Any:
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
-    return str(v)
+    v = bound_key(v)
+    return v if isinstance(v, (int, float, str, bool)) else str(v)
 
 
 def _partition_values_from_path(path: str, spec: list[PartitionField]) -> dict[str, Any]:

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..lakehouse.table import (
     _BROADCAST_BYTES,
     _est_row_width,
+    bound_key,
     DataFile,
     LakeTable,
 )
@@ -72,9 +73,11 @@ def _bounds_overlap(f: DataFile, key_cols: list[str], lo: dict, hi: dict) -> boo
         if b is None:
             return True  # no stats -> must assume overlap
         mn, mx = b
-        if k in lo and lo[k] is not None and mx is not None and mx < lo[k]:
+        lk = bound_key(lo.get(k))
+        hk = bound_key(hi.get(k))
+        if lk is not None and mx is not None and mx < lk:
             return False
-        if k in hi and hi[k] is not None and mn is not None and mn > hi[k]:
+        if hk is not None and mn is not None and mn > hk:
             return False
     return True
 

@@ -25,6 +25,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        # INT96 (Spark's legacy default) carries no parquet min/max stats;
+        # micros timestamps give the lakehouse manifest real bounds for
+        # file pruning and are the modern interop encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # driver testdata's events.ts is parquet timestamp[ns]; read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")

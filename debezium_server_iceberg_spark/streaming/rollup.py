@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..lakehouse import LakeCatalog, LakeTable
+from ..lakehouse.table import bound_key
 
 
 ROLLUP_SCHEMA = T.StructType(
@@ -58,28 +59,61 @@ class ContinuousRollup:
         )
 
     def update(self, events: DataFrame) -> None:
-        """Fold one micro-batch into the rollup (additive merge)."""
+        """Fold one micro-batch into the rollup (additive merge).
+
+        File-pruned: the touched bucket set (tiny — buckets in one
+        micro-batch) is checked driver-side against every manifest file's
+        (bucket_start, event_type) min/max bounds; only overlapping files
+        are read, combined, and atomically swapped in a delta commit. Files
+        for untouched buckets are never read OR rewritten, so cost per batch
+        scales with touched buckets, not table size (the same planning model
+        as the MERGE operator, operators/merge.py)."""
         spark = events.sparkSession
+        keys = ["bucket_start", "event_type"]
         delta = self._batch_rollup(events).cache()
         try:
-            if delta.isEmpty():
+            touched = delta.select(*keys).dropDuplicates(keys).collect()
+            if not touched:
                 return
-            current = self.table.to_df(spark)
-            keys = ["bucket_start", "event_type"]
-            touched = delta.select(*keys).dropDuplicates(keys)
-            # untouched buckets keep their rows (never re-read at scale: the
-            # anti join prunes to files whose bucket range overlaps)
-            kept = current.join(F.broadcast(touched), keys, "left_anti")
-            combined = (
-                current.join(F.broadcast(touched), keys, "left_semi")
-                .unionByName(delta)
-                .groupBy(*keys)
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("sum_value").alias("sum_value"),
+            files = self.table.current_files()
+
+            def hit(f) -> bool:
+                bb, be = f.bounds.get("bucket_start"), f.bounds.get("event_type")
+                for r in touched:
+                    b, e = bound_key(r["bucket_start"]), r["event_type"]
+                    if bb is not None and not (bb[0] <= b <= bb[1]):
+                        continue
+                    if be is not None and not (be[0] <= e <= be[1]):
+                        continue
+                    return True
+                return False
+
+            affected = [f for f in files if hit(f)]
+            if affected:
+                current = self.table.scan_files(spark, affected)
+                touched_df = F.broadcast(delta.select(*keys).dropDuplicates(keys))
+                kept = current.join(touched_df, keys, "left_anti")
+                combined = (
+                    current.join(touched_df, keys, "left_semi")
+                    .unionByName(delta)
+                    .groupBy(*keys)
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("sum_value").alias("sum_value"),
+                    )
                 )
+                new_data = kept.unionByName(combined)
+            else:
+                new_data = delta
+            self.table.commit_delta(
+                new_data,
+                [f.path for f in affected],
+                summary={
+                    "operation_detail": "rollup-update",
+                    "touched_buckets": len(touched),
+                    "pruned_files": len(files) - len(affected),
+                },
             )
-            self.table.overwrite(kept.unionByName(combined))
         finally:
             delta.unpersist()
 

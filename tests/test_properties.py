@@ -151,3 +151,25 @@ def test_near_dup_clusters_connected_components(spark):
         10: (10, True), 11: (10, False),
         20: (20, True), 21: (20, False), 22: (20, False),
     }
+
+
+def test_near_dup_clusters_pointer_doubling_long_chain(spark):
+    """A 10k-node path graph (worst-case diameter) must converge in
+    O(log d) rounds — the pointer-doubling guarantee; plain min-label
+    propagation would need ~10k rounds."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.functions.dedup import near_dup_clusters
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = near_dup_clusters(pairs, max_rounds=14)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("clusters"),
+        F.sum(F.col("is_canonical").cast("int")).alias("canon"),
+        F.min("cluster_id").alias("root"),
+    ).collect()[0]
+    assert (agg["n"], agg["clusters"], agg["canon"], agg["root"]) == (n, 1, 1, 0)

@@ -246,3 +246,48 @@ def test_continuous_rollup_incremental(spark, tmp_path):
         (11, "view"): (1, 4.0),
         (12, "view"): (1, 7.0),
     }
+
+
+def test_continuous_rollup_prunes_untouched_files(spark, tmp_path):
+    """An update touching 1 bucket must leave every other data file's path
+    unchanged in the new manifest (file-pruned delta, not a table rewrite)."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.streaming.rollup import ContinuousRollup
+
+    from debezium_server_iceberg_spark.streaming.rollup import ROLLUP_SCHEMA
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    # rolling-file cap so the tiny fixture still yields several
+    # range-clustered files (at scale the range shuffle does this naturally)
+    cat.create_table(
+        "rollups", "events_hourly", ROLLUP_SCHEMA,
+        identifier_fields=["bucket_start", "event_type"],
+        properties={"write.max-records-per-file": "8"},
+    )
+    roll = ContinuousRollup(cat)
+    # 48 buckets across 2 days -> several range-clustered files
+    b1 = _events_df(
+        spark,
+        [
+            (i, _ts(f"2024-01-0{1 + i // 24}T{i % 24:02d}:30:00"), 1, "click", 1.0)
+            for i in range(48)
+        ],
+    )
+    roll.update(b1)
+    before = {f.path for f in roll.table.current_files()}
+    assert len(before) > 1, "need multiple files for pruning to be observable"
+
+    b2 = _events_df(spark, [(99, _ts("2024-01-01T05:45:00"), 2, "click", 9.0)])
+    roll.update(b2)
+    after = {f.path for f in roll.table.current_files()}
+    kept = before & after
+    # every file except the one(s) covering the 05:00 bucket survives untouched
+    assert len(before) - len(kept) <= 1
+    snap = roll.table.metadata().snapshots[-1]
+    assert snap.summary["pruned_files"] >= len(before) - 1
+    got = {
+        (r["bucket_start"].day, r["bucket_start"].hour): (r["n"], r["sum_value"])
+        for r in roll.to_df(spark).collect()
+    }
+    assert got[(1, 5)] == (2, 10.0)
+    assert len(got) == 48
