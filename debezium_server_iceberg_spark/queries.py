@@ -849,7 +849,7 @@ def setops_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     full_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    ex = open_c.exceptAll(full_c.intersect(open_c)).agg(
+    ex = open_c.exceptAll(full_c).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("open_not_full").alias("kind"), "n")
     inter = open_c.intersect(full_c).agg(F.count(F.lit(1)).alias("n")).select(
@@ -2071,11 +2071,18 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts3"))
     )
-    n1 = t1.filter(F.col("ts1").isNotNull()).count()
-    n2 = t2.count()
-    n3 = t3.count()
-    return spark.createDataFrame(
-        [(n1, n2, n3)], "n_signup long, n_signup_then_click long, n_full_funnel long"
+    # one plan, one job: stage frames left-join per user (t3 users ⊆ t2 ⊆ t1)
+    # and a single aggregate counts the non-null stage timestamps — no
+    # driver-side .count() round-trips
+    return (
+        t1.filter(F.col("ts1").isNotNull())
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("ts1").alias("n_signup"),
+            F.count("ts2").alias("n_signup_then_click"),
+            F.count("ts3").alias("n_full_funnel"),
+        )
     )
 
 
@@ -2106,18 +2113,17 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "P")
         .select("o_custkey")
     )
-    stat = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            F.sum(_money(F.col("c_acctbal"))).cast("double").alias("s"),
-            F.count(F.lit(1)).alias("n"),
+    # the 1-row threshold stays in the DAG (broadcast cross join) instead of
+    # a driver .collect() round-trip — one job, no literal baked into the plan
+    stat = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_money(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+            "_threshold"
         )
-        .collect()[0]
     )
-    threshold = stat["s"] / stat["n"]
     return (
-        cust.filter(F.col("c_acctbal") > threshold)
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.crossJoin(F.broadcast(stat))
+        .filter(F.col("c_acctbal") > F.col("_threshold"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -67,3 +67,22 @@ def test_semi_and_anti_join_strategies(spark, fns):
     anti = _optimized(fns["anti_customers_without_orders"](spark, SF))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_q22_threshold_stays_in_dag(spark, fns):
+    """The scalar average-balance threshold must be a broadcast join input,
+    not a driver-collected literal baked into the filter (single DAG)."""
+    plan = _plan(fns["q22_idle_balances"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cross join
+    # the comparison is against the in-plan column, not a collected literal
+    assert "> _threshold" in plan
+
+
+def test_funnel_is_single_plan(spark, fns):
+    """All three funnel stage counts come from one aggregate over the joined
+    stage frames — no driver-side .count() per stage, no LocalTableScan of
+    pre-collected numbers."""
+    df = fns["funnel_signup_click_purchase"](spark, SF)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert plan.count("Scan parquet") >= 3  # stages read events in-plan

@@ -50,7 +50,9 @@ def _norm_cell(v, huge=False):
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        # propagate huge: a HUGEINT nested in a LIST column must get the
+        # same float normalization as a top-level one (ADVICE r3)
+        return "[" + ",".join(_norm_cell(x, huge) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -86,9 +88,12 @@ def main() -> int:
     # themselves.  Round 1 missed that because this tool used get_spark().
     # getOrCreate() silently reuses any live session with its configs, which
     # would void the vanilla-conf guarantee — stop it first (ADVICE r2).
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
+    # stop both the thread-local active session AND the process-wide default:
+    # a session created in another thread is invisible to getActiveSession()
+    # but still reused by getOrCreate() (ADVICE r3)
+    for live in (SparkSession.getActiveSession(), SparkSession._instantiatedSession):
+        if live is not None:
+            live.stop()
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
@@ -126,7 +131,9 @@ def main() -> int:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
             huge_cols = {
-                c for c, t in zip(d_cols, rel.types) if str(t).upper() == "HUGEINT"
+                # substring match catches nested types too: 'HUGEINT[]',
+                # 'STRUCT(x HUGEINT)' (ADVICE r3)
+                c for c, t in zip(d_cols, rel.types) if "HUGEINT" in str(t).upper()
             }
             d_rows = rel.fetchall()
         except Exception as e:
