@@ -32,6 +32,7 @@ from .functions.text import (
 )
 from .operators.dedup import dedup_batch, op_priority_col
 from .operators.merge import merge_dataframes
+from .schema.converter import DebeziumSchemaConverter
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1307,6 +1308,77 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_money(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_orderdate"),
+    )
+
+
+@_register(
+    "cdc_struct_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           strftime(max(date_trunc('second', o_orderdate)), '%Y-%m-%d %H:%M:%S') AS max_orderdate
+    FROM orders WHERE o_orderkey % 100 = 0 GROUP BY o_orderstatus
+    """,
+)
+def cdc_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: one bounded engine batch of Connect-Struct events
+    (typed Python values — datetime, Decimal — standing in for Kafka Connect
+    Structs) through StructSchemaConverter + the wire serializer + the
+    columnar parse, then aggregated.  The driver-side batch is the format's
+    contract: the embedded engine hands the consumer at most max.batch.size
+    in-memory Structs per batch (BatchConfig.java:16-18); everything after
+    ``struct_events_to_df`` is distributed."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    from .sources.connect_struct import (
+        ConnectSchema as CS,
+        StructEvent,
+        parse_struct_events,
+    )
+
+    vschema = CS.struct(
+        [
+            ("o_orderkey", CS.primitive("int64", optional=False)),
+            ("o_orderstatus", CS.primitive("string")),
+            ("o_totalprice", CS.primitive(
+                "bytes", name="org.apache.kafka.connect.data.Decimal",
+                parameters={"scale": "2", "connect.decimal.precision": "18"})),
+            ("o_orderdate", CS.primitive(
+                "int64", name="io.debezium.time.MicroTimestamp")),
+            ("__op", CS.primitive("string", optional=False)),
+        ],
+        name="Value",
+    )
+    kschema = CS.struct([("o_orderkey", CS.primitive("int64", optional=False))])
+    batch = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    events = [
+        StructEvent(
+            "srv.public.orders",
+            {"o_orderkey": r["o_orderkey"]},
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": _Dec(str(r["o_totalprice"])),
+                "o_orderdate": r["o_orderdate"],
+                "__op": "r",
+            },
+            kschema,
+            vschema,
+        )
+        for r in batch
+    ]
+    conv = DebeziumSchemaConverter(decimal_handling_mode="precise")
+    typed, _ = parse_struct_events(spark, events, conv)
+    return typed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_orderdate"),
     )
 
