@@ -51,6 +51,45 @@ def read_events_stream(spark: SparkSession, path: str, max_files: int | None = N
     return reader.json(path)
 
 
+def kafka_to_envelope(kafka_df: DataFrame) -> DataFrame:
+    """Kafka wire rows -> raw envelope rows (the S1 transport contract).
+
+    Works on any DataFrame bearing Kafka's source schema (topic string,
+    key/value binary, plus partition/offset/timestamp metadata, which are
+    dropped): Debezium topic = routing destination, key/value = UTF-8 JSON
+    envelope bytes.  Null tombstone values pass through as null ``value``
+    (the consumer's heartbeat/route filters handle them downstream)."""
+    return kafka_df.selectExpr(
+        "topic AS destination",
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+    )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    max_offsets_per_trigger: int | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Streaming Kafka source of raw envelope rows.
+
+    Needs the spark-sql-kafka connector jar on the classpath (not bundled in
+    this environment — the reader builds lazily, so construction succeeds and
+    stream start raises a clear error if the jar is absent).
+    ``maxOffsetsPerTrigger`` is max.batch.size (BatchConfig.java:16-18)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return kafka_to_envelope(reader.load())
+
+
 # --------------------------------------------------------------- inference
 
 
