@@ -2219,10 +2219,36 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("item_id", "out_width", "out_height", "resized_sha256")
 
 
-@_register("multimodal_audio_features", None)
+@_register(
+    "multimodal_audio_features",
+    """
+    WITH h AS (
+      SELECT doc_id AS item_id,
+             hex(encode(coalesce(text, ''))) AS hx,
+             octet_length(encode(coalesce(text, ''))) AS n,
+             sha256(coalesce(text, '')) AS sha
+      FROM documents WHERE doc_id % 10 = 0
+    ), bytes AS (
+      SELECT item_id,
+             (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1 AS b
+      FROM h, unnest(range(n)) AS t(i)
+    ), rms AS (
+      SELECT item_id, sqrt(avg((b - 128.0) * (b - 128.0))) AS r
+      FROM bytes GROUP BY item_id
+    )
+    SELECT h.item_id, h.n AS n_bytes, h.n // 32 AS est_duration_ms,
+           round(coalesce(rms.r, 0.0), 6) AS rms_proxy,
+           h.sha AS sha256,
+           CASE WHEN h.n = 0 THEN 'empty' ELSE 'fake-bytes' END AS decoder
+    FROM h LEFT JOIN rms ON h.item_id = rms.item_id
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-feature plumbing (duration estimate + RMS proxy) over
-    mapInPandas with numpy per batch; decode stubbed."""
+    mapInPandas with numpy per batch; decode stubbed deterministically over
+    the raw bytes — which DuckDB can recompute (hex pair decode -> per-byte
+    RMS), making the Arrow batch path oracle-checkable like the image one."""
     from .functions.multimodal import as_binary_items, audio_features
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
@@ -2273,10 +2299,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_image_features", None)
+@_register(
+    "multimodal_image_features",
+    """
+    WITH b AS (
+      SELECT doc_id AS item_id,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             sha256(coalesce(text, '')) AS sha
+      FROM documents
+    ), d AS (
+      SELECT item_id, n_bytes, sha,
+        (strpos('0123456789abcdef', substr(sha,1,1))-1)*16
+          + strpos('0123456789abcdef', substr(sha,2,1))-1 AS b0,
+        (strpos('0123456789abcdef', substr(sha,3,1))-1)*16
+          + strpos('0123456789abcdef', substr(sha,4,1))-1 AS b1,
+        (strpos('0123456789abcdef', substr(sha,5,1))-1)*16
+          + strpos('0123456789abcdef', substr(sha,6,1))-1 AS b2
+      FROM b
+    )
+    SELECT item_id, n_bytes, sha AS sha256,
+           CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + b0 % 192 END AS width,
+           CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + b1 % 192 END AS height,
+           CASE WHEN n_bytes = 0 THEN 0 ELSE 1 + b2 % 4 END AS channels,
+           CASE WHEN n_bytes = 0 THEN 'empty' ELSE 'fake-deterministic' END AS decoder
+    FROM d
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column multimodal plumbing over mapInPandas (decode stubbed
-    deterministically — no media libs in this environment)."""
+    """Binary-column multimodal plumbing over mapInPandas.  The decode is a
+    documented deterministic stub (no media libs in this environment) whose
+    pseudo-dims derive from the content sha256 — which makes the whole
+    Arrow-batched path ORACLE-CHECKABLE: DuckDB recomputes byte stats, hash,
+    and the same hash-derived dims in SQL, so schema/partitioning/UDF
+    plumbing errors (byte mangling, row drops, column misalignment) surface
+    as hash mismatches even though no real pixels are decoded."""
     from .functions.multimodal import as_binary_items, image_features
 
     docs = _t(spark, sf_dir, "documents")
