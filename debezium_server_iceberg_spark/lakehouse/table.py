@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid as uuidlib
 from dataclasses import dataclass, field as dc_field
@@ -405,11 +406,15 @@ class LakeTable:
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(staging)
+            return self._collect_stats(df.sparkSession, staging, meta)
+        except Exception:
+            # abort: a failed stage leaves no orphan files behind (W12,
+            # writer.abort() — IcebergTableOperator.java:229-237)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         finally:
             if cached is not None:
                 cached.unpersist()
-
-        return self._collect_stats(df.sparkSession, staging, meta)
 
     def _collect_stats(
         self, spark: SparkSession, staging: str, meta: TableMetadata
@@ -491,18 +496,43 @@ class LakeTable:
             files.append(DataFile(path, row["_rows"], partition, bounds, nbytes))
         return files
 
+    def _abort_staged(
+        self, add: list[DataFile], deletes: list[DeleteFile] | None = None
+    ) -> None:
+        """Discard staged-but-uncommitted files (W12 abort path: the
+        reference's writer.abort(), IcebergTableOperator.java:229-237).
+        Staged files live under a per-write uuid directory inside data_dir;
+        removing those roots cannot touch committed files, which are never
+        re-staged."""
+        roots: set[str] = set()
+        for f in list(add) + list(deletes or []):
+            rel = os.path.relpath(f.path, self.data_dir)
+            top = rel.split(os.sep)[0]
+            if top and top != "..":
+                roots.add(os.path.join(self.data_dir, top))
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
     def append(self, df: DataFrame, summary: dict | None = None) -> None:
         """Append commit (reference AppendFiles, IcebergTableOperator.java:224-228)."""
         meta = self.metadata()
         add = self._stage_write(df, meta)
-        self._commit_snapshot("append", add, set(), summary)
+        try:
+            self._commit_snapshot("append", add, set(), summary)
+        except Exception:
+            self._abort_staged(add)
+            raise
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> None:
         """Full-table overwrite (reference OverwriteFiles alwaysTrue,
         IcebergOffsetBackingStore.java:219-223)."""
         meta = self.metadata()
         add = self._stage_write(df, meta)
-        self._commit_snapshot("overwrite", add, set(), summary)
+        try:
+            self._commit_snapshot("overwrite", add, set(), summary)
+        except Exception:
+            self._abort_staged(add)
+            raise
 
     def commit_delta(
         self,
@@ -520,9 +550,13 @@ class LakeTable:
             if add_df is not None
             else []
         )
-        self._commit_snapshot(
-            "delta", add, set(remove_paths), summary, drop_deletes=drop_deletes
-        )
+        try:
+            self._commit_snapshot(
+                "delta", add, set(remove_paths), summary, drop_deletes=drop_deletes
+            )
+        except Exception:
+            self._abort_staged(add)
+            raise
 
     def commit_row_delta(
         self,
@@ -548,30 +582,39 @@ class LakeTable:
         add_deletes: list[DeleteFile] = []
         if delete_keys_df is not None:
             staging = os.path.join(self.data_dir, "deletes-" + uuidlib.uuid4().hex)
-            # few small files per batch: a CDC batch's distinct keys are tiny
-            # relative to the table; key-clustered + sorted so footer min/max
-            # bounds are tight for scan-side pruning (callers size
-            # delete_target_files up for snapshot-load-sized batches)
-            keys = delete_keys_df.select(*key_cols)
-            keys = (
-                keys.repartitionByRange(delete_target_files, *key_cols)
-                if delete_target_files > 1
-                else keys.coalesce(1)
-            )
-            (
-                keys.sortWithinPartitions(*key_cols)
-                .write.mode("error")
-                .parquet(staging)
-            )
-            for f in self._collect_stats(
-                (add_df or delete_keys_df).sparkSession, staging, meta
-            ):
-                add_deletes.append(
-                    DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
+            try:
+                # few small files per batch: a CDC batch's distinct keys are
+                # tiny relative to the table; key-clustered + sorted so footer
+                # min/max bounds are tight for scan-side pruning (callers size
+                # delete_target_files up for snapshot-load-sized batches)
+                keys = delete_keys_df.select(*key_cols)
+                keys = (
+                    keys.repartitionByRange(delete_target_files, *key_cols)
+                    if delete_target_files > 1
+                    else keys.coalesce(1)
                 )
-        self._commit_snapshot(
-            "rowdelta", add, set(), summary, add_deletes=add_deletes
-        )
+                (
+                    keys.sortWithinPartitions(*key_cols)
+                    .write.mode("error")
+                    .parquet(staging)
+                )
+                for f in self._collect_stats(
+                    (add_df or delete_keys_df).sparkSession, staging, meta
+                ):
+                    add_deletes.append(
+                        DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
+                    )
+            except Exception:
+                self._abort_staged(add)
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+        try:
+            self._commit_snapshot(
+                "rowdelta", add, set(), summary, add_deletes=add_deletes
+            )
+        except Exception:
+            self._abort_staged(add, add_deletes)
+            raise
         return (sum(f.rows for f in add), sum(d.rows for d in add_deletes))
 
     def update_schema(self, new_schema: T.StructType) -> None:

@@ -260,6 +260,33 @@ class ChangeConsumer:
             writer = writer.trigger(processingTime=trig)
         return writer.start()
 
+    @staticmethod
+    def drain(query, timeout_seconds: float = 30.0) -> bool:
+        """Graceful shutdown (T9): finish everything already available, then
+        stop — the executor-drain-with-30s-timeout of
+        IcebergChangeConsumer.java:118-132 in streaming terms. In-flight
+        micro-batches commit before the query stops, so the checkpoint holds
+        their offsets and a restart resumes exactly after them. Returns True
+        when the drain completed inside the timeout (the query is stopped
+        either way — data loss is impossible, at worst the final batch
+        replays into idempotent MERGE commits on restart)."""
+        import threading
+
+        done = threading.Event()
+
+        def wait_available() -> None:
+            try:
+                query.processAllAvailable()
+            finally:
+                done.set()
+
+        t = threading.Thread(target=wait_available, daemon=True)
+        t.start()
+        finished = done.wait(timeout_seconds)
+        query.stop()
+        t.join(timeout=5)
+        return finished
+
     # ------------------------------------------------------------- read side
 
     def table_df(self, spark: SparkSession, table_name: str):

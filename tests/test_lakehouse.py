@@ -160,3 +160,40 @@ def test_table_history_surface(spark, warehouse):
     assert [h["operation"] for h in hist] == ["append", "overwrite"]
     assert hist[1]["total_rows"] == 1
     assert hist[0]["snapshot_id"] < hist[1]["snapshot_id"]
+
+
+def test_abort_cleans_staged_files(spark, warehouse, monkeypatch):
+    """W12: a failed commit leaves zero uncommitted files on disk, and a
+    subsequent write succeeds untouched (writer.abort() parity)."""
+    import os
+
+    from debezium_server_iceberg_spark.lakehouse import table as table_mod
+
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "abort_t", SCHEMA, identifier_fields=["id"])
+    df = spark.createDataFrame([(1, "a", None), (2, "b", None)], SCHEMA)
+    t.append(df)
+    committed = {f.path for f in t.current_files()}
+
+    def boom(*a, **k):
+        raise table_mod.CommitConflict("synthetic")
+
+    monkeypatch.setattr(t, "_commit_snapshot", boom)
+    with pytest.raises(table_mod.CommitConflict):
+        t.append(spark.createDataFrame([(3, "c", None)], SCHEMA))
+    with pytest.raises(table_mod.CommitConflict):
+        t.commit_row_delta(
+            spark.createDataFrame([(4, "d", None)], SCHEMA),
+            spark.createDataFrame([(4, "d", None)], SCHEMA),
+        )
+    monkeypatch.undo()
+
+    on_disk = set()
+    for root, _dirs, names in os.walk(t.data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(os.path.join(root, n))
+    assert on_disk == committed  # no orphans from the two aborted writes
+
+    t.append(spark.createDataFrame([(5, "e", None)], SCHEMA))
+    assert t.row_count() == 3

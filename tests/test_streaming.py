@@ -291,3 +291,29 @@ def test_continuous_rollup_prunes_untouched_files(spark, tmp_path):
     }
     assert got[(1, 5)] == (2, 10.0)
     assert len(got) == 48
+
+
+def test_graceful_drain_commits_pending_then_stops(spark, tmp_path):
+    """T9: drain() processes everything already available before stopping,
+    and a restart on the same checkpoint reprocesses nothing."""
+    import os
+
+    wh, indir, ckpt = str(tmp_path / "wh"), str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(indir)
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = wh
+    c = ChangeConsumer(cfg)
+    q = c.run_stream(spark, indir, ckpt)
+    write_jsonl(
+        [customer_event(i, f"v{i}", op="c", ts_ms=1) for i in range(8)],
+        f"{indir}/b1.jsonl",
+    )
+    assert ChangeConsumer.drain(q, timeout_seconds=120) is True
+    assert not q.isActive
+    assert c.table_df(spark, "testc_inventory_customers_upsert").count() == 8
+
+    # restart: checkpoint already covers the drained batch
+    q2 = c.run_stream(spark, indir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert c.table_df(spark, "testc_inventory_customers_upsert").count() == 8
