@@ -2360,6 +2360,7 @@ _CHECK_PRIORITY = [
     "cdc_route_by_destination",
     "cdc_soft_delete_orders",
     "cdc_envelope_roundtrip",
+    "cdc_struct_roundtrip",
     "cdc_schema_evolution",
     # TPC-H relational core (scan/filter/join/agg/semi/anti/having/subquery)
     "q1_pricing_summary",
@@ -2403,15 +2404,17 @@ _CHECK_PRIORITY = [
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "embedding_cosine_near_dup",
-    # similarity / approximate
+    # similarity / approximate (ann_ivf_topk / approx_distinct_parts are
+    # no-oracle rows-only checks — they yield their driver slots to
+    # oracle-backed queries and stay covered by pytest + the local
+    # full-registry artifact)
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "approx_distinct_parts",
     # scalar function showcases
     "string_functions_showcase",
     "date_functions_showcase",
-    # multimodal representative (weak rows-only check)
+    # multimodal (both oracle-backed: stubs are deterministic byte functions)
     "multimodal_image_features",
+    "multimodal_audio_features",
 ]
 
 

@@ -74,6 +74,7 @@ def value_hash(rows: list[tuple], colnames: list[str], huge_cols=()) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--out", default=None, help="write driver-shaped results JSON here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -112,6 +113,18 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
     failures = 0
+    results: dict[str, dict] = {}
+
+    def record(name, rows_match, schema_match, hash_match, s_rows, d_rows, err):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": s_rows,
+            "oracle_rows": d_rows,
+            "err": err,
+        }
+
     for name in names:
         fn = qs[name]
         t0 = time.time()
@@ -121,11 +134,13 @@ def main() -> int:
             s_cols = sdf.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, None, None, None, None, None, f"spark error: {e}")
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle) [{t_spark:.1f}s]")
+            record(name, None, None, None, len(s_rows), None, "no_oracle")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -138,6 +153,7 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, None, None, None, len(s_rows), None, f"duckdb error: {e}")
             failures += 1
             continue
         problems = []
@@ -163,12 +179,27 @@ def main() -> int:
                         print(f"      spark : {a[:220]}")
                         print(f"      duckdb: {b[:220]}")
                         break
+        record(
+            name,
+            len(s_rows) == len(d_rows),
+            sorted(s_cols) == sorted(d_cols),
+            not problems,
+            len(s_rows),
+            len(d_rows),
+            None,
+        )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{t_spark:.1f}s]")
             failures += 1
         else:
             print(f"ok    {name}: rows={len(s_rows)} [{t_spark:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.out:
+        import json as _json
+
+        with open(args.out, "w") as fh:
+            _json.dump(results, fh, indent=2)
+        print(f"wrote {args.out}")
     return 1 if failures else 0
 
 
