@@ -31,7 +31,12 @@ class SchemaHistoryStore:
         from datetime import datetime, timezone
 
         now = datetime.now(timezone.utc)
-        rows = [(str(uuid.uuid4()), r, now) for r in records]
+        # rows of one batch share a timestamp; an index-prefixed id keeps
+        # recover()'s (ts, id) ordering equal to append order within a batch
+        rows = [
+            (f"{i:08d}-{uuid.uuid4().hex[:12]}", r, now)
+            for i, r in enumerate(records)
+        ]
         self.table.append(spark.createDataFrame(rows, _SCHEMA))
 
     def recover(self, spark: SparkSession) -> list[str]:
