@@ -65,6 +65,13 @@ class IcebergSinkConfig:
     # overhead the same way the reference's documented compaction does
     rewrite_delete_files_min: int = 8
 
+    # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
+    # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;
+    # failures never fail the batch
+    openlineage_enabled: bool = False
+    openlineage_file: str = ""
+    openlineage_url: str = ""
+
 
 @dataclass
 class DebeziumFormatConfig:

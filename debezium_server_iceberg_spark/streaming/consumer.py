@@ -62,6 +62,15 @@ class ChangeConsumer:
             create_identifier_fields=ic.create_identifier_fields,
             nested_as_variant=ic.nested_as_variant,
         )
+        self.lineage = None
+        if ic.openlineage_enabled:
+            from .lineage import OpenLineageEmitter
+
+            self.lineage = OpenLineageEmitter(
+                dataset_namespace=ic.namespace,
+                file_path=ic.openlineage_file,
+                url=ic.openlineage_url,
+            )
 
     # ------------------------------------------------------------ batch path
 
@@ -90,9 +99,37 @@ class ChangeConsumer:
                         result.tables_written[d] = fut.result(
                             timeout=cfg.batch.upload_timeout_minutes * 60
                         )
+            self._emit_lineage(result)
             return result
         finally:
             raw.unpersist()
+
+    def _emit_lineage(self, result: BatchResult) -> None:
+        """Post-commit OpenLineage event (W16): one RunEvent per batch with
+        an output dataset + schema facet per written table; never raises
+        (IcebergTableOperator.java:242-248)."""
+        if self.lineage is None or not result.tables_written:
+            return
+        ic = self.config.iceberg
+        outputs = []
+        for dest, rows in result.tables_written.items():
+            if rows <= 0:
+                continue
+            try:
+                name = map_destination(
+                    dest,
+                    table_prefix=ic.table_prefix,
+                    destination_regexp=ic.destination_regexp,
+                    destination_regexp_replace=ic.destination_regexp_replace,
+                    uppercase=ic.destination_uppercase,
+                    lowercase=ic.destination_lowercase,
+                )
+                schema = self.catalog.load_table(ic.namespace, name).metadata().schema
+                outputs.append(self.lineage.dataset(name, schema))
+            except Exception:
+                continue
+        if outputs:
+            self.lineage.emit(outputs)
 
     @staticmethod
     def _epoch_already_applied(table, epoch_id: int | None) -> bool:

@@ -217,3 +217,46 @@ def test_multimodal_resize_and_audio_stubs(spark):
     assert au[1]["n_bytes"] == 21 and au[1]["est_duration_ms"] == 0
     assert au[1]["rms_proxy"] > 0
     assert au[2]["decoder"] == "empty"
+
+
+def test_openlineage_emission_per_batch(spark, tmp_path):
+    """W16: a committed batch emits one OpenLineage RunEvent per batch with
+    an output dataset + schema facet per written table; transport failure
+    never fails the batch."""
+    import json
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+    from tests.fixtures import customer_event, write_jsonl
+    from debezium_server_iceberg_spark.sources.debezium_json import read_events_jsonl
+
+    lineage_file = str(tmp_path / "lineage.jsonl")
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = str(tmp_path / "wh")
+    cfg.iceberg.openlineage_enabled = True
+    cfg.iceberg.openlineage_file = lineage_file
+    c = ChangeConsumer(cfg)
+    write_jsonl(
+        [customer_event(i, f"v{i}", op="c", ts_ms=1) for i in range(3)],
+        str(tmp_path / "b1.jsonl"),
+    )
+    c.handle_batch(read_events_jsonl(spark, str(tmp_path / "b1.jsonl")))
+
+    events = [json.loads(l) for l in open(lineage_file)]
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["eventType"] == "RUNNING" and ev["run"]["runId"]
+    assert ev["job"]["namespace"] == "debezium-server-iceberg-spark"
+    (out,) = ev["outputs"]
+    assert out["name"] == "testc_inventory_customers_upsert"
+    fields = {f["name"] for f in out["facets"]["schema"]["fields"]}
+    assert {"id", "first_name", "__op"} <= fields
+
+    # unreachable HTTP endpoint: emit returns False, batch still commits
+    cfg2 = EngineConfig()
+    cfg2.iceberg.warehouse = str(tmp_path / "wh2")
+    cfg2.iceberg.openlineage_enabled = True
+    cfg2.iceberg.openlineage_url = "http://127.0.0.1:1/nope"
+    c2 = ChangeConsumer(cfg2)
+    r = c2.handle_batch(read_events_jsonl(spark, str(tmp_path / "b1.jsonl")))
+    assert r.tables_written == {"testc.inventory.customers_upsert": 3}
