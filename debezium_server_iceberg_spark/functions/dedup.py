@@ -276,14 +276,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     toks = _doc_tokens(df, text_col, id_col).select(
         "doc", F.md5("tok").alias("h1"), F.md5(F.concat(F.lit("x:"), F.col("tok"))).alias("h2")
     )
+    # bit-vote extraction done with integer ops, not 64 substring+isin string
+    # scans per token: each md5 splits into 4 conv()'d 8-hex-digit chunks
+    # (32-bit longs); hex digit j of a chunk is >= '8' iff bit 4*(7-j)+3 is
+    # set. Results are bit-identical to the string form (same md5 parity the
+    # DuckDB oracle computes) at ~3x less per-token work.
+    chunks = toks.select(
+        "doc",
+        *[
+            F.conv(F.substring(h, 8 * k + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c{j * 4 + k}")
+            for j, h in enumerate(("h1", "h2"))
+            for k in range(4)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v{j * 32 + i}")
-        for j, h in enumerate(("h1", "h2"))
-        for i in range(32)
+            F.shiftright(F.col(f"c{i // 8}"), 4 * (7 - i % 8) + 3).bitwiseAND(1) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(64)
     ]
-    agg = toks.groupBy("doc").agg(*votes)
+    agg = chunks.groupBy("doc").agg(*votes)
     bits = F.concat(
         *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
     )
@@ -305,40 +319,50 @@ def simhash_near_dup_pairs(
     O(n²)."""
     if max_hamming > 3:
         raise ValueError("banding is exact only for max_hamming <= 3")
-    # cached: the band self-join and both agreement sides reuse the signature
-    sig = simhash64(df, text_col, id_col).cache()  # (doc, '0'/'1' * 64)
-    bands = sig.select(
+    # signature bands as 16-bit INTEGERS, not 16-char substrings: the band
+    # self-join shuffles (long, long) keys instead of strings, and the exact
+    # Hamming distance collapses to 4 bit_count(XOR) ops instead of 64
+    # positional string compares — results bit-identical to the string form
+    # (the DuckDB oracle keeps comparing the '0'/'1' signature).
+    sig = simhash64(df, text_col, id_col)
+    sigi = sig.select(
         "doc",
-        "simhash",
+        *[
+            F.conv(F.substring("simhash", 16 * b + 1, 16), 2, 10)
+            .cast("long")
+            .alias(f"sb{b}")
+            for b in range(4)
+        ],
+    ).cache()
+    bands = sigi.select(
+        "doc", "sb0", "sb1", "sb2", "sb3",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("simhash", 16 * b + 1, 16).alias("bits"),
-                    )
+                    F.struct(F.lit(b).alias("band"), F.col(f"sb{b}").alias("bits"))
                     for b in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    ).select("doc", "sb0", "sb1", "sb2", "sb3", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     right = bands.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+        F.col("doc").alias("doc_b"), "band", "bits",
+        *[F.col(f"sb{b}").alias(f"tb{b}") for b in range(4)],
     )
     cand = (
         bands.join(right, on=["band", "bits"])
         .filter(F.col("doc") < F.col("doc_b"))
-        .select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "doc_b", "sim_b")
-        .distinct()
+        .select(
+            F.col("doc").alias("doc_a"), "doc_b",
+            "sb0", "sb1", "sb2", "sb3", "tb0", "tb1", "tb2", "tb3",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact Hamming distance: 64 positional compares (codegen'd; identical
-    # form to the SQL oracle)
     diff = sum(
-        (F.substring("sim_a", i + 1, 1) != F.substring("sim_b", i + 1, 1)).cast("int")
-        for i in range(64)
+        F.bit_count(F.col(f"sb{b}").bitwiseXOR(F.col(f"tb{b}"))) for b in range(4)
     )
     return (
-        cand.withColumn("hamming", diff)
+        cand.withColumn("hamming", diff.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
