@@ -226,7 +226,7 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int | None = None) -> DataFr
         return lab.join(
             parent, lab.label == parent.p_doc, "left"
         ).select(
-            "doc",
+            *[c for c in lab.columns if c != "label"],  # carries prev through
             F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
         )
 
@@ -244,20 +244,17 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int | None = None) -> DataFr
             labels.join(neighbor_min, labels.doc == neighbor_min.u, "left")
             .select(
                 "doc",
+                F.col("label").alias("prev"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
             )
         )
+        # the previous label rides along as a column, so convergence is a
+        # plain scan of the checkpointed output — no extra join per round
         new_labels = _shorten(_shorten(new_labels)).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             break
     edges.unpersist()
