@@ -406,6 +406,7 @@ class LakeTable:
             if pcols:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(staging)
+            _uniquify_staged(staging)
             return self._collect_stats(df.sparkSession, staging, meta)
         except Exception:
             # abort: a failed stage leaves no orphan files behind (W12,
@@ -598,6 +599,7 @@ class LakeTable:
                     .write.mode("error")
                     .parquet(staging)
                 )
+                _uniquify_staged(staging)
                 for f in self._collect_stats(
                     (add_df or delete_keys_df).sparkSession, staging, meta
                 ):
