@@ -880,6 +880,28 @@ _TYPE_WIDTH = {
 }
 
 
+def _uniquify_staged(staging: str) -> None:
+    """Rename freshly staged part files to globally-unique names.
+
+    Iceberg writers embed a task UUID in every data-file name
+    (IcebergTableWriterFactory.java:42-46 via OutputFileFactory); Spark's
+    ``part-*`` names are only unique per write job. A commit-scoped UUID
+    prefix guarantees no basename collision across snapshots regardless of
+    how files are later listed, compacted, or copied between directories.
+    Driver-side renames within one directory tree — no data movement."""
+    tag = uuidlib.uuid4().hex[:12]
+    for root, _dirs, names in os.walk(staging):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith("."):
+                os.rename(
+                    os.path.join(root, n), os.path.join(root, f"{tag}-{n}")
+                )
+            elif n.startswith(".") or n == "_SUCCESS":
+                # drop Hadoop _SUCCESS markers and .crc sidecars (stale after
+                # rename; LocalFileSystem skips verification when absent)
+                os.remove(os.path.join(root, n))
+
+
 def _est_row_width(schema: T.StructType) -> int:
     """Byte estimate per row for broadcast decisions: fixed widths for
     primitives, a pessimistic default for strings/binary/nested."""

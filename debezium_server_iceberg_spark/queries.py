@@ -52,19 +52,25 @@ def _register(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver's harness builds a vanilla SparkSession (it never calls our
-    # session.get_spark()), and the testdata's events.parquet carries
-    # INT64(TIMESTAMP(NANOS)) which vanilla Spark refuses to read.  The conf
-    # is runtime-settable, so set it here — the single chokepoint every gate
-    # query reads tables through.
+    # session.get_spark()).  Two runtime-settable confs at the single
+    # chokepoint every gate query reads tables through:
+    # - nanosAsLong: historical testdata generations stored events.ts as
+    #   INT64(TIMESTAMP(NANOS)), which vanilla Spark refuses to read;
+    # - inferTimestampNTZ=false: current generations store TIMESTAMP(MICROS,
+    #   isAdjustedToUTC=false), which Spark 4 otherwise surfaces as
+    #   TIMESTAMP_NTZ — a type that rejects numeric casts and diverges from
+    #   the TIMESTAMP plans every query was verified against.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ts normalized to microsecond timestamps.
+    """events table with ts normalized to microsecond TIMESTAMP.
 
-    The driver's events.parquet stores timestamp[ns]; Spark reads it as a
-    nanos long (``nanosAsLong``) — truncate to µs. Oracle equivalent:
+    Handles both testdata generations: timestamp[ns] (read as a nanos long
+    via ``nanosAsLong`` — truncate to µs) and timestamp[us] (read directly as
+    TIMESTAMP with NTZ inference disabled). Oracle equivalent:
     ``make_timestamp(epoch_ns(ts) // 1000)``.
     """
     ev = _t(spark, sf_dir, "events")

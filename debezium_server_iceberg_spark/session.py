@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # driver testdata's events.ts is parquet timestamp[ns]; read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # current testdata stores TIMESTAMP(MICROS, isAdjustedToUTC=false);
+        # read it as plain TIMESTAMP, not TIMESTAMP_NTZ (NTZ rejects numeric
+        # casts and diverges from the verified plans)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
