@@ -2346,6 +2346,391 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Wave 5: the remaining TPC-H shapes, adapted to the trimmed testdata
+# schema (no partsupp / l_commitdate / l_receiptdate — lineitem stands in
+# as the part-supplier link and ship-vs-order-date lag stands in for
+# receipt-vs-commit lag).  Exercises the read-side query surface the
+# reference exposes through Spark SQL over its tables
+# (BaseSparkTest.java:170-178).
+# =====================================================================
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ), minc AS (
+      SELECT l_partkey, min(cost) AS min_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name, CAST(cost AS DOUBLE) AS min_cost
+    FROM part
+      JOIN costs ON costs.l_partkey = p_partkey
+      JOIN minc ON minc.l_partkey = costs.l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size < 10 AND p_type = 'STANDARD' AND cost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape (correlated min subquery), decorrelated Spark-first: per
+    (part, supplier) min cost from the lineitem link, then a window min over
+    the part — the window reuses the aggregation's hash partitioning prefix
+    instead of a second shuffle-join back.  Dim chain supplier→nation→region
+    broadcasts; the part filter broadcasts and semi-prunes lineitem before
+    the aggregation shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") < 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(_money(F.col("l_extendedprice"))).alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost_d", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost_d"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+@_register(
+    "q8_market_share",
+    f"""
+    WITH flat AS (
+      SELECT year(o_orderdate) AS o_year, {_REVENUE} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 market share: one conditional aggregation instead of TPC-H's
+    nested-subquery formulation — a single pass over the fact join computes
+    both the nation's volume and the total (map-side partial aggregation; no
+    second scan).  All five dimension sides broadcast; only the
+    lineitem⋈orders join shuffles.  Exact-decimal sums; the share division
+    happens once per group in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier")
+    part_f = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    cust_asia = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey")
+    ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    flat = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _revenue_col().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@_register(
+    "q9_profit_by_nation",
+    f"""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(sum({_REVENUE}
+                    - CAST(l_quantity AS DECIMAL(12,0))
+                      * CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 product-type profit (p_retailprice × 10% standing in for the
+    missing ps_supplycost): the part-name filter broadcasts and prunes
+    lineitem before the one fact-fact shuffle (lineitem⋈orders); supplier
+    and nation broadcast.  Profit arithmetic is exact decimal end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    supp_nat = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "n_name")
+    cost = (
+        F.col("l_quantity").cast("decimal(12,0)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.10).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            (_revenue_col() - cost).alias("amount"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amount").cast("double").alias("profit"))
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    WITH vals AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+    FROM vals WHERE value > (SELECT sum(value) * 0.001 FROM vals)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 important stock (lineitem value standing in for partsupp):
+    per-part value vs a global-threshold scalar subquery.  The scalar is a
+    second aggregation over the SAME grouped result — cached so the shuffle
+    runs once — grafted back via crossJoin(broadcast(1-row)) so the whole
+    thing is one job, no collect (VERDICT r3 item 9 pattern).  The exact
+    decimal threshold comparison matches DuckDB bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp_f = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    vals = (
+        li.join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_money(F.col("l_extendedprice"))).alias("value"))
+        .persist()
+    )
+    threshold = vals.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("_thr")
+    )
+    return (
+        vals.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@_register(
+    "q17_small_qty_revenue",
+    """
+    WITH agg AS (
+      SELECT l_partkey AS pk, count(*) AS cnt,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN agg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 2 * cnt < sum_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 small-quantity revenue: the correlated ``l_quantity < 0.5 *
+    avg(l_quantity)`` subquery decorrelated into a per-part aggregate joined
+    back — and the average REWRITTEN as ``2·qty·cnt < sum_qty`` so the
+    comparison stays in exact integer/decimal arithmetic (no division, no
+    float threshold drift between engines).  The brand/type part filter
+    broadcasts and prunes lineitem before BOTH the aggregate and the join,
+    so the heavy self-aggregation runs on ~1/brands of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    mine = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+    per_part = mine.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+    )
+    return (
+        mine.join(F.broadcast(per_part), mine.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity").cast("decimal(12,2)") * 2 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@_register(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 2000)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 nested-semi-join shape (shipped quantity standing in for
+    ps_availqty): aggregate-then-semi-join — the HAVING-filtered aggregate
+    is small (≤ #suppliers rows) so it broadcasts into a LEFT SEMI against
+    the dimension side; lineitem is pruned by the broadcast part-name
+    filter before its only shuffle (the suppkey aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(5)])
+    )
+    heavy = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 2000)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 waiting-suppliers (ship-vs-order lag > 60 days standing in for
+    the missing receipt-vs-commit columns): EXISTS as LEFT SEMI and NOT
+    EXISTS as LEFT ANTI with the non-equi ``suppkey <>`` residual — the
+    exact physical strategies Catalyst picks for the SQL form, written
+    explicitly.  All three legs key on l_orderkey, so AQE coalesces them
+    onto one exchange lineage; supplier broadcasts at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# =====================================================================
 # public surface
 # =====================================================================
 
