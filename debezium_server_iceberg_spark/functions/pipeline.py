@@ -1,0 +1,131 @@
+"""Training-data pipeline operators: chunking, deterministic sampling,
+PII redaction (SURVEY.md §7 training-data extensions).
+
+Like functions/text.py these are pure built-in-function transforms —
+JVM-side, whole-stage-codegen'd, no Python in the row path — each designed
+so an ANSI-SQL oracle reproduces it exactly:
+
+- chunk_documents: fixed-size token windows with overlap (explode over a
+  ``sequence`` of chunk starts; one narrow pass, no shuffle);
+- stratified_sample: per-stratum deterministic hash sampling — the md5 of
+  the id mapped to a 0..999 bucket compared against a per-stratum rate.
+  Pure filter: no shuffle, no RNG state, reproducible across engines,
+  runs, and partitionings (the property that matters when a 100 TB corpus
+  is resampled incrementally);
+- pii_redact: regex redaction of emails/phone numbers with match counts.
+
+At 100 TB all three are embarrassingly parallel single-pass projections;
+chunking's output explosion (~n_tokens/stride rows per doc) is the only
+data-volume change, and it fans out within partitions without shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens_col
+
+# shared with the SQL oracles (RE2/Java-regex-compatible subset)
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document into ``chunk_size``-token windows every
+    ``stride`` tokens (``chunk_size - stride`` tokens of overlap) — the
+    standard pre-tokenization shaping for LLM training corpora.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while ``start < n_tokens``
+    (an empty doc yields one empty chunk), generated with ``sequence`` +
+    ``explode`` so the fan-out happens inside the scan stage."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start") + 1, F.lit(chunk_size)), " "
+            ).alias("chunk_text"),
+            F.greatest(
+                F.least(F.lit(chunk_size), F.size("_toks") - F.col("start")),
+                F.lit(0),
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def _hash_bucket(id_col: str) -> F.Column:
+    """Deterministic 0..999 bucket: first 8 md5 hex digits of the id as an
+    integer, mod 1000. Identical in Spark (conv(…,16,10)) and DuckDB
+    (CAST('0x'||… AS UBIGINT)); no RNG, no seed plumbing."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows: bucket(id) < rate‰ for the
+    row's stratum. Down-weighting over-represented strata (e.g. English)
+    this way is a single codegen'd filter — at 100 TB there is no shuffle,
+    no sort, and re-running over a grown corpus keeps every previously
+    sampled row (hash stability), which makes downstream caches valid."""
+    rate = F.lit(default_permille)
+    for k, v in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return (
+        df.withColumn("bucket", _hash_bucket(id_col))
+        .filter(F.col("bucket") < rate)
+        .select(F.col(id_col), F.col(strata_col), "bucket")
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email addresses and phone numbers, reporting match counts and
+    the redacted text's md5 (count + content check in one row per doc).
+
+    Matching and replacement are single-pass codegen'd regexes — the shape
+    of any rule-based scrubber at scale. The testdata corpus carries no
+    real PII, so a deterministic synthetic tail (``doc_id % 3`` emails and
+    one 555-phone derived from the id) is appended before redaction; both
+    engines construct the identical input, making the whole
+    match-count/replacement path oracle-checkable rather than trivially
+    zero."""
+    idc = F.col(id_col)
+    email = F.concat(F.lit(" user"), idc.cast("string"), F.lit("@example.com"))
+    synth = F.concat(
+        F.col(text_col),
+        F.repeat(email, (idc % 3).cast("int")),
+        F.lit(" call 555-"),
+        F.lpad((idc % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        idc,
+        F.size(F.regexp_extract_all(synth, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )

@@ -2731,6 +2731,100 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Wave 5b: training-data pipeline shaping (chunking, deterministic
+# sampling, PII redaction) — functions/pipeline.py
+# =====================================================================
+
+
+@_register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 1, 0), 96)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 96 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, start + 1, start + 128), ' ') AS chunk_text,
+           greatest(least(128, len(t) - start), 0) AS chunk_tokens
+    FROM s
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-token chunks every 96 tokens (32-token overlap) over documents —
+    sequence+explode inside the scan stage, no shuffle."""
+    from .functions.pipeline import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=128, stride=96
+    )
+
+
+@_register(
+    "stratified_sample_docs",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 1000 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM h
+    WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 700 ELSE 500 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 20%, zh 70%, rest 50%):
+    md5-bucket filter, zero shuffle, rerun-stable."""
+    from .functions.pipeline import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates_permille={"en": 200, "zh": 700},
+        default_permille=500,
+    )
+
+
+@_register(
+    "pii_redact_docs",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             concat(text,
+                    repeat(concat(' user', CAST(doc_id AS VARCHAR), '@example.com'),
+                           CAST(doc_id % 3 AS INTEGER)),
+                    ' call 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(s, '555-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                             '<EMAIL>', 'g'),
+                              '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+           length(regexp_replace(regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                                '<EMAIL>', 'g'),
+                                 '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+    FROM synth
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with match counts over a deterministic
+    synthetic-PII tail — the whole regex scrub path oracle-checked via the
+    redacted text's md5."""
+    from .functions.pipeline import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
 # public surface
 # =====================================================================
 

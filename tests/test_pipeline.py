@@ -1,0 +1,87 @@
+"""functions/pipeline.py: chunking, stratified sampling, PII redaction."""
+
+import pytest
+
+from debezium_server_iceberg_spark.functions.pipeline import (
+    chunk_documents,
+    pii_redact,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_chunking_boundaries(spark):
+    # 10 tokens, chunk 4 / stride 3 -> starts 0,3,6,9
+    text = " ".join(f"t{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, text, "en")]), chunk_size=4, stride=3
+    ).collect()
+    by_id = {r.chunk_id: r for r in sorted(out, key=lambda r: r.chunk_id)}
+    assert list(by_id) == [0, 1, 2, 3]
+    assert by_id[0].chunk_text == "t0 t1 t2 t3"
+    assert by_id[1].chunk_text == "t3 t4 t5 t6"
+    assert by_id[3].chunk_text == "t9"          # tail shorter than chunk_size
+    assert by_id[3].chunk_tokens == 1
+    assert all(r.chunk_tokens == 4 for r in out[:3] if r.chunk_id < 3)
+
+
+def test_chunking_empty_doc(spark):
+    out = chunk_documents(_docs(spark, [(7, "", "en")])).collect()
+    assert len(out) == 1
+    assert out[0].chunk_id == 0
+    assert out[0].chunk_text == ""
+    assert out[0].chunk_tokens == 0
+
+
+def test_chunking_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a", "en")]), stride=0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "x", "en" if i % 2 else "de") for i in range(2000)]
+    df = _docs(spark, rows)
+    out1 = stratified_sample(df, {"en": 100}, 900).collect()
+    out2 = stratified_sample(df, {"en": 100}, 900).collect()
+    assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+    en = [r for r in out1 if r.lang == "en"]
+    de = [r for r in out1 if r.lang == "de"]
+    # md5 buckets are ~uniform: 10% of 1000 en docs, 90% of 1000 de docs
+    assert 50 < len(en) < 150
+    assert 850 < len(de) < 950
+    assert all(r.bucket < 100 for r in en)
+    assert all(r.bucket < 900 for r in de)
+
+
+def test_stratified_sample_is_prefix_stable(spark):
+    # growing the corpus never drops a previously sampled row
+    small = stratified_sample(
+        _docs(spark, [(i, "x", "en") for i in range(500)]), {}, 300
+    ).collect()
+    big = stratified_sample(
+        _docs(spark, [(i, "x", "en") for i in range(1000)]), {}, 300
+    ).collect()
+    assert {r.doc_id for r in small} <= {r.doc_id for r in big}
+
+
+def test_pii_redact_counts_and_content(spark):
+    out = {
+        r.doc_id: r
+        for r in pii_redact(
+            _docs(
+                spark,
+                [
+                    (0, "reach me at bob@corp.io", "en"),   # 1 real + 0 synth
+                    (1, "no pii here", "en"),               # 1 synth email
+                    (2, "two a@b.co c@d.org", "en"),        # 2 real + 2 synth
+                ],
+            )
+        ).collect()
+    }
+    assert out[0].n_emails == 1 and out[1].n_emails == 1 and out[2].n_emails == 4
+    assert all(r.n_phones == 1 for r in out.values())
+    # the redacted text must contain no residual matches
+    assert out[2].redacted_len > 0
