@@ -188,20 +188,36 @@ def minhash_near_dup_pairs(
     )
 
 
-def near_dup_clusters(pairs: DataFrame, max_rounds: int | None = None) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_rounds: int | None = None,
+    small_edge_threshold: int = 2_000_000,
+) -> DataFrame:
     """Connected components over a near-duplicate pair list -> one cluster
     id (the minimum member) per doc, plus the canonical flag.
 
-    Min-label propagation WITH pointer doubling (the hash-join form of the
-    large-star/small-star CC algorithm, Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14): each round first takes
-    the min over neighbors' labels (small-star), then contracts label
-    chains by substituting every label with its label's label, twice
-    (pointer doubling / large-star). Propagation distance roughly doubles
-    per round, so convergence is O(log diameter) shuffles instead of
-    O(diameter) — a 10k-node path converges in ~a dozen rounds. The driver
-    only evaluates the single-int "did anything change" aggregate per
-    round — no data is collected.
+    Adaptive two-path execution, the same runtime size-switch a broadcast
+    join makes:
+
+    - **Small graphs** (≤ ``small_edge_threshold`` undirected edges — the
+      count is known for free when the edge list is cached): collect the
+      EDGE LIST (never the corpus) and run union-find on the driver, then
+      rejoin labels distributed.  Near-dup graphs are usually a sparse
+      residue of the corpus — at sf0.1 the LSH pairs are a few hundred
+      rows, where a distributed iteration pays multiple all-but-empty
+      shuffle rounds for nothing.  2M edges ≈ tens of MB, the same memory
+      class Spark itself accepts for a broadcast side.
+
+    - **Large graphs**: min-label propagation WITH pointer doubling (the
+      hash-join form of the large-star/small-star CC algorithm, Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+      round first takes the min over neighbors' labels (small-star), then
+      contracts label chains by substituting every label with its label's
+      label, twice (pointer doubling / large-star). Propagation distance
+      roughly doubles per round, so convergence is O(log diameter)
+      shuffles instead of O(diameter) — a 10k-node path converges in ~a
+      dozen rounds. The driver only evaluates the single-int "did anything
+      change" aggregate per round — no data is collected.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -209,6 +225,37 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int | None = None) -> DataFr
         .distinct()
         .cache()
     )
+    n_edges = edges.count()  # materializes the cache either path uses
+    if n_edges <= small_edge_threshold:
+        rows = edges.filter(F.col("u") < F.col("v")).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ru, rv = find(r.u), find(r.v)
+            if ru != rv:
+                # union by min so the root IS the cluster id
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        label_rows = [(d, find(d)) for d in {x for r in rows for x in (r.u, r.v)}]
+        spark = pairs.sparkSession
+        id_type = edges.schema["u"].dataType.simpleString()
+        out = spark.createDataFrame(
+            label_rows, f"doc {id_type}, label {id_type}"
+        )
+        edges.unpersist()
+        return out.select(
+            "doc",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc") == F.col("label")).alias("is_canonical"),
+        )
     # localCheckpoint (not cache) every round: each round's plan references
     # the previous one 4x (two nested _shorten self-joins), so without
     # lineage truncation the analyzed plan grows ~4^rounds and the driver

@@ -142,15 +142,19 @@ def test_near_dup_clusters_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
         "doc_a long, doc_b long",
     )
-    got = {
-        r["doc"]: (r["cluster_id"], r["is_canonical"])
-        for r in near_dup_clusters(pairs).collect()
-    }
-    assert got == {
+    expected = {
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
         10: (10, True), 11: (10, False),
         20: (20, True), 21: (20, False), 22: (20, False),
     }
+    # both execution paths must agree: driver union-find (small graph)
+    # and distributed pointer doubling (threshold forced to 0)
+    for thr in (2_000_000, 0):
+        got = {
+            r["doc"]: (r["cluster_id"], r["is_canonical"])
+            for r in near_dup_clusters(pairs, small_edge_threshold=thr).collect()
+        }
+        assert got == expected, f"threshold={thr}"
 
 
 def test_near_dup_clusters_pointer_doubling_long_chain(spark):
@@ -165,7 +169,7 @@ def test_near_dup_clusters_pointer_doubling_long_chain(spark):
     pairs = spark.range(n - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
-    got = near_dup_clusters(pairs, max_rounds=14)
+    got = near_dup_clusters(pairs, max_rounds=14, small_edge_threshold=0)
     agg = got.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("cluster_id").alias("clusters"),
