@@ -86,3 +86,34 @@ def test_funnel_is_single_plan(spark, fns):
     plan = _plan(df)
     assert "LocalTableScan" not in plan
     assert plan.count("Scan parquet") >= 3  # stages read events in-plan
+
+
+def test_q21_exists_as_semi_and_anti(spark, fns):
+    opt = _optimized(fns["q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in opt
+    assert "LeftAnti" in opt
+
+
+def test_q9_part_filter_pushed_and_dims_broadcast(spark, fns):
+    plan = _plan(fns["q9_profit_by_nation"](spark, SF))
+    # the %widget% name filter reaches the part scan, pruning lineitem
+    # through the broadcast join before the fact-fact shuffle
+    assert "StringContains(p_name,widget)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_threshold_stays_in_dag(spark, fns):
+    plan = _plan(fns["q11_important_stock"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar side
+    assert "> _thr" in plan or "_thr" in plan
+
+
+def test_chunking_has_no_shuffle(spark, fns):
+    plan = _plan(fns["doc_chunking"](spark, SF))
+    assert "Exchange" not in plan  # pure scan→generate→project
+
+
+def test_stratified_sample_is_scan_plus_filter(spark, fns):
+    plan = _plan(fns["stratified_sample_docs"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
