@@ -1161,19 +1161,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_near_dup_pairs(
         docs, threshold=0.0, shingle_size=2, shingles=shingles
     ).select("doc_a", "doc_b")
-    sh = shingles.select(F.col("doc").alias("d"), F.col("tok").alias("g"))
-    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("d").alias("doc_a"), F.col("g"))
-    shb = sh.select(F.col("d").alias("doc_b"), F.col("g"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    # per-doc shingle SET as one array row: the exact intersection then runs
+    # in-row (array_intersect, codegen'd) on the LSH-pruned candidates only —
+    # two doc-keyed joins instead of a shingle-level join + re-aggregation.
+    # Scale-safe: the array is bounded by document length, never corpus size.
+    sets = shingles.groupBy(F.col("doc")).agg(
+        F.collect_set("tok").alias("gs"), F.count(F.lit(1)).alias("n")
     )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("gs").alias("ga"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("gs").alias("gb"), F.col("n").alias("nb"))
     jac = (
-        inter.join(sizes.select(F.col("d").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("d").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("both", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jac_raw",
             F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both")),
