@@ -2851,7 +2851,6 @@ _CHECK_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_exists",
-    "q12_priority_by_returnflag",
     "q13_customer_order_distribution",
     "q15_top_supplier",
     "q16_part_supplier_counts",
@@ -2869,7 +2868,6 @@ _CHECK_PRIORITY = [
     "percentiles_order_value",
     # event-time / temporal
     "events_hourly_rollup",
-    "events_sliding_counts",
     "sessionize_events",
     "funnel_signup_click_purchase",
     "asof_last_click_before_purchase",
@@ -2882,6 +2880,13 @@ _CHECK_PRIORITY = [
     "token_count_bpe",
     "json_props_extract",
     "variant_props_extract",
+    # training-data shaping (chunking / sampling / redaction) — a family of
+    # its own; takes the slots of the second event-window variant and the
+    # two scalar showcases (families still covered by events_hourly_rollup,
+    # string_functions_showcase and the local full-registry artifact)
+    "doc_chunking",
+    "stratified_sample_docs",
+    "pii_redact_docs",
     # dedup family
     "dedup_exact",
     "minhash_near_dup",
@@ -2896,7 +2901,6 @@ _CHECK_PRIORITY = [
     "ann_cosine_topk",
     # scalar function showcases
     "string_functions_showcase",
-    "date_functions_showcase",
     # multimodal (both oracle-backed: stubs are deterministic byte functions)
     "multimodal_image_features",
     "multimodal_audio_features",
