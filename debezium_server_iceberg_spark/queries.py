@@ -2824,6 +2824,100 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "reservoir_sample_per_lang",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+    """,
+)
+def reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k (k=20) per-stratum sample — the deterministic twin of
+    reservoir sampling: ordering by md5(id) is a uniform random draw, and
+    row_number keeps exactly k per language.  One shuffle on the stratum
+    key; rank truncation happens inside the window operator, so only k
+    rows per stratum survive.  Complements the rate-based
+    stratified_sample (exact quotas vs proportional thinning)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / idf.df AS score
+      FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 4) AS score, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  The idf uses the raw ratio
+    N/df instead of ln(N/df): multiply and divide are IEEE
+    correctly-rounded, so both engines produce bit-identical scores
+    (ln differs in the last ulp between libm implementations), and the
+    ranking is the same monotone order either way for a fixed tf.
+
+    Plan shape: explode → (doc,term) partial-agg → term-keyed df agg
+    joined back (term side is vocabulary-sized — broadcastable), scalar
+    N grafted in-DAG via crossJoin(broadcast).  The final per-doc top-3
+    truncates inside the window operator."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens_col
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("score", 4).alias("score"), "rnk")
+    )
+
+
 # =====================================================================
 # public surface
 # =====================================================================
