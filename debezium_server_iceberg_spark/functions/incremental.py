@@ -1,0 +1,182 @@
+"""Incremental near-duplicate detection: a persistent MinHash-LSH band
+index maintained in a lakehouse table.
+
+At corpus scale you never re-LSH the whole corpus per ingest batch —
+re-banding 100 TB to admit a 10 GB batch is the quadratic trap. Instead
+the band index is data: one lakehouse row per (doc, band) carrying the
+band value and the doc's full signature. Admitting a batch is then
+
+1. band the NEW docs only (one aggregation over the batch's shingles);
+2. equi-join the batch's (band, band_val) rows against the stored index —
+   candidates vs the ENTIRE history at the cost of a batch-sized probe;
+3. self-join the batch's bands for in-batch candidates;
+4. verify candidates by signature agreement — both sides' signatures ride
+   on the index rows (denormalized: ~n_bands copies per doc, the classic
+   space-for-join trade; no second doc-keyed join to a signature table);
+5. append the batch's band rows (atomic lakehouse append commit).
+
+Batch-vs-history candidate generation is exact w.r.t. the one-shot LSH:
+band values depend only on a doc's own text, so a pair collides across
+batches iff it collides in a full-corpus run — incremental results are
+IDENTICAL to batch-at-once (asserted in tests/test_incremental.py).
+
+Scale notes: the index table should be partitioned by ``bucket(N,
+band_val)`` so the probe join co-locates; the probe side is batch-sized
+and broadcastable; the stored side is scanned with band-value pushdown.
+Base LSH machinery: functions/dedup.py (minhash_near_dup_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..lakehouse.catalog import LakeCatalog
+from ..lakehouse.table import LakeTable
+from .dedup import _minhash_wide
+
+
+class MinHashIndex:
+    """Persistent LSH band index over a LakeTable.
+
+    Table schema: ``doc long, band int, band_val string, m0..m{H-1} string``.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        num_hashes: int = 8,
+        band_size: int = 2,
+        threshold: float = 0.5,
+        shingle_size: int = 3,
+    ) -> None:
+        self.table = table
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.threshold = threshold
+        self.shingle_size = shingle_size
+
+    @staticmethod
+    def create(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        num_hashes: int = 8,
+        band_size: int = 2,
+        threshold: float = 0.5,
+        shingle_size: int = 3,
+    ) -> "MinHashIndex":
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField("doc", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_val", T.StringType()),
+        ] + [
+            T.StructField(f"m{s}", T.StringType()) for s in range(num_hashes)
+        ]
+        table = catalog.create_table(namespace, name, T.StructType(fields))
+        return MinHashIndex(table, num_hashes, band_size, threshold, shingle_size)
+
+    def _band_rows(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        wide = _minhash_wide(
+            docs, text_col, id_col, self.num_hashes, self.shingle_size
+        )
+        n_bands = (self.num_hashes + self.band_size - 1) // self.band_size
+        mcols = [f"m{s}" for s in range(self.num_hashes)]
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.array(
+                                *[
+                                    F.col(f"m{s}")
+                                    for s in range(
+                                        b * self.band_size,
+                                        min((b + 1) * self.band_size, self.num_hashes),
+                                    )
+                                ]
+                            )
+                        ),
+                    ).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return wide.select(
+            F.col("doc").cast("long").alias("doc"),
+            F.explode(band_structs).alias("bv"),
+            *mcols,
+        ).select(
+            "doc",
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+            *mcols,
+        )
+
+    def _verified(self, cand: DataFrame) -> DataFrame:
+        matches = sum(
+            (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+            for s in range(self.num_hashes)
+        )
+        return (
+            cand.withColumn(
+                "agreement", matches / F.lit(float(self.num_hashes))
+            )
+            .filter(F.col("agreement") >= F.lit(self.threshold))
+            .select("doc_a", "doc_b", "agreement")
+            .distinct()
+        )
+
+    def add_batch(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Index a batch; return its verified near-dup pairs — new-vs-history
+        and new-vs-new, ``(doc_a, doc_b, agreement)`` with doc_a < doc_b.
+
+        The returned plan is resolved against the PRE-append snapshot (the
+        index scan captures the current manifest), so collecting it after
+        the append stays correct — lakehouse reads are snapshot-isolated."""
+        spark = docs.sparkSession
+        mcols = [f"m{s}" for s in range(self.num_hashes)]
+        new = self._band_rows(docs, text_col, id_col).cache()
+
+        a = new.select(
+            "band", "band_val", F.col("doc").alias("doc_n"),
+            *[F.col(m).alias(f"a{s}") for s, m in enumerate(mcols)],
+        )
+        old = self.table.to_df(spark).select(
+            "band", "band_val", F.col("doc").alias("doc_o"),
+            *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
+        )
+        # batch side probes the stored index; a CDC-sized batch broadcasts
+        cross = (
+            F.broadcast(a)
+            .join(old, ["band", "band_val"])
+            .filter(F.col("doc_n") != F.col("doc_o"))
+            .select(
+                F.least("doc_n", "doc_o").alias("doc_a"),
+                F.greatest("doc_n", "doc_o").alias("doc_b"),
+                *[F.col(f"a{s}") for s in range(self.num_hashes)],
+                *[F.col(f"b{s}") for s in range(self.num_hashes)],
+            )
+        )
+        b = new.select(
+            "band", "band_val", F.col("doc").alias("doc_o"),
+            *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
+        )
+        within = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("doc_n") < F.col("doc_o"))
+            .select(
+                F.col("doc_n").alias("doc_a"),
+                F.col("doc_o").alias("doc_b"),
+                *[F.col(f"a{s}") for s in range(self.num_hashes)],
+                *[F.col(f"b{s}") for s in range(self.num_hashes)],
+            )
+        )
+        pairs = self._verified(cross.unionByName(within))
+        self.table.append(new.select("doc", "band", "band_val", *mcols))
+        return pairs

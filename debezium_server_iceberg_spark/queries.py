@@ -2825,6 +2825,38 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_minhash_pairs",
+    None,  # oracle assigned below: identical to the one-shot minhash oracle
+)
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance: documents arrive in two batches
+    (split by doc_id parity); each batch is banded once, probed against the
+    persistent lakehouse band index, and appended.  Band values depend only
+    on a doc's own text, so the union of per-batch pairs is IDENTICAL to a
+    full-corpus run — which is why the one-shot minhash oracle checks this
+    query.  The scale property under test: admitting a batch costs
+    O(batch · stored-candidates), never a corpus re-scan."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .functions.incremental import MinHashIndex
+    from .lakehouse import LakeCatalog
+
+    docs = _t(spark, sf_dir, "documents")
+    wh = _tf.mkdtemp(prefix="minhash_idx_")
+    try:
+        idx = MinHashIndex.create(LakeCatalog(wh), "idx", "bands")
+        p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
+        p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1)).localCheckpoint()
+        return p1.unionByName(p2)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+_ORACLES["incremental_minhash_pairs"] = _MINHASH_PAIRS_ORACLE
+
+
+@_register(
     "reservoir_sample_per_lang",
     """
     WITH r AS (
@@ -2981,9 +3013,12 @@ _CHECK_PRIORITY = [
     "doc_chunking",
     "stratified_sample_docs",
     "pii_redact_docs",
-    # dedup family
+    # dedup family (incremental_minhash_pairs subsumes the one-shot
+    # minhash_near_dup: same machinery + the persistent lakehouse index,
+    # checked against the same oracle; the one-shot stays in the local
+    # full-registry artifact)
     "dedup_exact",
-    "minhash_near_dup",
+    "incremental_minhash_pairs",
     "dedup_canonical_clusters",
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -1,0 +1,58 @@
+"""Incremental MinHash index: batch-split results must equal one-shot LSH."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_iceberg_spark.functions.dedup import minhash_near_dup_pairs
+from debezium_server_iceberg_spark.functions.incremental import MinHashIndex
+from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+
+from conftest import SF_DIR
+
+
+def _pairs_set(df):
+    return {
+        (r.doc_a, r.doc_b, round(r.agreement, 6)) for r in df.collect()
+    }
+
+
+def test_incremental_equals_batch_at_once(spark, warehouse):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    oneshot = _pairs_set(
+        minhash_near_dup_pairs(docs).select("doc_a", "doc_b", "agreement")
+    )
+
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    got = _pairs_set(idx.add_batch(half1)) | _pairs_set(idx.add_batch(half2))
+    assert got == oneshot
+    assert len(oneshot) > 0  # the corpus actually has near-dups
+
+    # the index now holds every doc's band rows exactly once
+    n_docs = docs.count()
+    n_bands = 4  # 8 hashes / band_size 2
+    assert idx.table.to_df(spark).count() == n_docs * n_bands
+
+
+def test_incremental_empty_batch_is_noop(spark, warehouse):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    idx.add_batch(docs.limit(20)).collect()
+    before = idx.table.row_count()
+    out = idx.add_batch(docs.limit(0))
+    assert out.count() == 0
+    assert idx.table.row_count() == before
+
+
+def test_incremental_cross_batch_pair_found(spark, warehouse):
+    # a doc and its near-copy land in DIFFERENT batches; the pair must
+    # surface when the second batch arrives
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(1, base, "en")]
+    rows2 = [(2, base + " tail", "en")]
+    schema = "doc_id long, text string, lang string"
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    first = idx.add_batch(spark.createDataFrame(rows1, schema))
+    assert first.count() == 0
+    second = idx.add_batch(spark.createDataFrame(rows2, schema)).collect()
+    assert [(r.doc_a, r.doc_b) for r in second] == [(1, 2)]
