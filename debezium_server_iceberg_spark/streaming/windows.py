@@ -102,6 +102,34 @@ def _running_totals_fn(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    content_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each key (or content hash) once.
+
+    The streaming twin of functions/dedup.exact_dedup for continuously
+    ingested corpora: with ``content_col`` set, identity is md5(content) —
+    re-crawled bytes dedup regardless of id.  Streaming inputs use
+    ``dropDuplicatesWithinWatermark`` so the seen-keys state is BOUNDED by
+    the watermark horizon (the unbounded-state trap of plain
+    dropDuplicates on streams); batch inputs take the plain distinct path,
+    so the same transform backfills historical corpora.  State is
+    partitioned by the dedup key — scales with distinct keys in the
+    watermark window, not stream volume."""
+    cols = list(key_cols or ["doc_id"])
+    src = docs
+    if content_col is not None:
+        src = src.withColumn("content_md5", F.md5(F.col(content_col)))
+        cols = ["content_md5"]
+    if src.isStreaming:
+        return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    return src.dropDuplicates(cols)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """applyInPandasWithState wrapper: per-user running totals with
     processing-time semantics (state partitioned by user -> scales with

@@ -317,3 +317,65 @@ def test_graceful_drain_commits_pending_then_stops(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert c.table_df(spark, "testc_inventory_customers_upsert").count() == 8
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a doc repeated within AND across
+    micro-batches inside the watermark window is emitted exactly once;
+    content-hash identity dedups re-crawls under new ids."""
+    import os
+
+    from debezium_server_iceberg_spark.streaming.windows import stream_exact_dedup
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+
+    def write_batch(name, rows):
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    t0 = "2026-01-01 00:00:00"
+    write_batch(
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "alpha", "ts": t0},
+            {"doc_id": 2, "text": "alpha", "ts": t0},   # same content, new id
+            {"doc_id": 1, "text": "alpha", "ts": t0},   # in-batch dup
+        ],
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(indir)
+    out = stream_exact_dedup(stream, ts_col="ts", content_col="text")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch(
+        "b2.jsonl",
+        [
+            {"doc_id": 3, "text": "alpha", "ts": t0},   # cross-batch dup
+            {"doc_id": 4, "text": "beta", "ts": t0},    # genuinely new
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text").collect()
+    got = {r["text"]: r["n"] for r in rows}
+    assert got == {"alpha": 1, "beta": 1}
+
+    # batch path: same transform, plain distinct
+    batch = spark.createDataFrame(
+        [(1, "alpha", None), (2, "alpha", None), (3, "beta", None)],
+        schema,
+    )
+    assert stream_exact_dedup(batch, content_col="text").count() == 2
