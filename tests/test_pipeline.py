@@ -85,3 +85,33 @@ def test_pii_redact_counts_and_content(spark):
     assert all(r.n_phones == 1 for r in out.values())
     # the redacted text must contain no residual matches
     assert out[2].redacted_len > 0
+
+
+def test_chunking_reconstructs_every_doc(spark):
+    """Coverage property: chunk0 plus the non-overlap tail of each later
+    chunk reconstructs the exact token sequence, for many doc lengths
+    around the boundary cases (one Spark job for all)."""
+    chunk_size, stride = 5, 3
+    lengths = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 14, 15, 16, 31]
+    rows = [
+        (n, " ".join(f"w{n}x{i}" for i in range(n)), "en") for n in lengths
+    ]
+    out = chunk_documents(
+        _docs(spark, rows), chunk_size=chunk_size, stride=stride
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(lengths)
+    for n in lengths:
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_id)
+        # chunk ids are dense 0..len-1
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for c in chunks:
+            toks = c.chunk_text.split() if c.chunk_text else []
+            assert len(toks) == c.chunk_tokens
+            start = c.chunk_id * stride
+            overlap = len(rebuilt) - start
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == [f"w{n}x{i}" for i in range(n)], f"n={n}"
