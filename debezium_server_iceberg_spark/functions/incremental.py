@@ -151,10 +151,20 @@ class MinHashIndex:
             "band", "band_val", F.col("doc").alias("doc_o"),
             *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
         )
-        # batch side probes the stored index; a CDC-sized batch broadcasts
-        cross = (
+        # batch side probes the stored index. Broadcast only when the
+        # byte estimate says the batch fits (CDC-sized batches do); a large
+        # backfill batch must take the shuffle join, not blow the broadcast
+        # limit — AQE can still convert at runtime from the real size.
+        from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
+
+        n_new = new.count()  # materializes the cache both joins reuse
+        probe = (
             F.broadcast(a)
-            .join(old, ["band", "band_val"])
+            if n_new * _est_row_width(new.schema) <= _BROADCAST_BYTES
+            else a
+        )
+        cross = (
+            probe.join(old, ["band", "band_val"])
             .filter(F.col("doc_n") != F.col("doc_o"))
             .select(
                 F.least("doc_n", "doc_o").alias("doc_a"),
@@ -177,6 +187,10 @@ class MinHashIndex:
                 *[F.col(f"b{s}") for s in range(self.num_hashes)],
             )
         )
-        pairs = self._verified(cross.unionByName(within))
+        # verified pairs materialize BEFORE the append (and before the
+        # cache is released) — the checkpoint also makes the returned
+        # DataFrame independent of this batch's cached/staged state
+        pairs = self._verified(cross.unionByName(within)).localCheckpoint(eager=True)
         self.table.append(new.select("doc", "band", "band_val", *mcols))
+        new.unpersist()
         return pairs
