@@ -2950,6 +2950,97 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_end_to_end",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n,
+             len(list_distinct({_TOKENS_SQL})) AS nd,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             length(text) AS total
+      FROM documents
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN feat f ON f.doc_id = d.doc_id
+      WHERE round(0.5 * (CAST(nd AS DOUBLE) / n)
+                  + 0.3 * (CAST(least(n, 100) AS DOUBLE) / 100.0)
+                  + 0.2 * (CAST(alpha AS DOUBLE) / total), 4) >= 0.6
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), docs2 AS (
+      SELECT k.doc_id, k.lang, k.text FROM kept k JOIN canon c ON c.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM docs2
+    ), chunks AS (
+      SELECT doc_id, lang,
+             CAST(unnest(generate_series(0, greatest(len(t) - 1, 0), 96)) / 96 AS BIGINT) AS chunk_id,
+             len(t) AS n
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, lang, chunk_id,
+             greatest(least(128, n - chunk_id * 96), 0) AS chunk_tokens
+      FROM chunks
+    ), sampled AS (
+      SELECT * FROM sized
+      WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                                                     CAST(chunk_id AS VARCHAR))), 1, 8))
+                      AS UBIGINT) % 1000 AS BIGINT) < 500
+    )
+    SELECT lang, count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed lazy plan: quality
+    filter (score >= 0.6) -> exact content dedup (keep min doc_id) ->
+    128/96 token chunking -> 50% deterministic chunk sampling -> per-lang
+    manifest.  Every stage is the same operator the individual gate
+    queries verify; composition adds no collects, no checkpoints — one
+    DAG end to end, which is how the stages would run as a single job
+    over 100 TB."""
+    from .functions.pipeline import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).filter(F.col("quality") >= 0.6).select("doc_id")
+    kept = docs.join(q, "doc_id")
+    canon = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs2 = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    chunks = chunk_documents(docs2, chunk_size=128, stride=96)
+    with_lang = chunks.join(docs2.select("doc_id", "lang"), "doc_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("chunk_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    sampled = with_lang.filter(bucket < 500)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 # =====================================================================
 # public surface
 # =====================================================================
