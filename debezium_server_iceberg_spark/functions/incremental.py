@@ -194,3 +194,11 @@ class MinHashIndex:
         self.table.append(new.select("doc", "band", "band_val", *mcols))
         new.unpersist()
         return pairs
+
+    def maintain(self, spark, min_input_files: int = 8) -> int:
+        """Bin-pack the index's per-batch appends (the small-files problem:
+        every add_batch commits one batch-sized file; probe-scan cost is
+        per-file overhead × file count until compacted). Atomic swap via
+        the table's delta commit — concurrent probes keep reading the old
+        snapshot. Returns files removed; call on a cadence, not per batch."""
+        return self.table.compact(spark, min_input_files=min_input_files)

@@ -56,3 +56,18 @@ def test_incremental_cross_batch_pair_found(spark, warehouse):
     assert first.count() == 0
     second = idx.add_batch(spark.createDataFrame(rows2, schema)).collect()
     assert [(r.doc_a, r.doc_b) for r in second] == [(1, 2)]
+
+
+def test_maintain_compacts_batch_files(spark, warehouse):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    for b in range(4):
+        idx.add_batch(docs.filter(F.col("doc_id") % 4 == b)).collect()
+    before_files = len(idx.table.current_files())
+    before_rows = idx.table.to_df(spark).count()
+    assert before_files >= 4  # one (or more) per batch
+    removed = idx.maintain(spark, min_input_files=2)
+    assert removed >= 4
+    after = idx.table.current_files()
+    assert len(after) < before_files
+    assert idx.table.to_df(spark).count() == before_rows  # contents unchanged
