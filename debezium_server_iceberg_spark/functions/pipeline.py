@@ -21,7 +21,7 @@ data-volume change, and it fans out within partitions without shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens_col
 
@@ -95,6 +95,44 @@ def stratified_sample(
         df.withColumn("bucket", _hash_bucket(id_col))
         .filter(F.col("bucket") < rate)
         .select(F.col(id_col), F.col(strata_col), "bucket")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_expr: F.Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data mixing: draw documents per source until that source's TOKEN
+    budget is reached — the step that turns raw corpora into a training
+    mixture with chosen proportions.
+
+    Deterministic greedy draw: docs are ordered by md5(id) within each
+    source (a uniform shuffle without RNG state) and taken while the
+    running token total BEFORE the doc is under the budget — so the draw
+    is stable under reruns and the first doc of a source is always
+    admitted even if it alone exceeds the budget (no empty mixtures).
+
+    One window pass per source partition — a single shuffle on the source
+    key; no iteration, no driver state. At 100 TB the per-source running
+    sums are the same windowed cumsum Spark executes for sessionization."""
+    toks = tokens_expr if tokens_expr is not None else F.size(tokens_col(F.col(text_col)))
+    budget = F.lit(default_budget)
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == k, F.lit(v)).otherwise(budget)
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(F.col(id_col), F.col(source_col), "n_tokens", "cum_tokens")
     )
 
 

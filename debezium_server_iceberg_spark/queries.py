@@ -2951,6 +2951,36 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixture_sample_sources",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens - n_tokens <
+          CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 500 ELSE 1000 END
+    """,
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing to per-source token budgets (src0 2k, src1 500, rest
+    1k): deterministic md5-ordered greedy draw, one windowed cumsum per
+    source partition — single shuffle, no iteration."""
+    from .functions.pipeline import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src0": 2000, "src1": 500},
+        default_budget=1000,
+    )
+
+
+@_register(
     "pipeline_end_to_end",
     f"""
     WITH feat AS (

@@ -115,3 +115,27 @@ def test_chunking_reconstructs_every_doc(spark):
             overlap = len(rebuilt) - start
             rebuilt.extend(toks[overlap:])
         assert rebuilt == [f"w{n}x{i}" for i in range(n)], f"n={n}"
+
+
+def test_mixture_sample_budget_semantics(spark):
+    from debezium_server_iceberg_spark.functions.pipeline import mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "w " * 10, "a") for i in range(50)       # 10 tokens each
+    ] + [
+        (100, "w " * 500, "b"),                      # single huge doc
+        (101, "w " * 10, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("text", F.rtrim("text"))
+    out = mixture_sample(df, budgets={"a": 95}, default_budget=50).collect()
+    a = sorted(r.cum_tokens for r in out if r.source == "a")
+    # docs admitted while running total BEFORE them < 95: 10,20,...,100
+    assert a == [10 * i for i in range(1, 11)]
+    b = sorted((r for r in out if r.source == "b"), key=lambda r: r.cum_tokens)
+    # md5 order puts the 10-token doc first (cum-before 0 < 50), and the
+    # 500-token doc still lands because cum-before is 10 < 50 — the draw
+    # that CROSSES the budget is included (start-before-budget rule)
+    assert [(r.n_tokens, r.cum_tokens) for r in b] == [(10, 10), (500, 510)]
