@@ -136,6 +136,34 @@ def mixture_sample(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    tokens_col_name: str = "chunk_tokens",
+) -> DataFrame:
+    """Sequence packing: assign consecutive chunks of a document to
+    fixed-capacity training sequences — pack p of doc d holds the chunks
+    whose running token total lands in [p·seq_len, (p+1)·seq_len).
+
+    Per-document first-fit in chunk order (the standard packing used when
+    document continuity matters more than absolute bin utilization):
+    a windowed cumsum inside the doc partition, then an integer divide.
+    One shuffle on the doc key, no iteration; packs never mix documents,
+    so the assignment is embarrassingly parallel across docs."""
+    w = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
+    cum = F.sum(tokens_col_name).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    before = cum - F.col(tokens_col_name)
+    return chunks.select(
+        F.col(id_col),
+        F.col(order_col),
+        F.col(tokens_col_name),
+        F.floor(before / seq_len).cast("long").alias("pack_id"),
+        (before - F.floor(before / seq_len) * seq_len).cast("long").alias("pack_offset"),
+    )
+
+
 def pii_redact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2951,6 +2951,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) / 24 AS BIGINT) AS chunk_id,
+             len(t) AS n
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, chunk_id,
+             greatest(least(32, n - chunk_id * 24), 0) AS chunk_tokens
+      FROM chunks
+    ), packed AS (
+      SELECT doc_id, chunk_id, chunk_tokens,
+             CAST(sum(chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - chunk_tokens AS before
+      FROM sized
+    )
+    SELECT doc_id, chunk_id, chunk_tokens,
+           CAST(floor(before / 64) AS BIGINT) AS pack_id,
+           CAST(before - floor(before / 64) * 64 AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk (32/24) then pack into 64-token training sequences: windowed
+    cumsum inside the doc partition + integer divide — packs never mix
+    documents, one shuffle on the doc key."""
+    from .functions.pipeline import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    ).drop("chunk_text")
+    return pack_sequences(chunks, seq_len=64)
+
+
+@_register(
     "mixture_sample_sources",
     f"""
     WITH t AS (

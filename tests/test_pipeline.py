@@ -139,3 +139,24 @@ def test_mixture_sample_budget_semantics(spark):
     # 500-token doc still lands because cum-before is 10 < 50 — the draw
     # that CROSSES the budget is included (start-before-budget rule)
     assert [(r.n_tokens, r.cum_tokens) for r in b] == [(10, 10), (500, 510)]
+
+
+def test_pack_sequences_fills_and_splits(spark):
+    from debezium_server_iceberg_spark.functions.pipeline import pack_sequences
+
+    rows = [
+        (1, 0, 30), (1, 1, 30), (1, 2, 30),  # cum-before: 0, 30, 60
+        (2, 0, 100),                         # oversized chunk -> pack 0
+        (2, 1, 10),                          # before=100 -> pack 1
+    ]
+    out = {
+        (r.doc_id, r.chunk_id): (r.pack_id, r.pack_offset)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_tokens long"),
+            seq_len=64,
+        ).collect()
+    }
+    assert out == {
+        (1, 0): (0, 0), (1, 1): (0, 30), (1, 2): (0, 60),
+        (2, 0): (0, 0), (2, 1): (1, 36),
+    }
