@@ -64,6 +64,10 @@ class IcebergSinkConfig:
     # on a table at the compaction checkpoint — bounds merge-on-read scan
     # overhead the same way the reference's documented compaction does
     rewrite_delete_files_min: int = 8
+    # expire old snapshots (and GC their exclusive files) once a table
+    # carries more than this many, keeping the newest N (0 = never expire —
+    # full time-travel history retained)
+    expire_keep_snapshots: int = 0
 
     # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
     # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;

@@ -91,3 +91,21 @@ class LakeCatalog:
             for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
         )
+
+    def register_views(
+        self, spark, namespace: str, prefix: str = ""
+    ) -> list[str]:
+        """Expose every table in a namespace as a Spark temp view named
+        ``{prefix}{table}`` so users query replicated tables by name with
+        plain ``spark.sql`` — the read surface the reference verifies
+        itself against (BaseSparkTest.java:170-178: spark.newSession()
+        .sql("SELECT * FROM <table>")). Each view is the table's
+        current-snapshot merge-on-read scan; re-register after new commits
+        to advance the snapshot (views pin the manifest read at
+        registration, the same isolation a reader sees mid-stream)."""
+        names = []
+        for t in self.list_tables(namespace):
+            view = f"{prefix}{t}"
+            self.load_table(namespace, t).to_df(spark).createOrReplaceTempView(view)
+            names.append(view)
+        return names

@@ -362,3 +362,22 @@ def test_merge_partition_pruning(spark, warehouse):
     got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
     assert all(got[i] == 1000 + i for i in range(30) if i % 3 == 1)
     assert all(got[i] == i for i in range(30) if i % 3 != 1)
+
+
+def test_expire_snapshots_cadence(spark, warehouse):
+    """expire_keep_snapshots trims table history at the maintenance
+    checkpoint; newest snapshots and current contents survive."""
+    consumer = build_consumer(
+        warehouse, expire_keep_snapshots=2, compact_every_commits=0
+    )
+    rows = [customer_event(1, "a"), customer_event(2, "b")]
+    consumer.handle_batch(to_df(spark, rows), None)
+    consumer.handle_batch(to_df(spark, [customer_event(3, "c")]), None)
+    consumer.handle_batch(to_df(spark, [customer_event(4, "d")]), None)
+    consumer.handle_batch(to_df(spark, [customer_event(5, "e")]), None)
+    table = consumer.catalog.load_table(
+        consumer.config.iceberg.namespace, "testc_inventory_customers_upsert"
+    )
+    assert len(table.metadata().snapshots) <= 3  # keep_last=2 (+ the commit
+    # that ran after the checkpoint), never the full 4+ history
+    assert table.to_df(spark).count() == 5

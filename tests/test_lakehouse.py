@@ -197,3 +197,23 @@ def test_abort_cleans_staged_files(spark, warehouse, monkeypatch):
 
     t.append(spark.createDataFrame([(5, "e", None)], SCHEMA))
     assert t.row_count() == 3
+
+
+def test_register_views_sql_read_surface(spark, warehouse):
+    """spark.sql over registered views — the reference's own verification
+    read path (BaseSparkTest.java:170-178)."""
+    cat = LakeCatalog(warehouse)
+    t1 = cat.create_table("ns", "orders_v", SCHEMA, identifier_fields=["id"])
+    t1.append(spark.createDataFrame([(1, "a", None), (2, "b", None)], SCHEMA))
+    cat.create_table("ns", "empty_v", SCHEMA)
+    views = cat.register_views(spark, "ns", prefix="lk_")
+    assert views == ["lk_empty_v", "lk_orders_v"]
+    got = spark.sql(
+        "SELECT id, name FROM lk_orders_v WHERE id > 1 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.name) for r in got] == [(2, "b")]
+    assert spark.sql("SELECT count(*) AS n FROM lk_empty_v").first()["n"] == 0
+    # re-register advances the snapshot
+    t1.append(spark.createDataFrame([(3, "c", None)], SCHEMA))
+    cat.register_views(spark, "ns", prefix="lk_")
+    assert spark.sql("SELECT count(*) AS n FROM lk_orders_v").first()["n"] == 3
