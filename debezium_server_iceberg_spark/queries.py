@@ -2398,16 +2398,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
-    costs = (
-        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
-        .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
-        .groupBy("p_partkey", "p_name", "l_suppkey", "s_name", "n_name")
-        .agg(F.min(_money(F.col("l_extendedprice"))).alias("cost"))
+    # prune lineitem with SEMI joins (no dim columns ride the shuffle),
+    # aggregate on the two long keys only, window-min, then attach the
+    # part/supplier names via broadcast joins on the tiny result — at scale
+    # the aggregation exchange carries (long, long, decimal) rows instead
+    # of three extra strings
+    li2 = li.join(
+        F.broadcast(part_f.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
     )
-    w = Window.partitionBy("p_partkey")
+    costs = li2.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money(F.col("l_extendedprice"))).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost_d", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost_d")
+    )
     return (
-        costs.withColumn("min_cost_d", F.min("cost").over(w))
-        .filter(F.col("cost") == F.col("min_cost_d"))
+        best.join(F.broadcast(part_f), best.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
             F.col("cost").cast("double").alias("min_cost"),
