@@ -808,6 +808,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_index_topk",
+    None,  # oracle assigned below: probing ALL cells makes IVF exact
+)
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent disk-level IVF: build the cell-partitioned lakehouse
+    index, then search with n_probe = n_cells — exhaustive probing makes
+    the result EXACT, so the brute-force cosine oracle checks the entire
+    build+assign+scan+rerank machinery (the approximate n_probe < n_cells
+    mode exercises the same code with fewer files read)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .functions.ann_index import IVFIndex
+    from .lakehouse import LakeCatalog
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = _tf.mkdtemp(prefix="ivf_idx_")
+    try:
+        idx = IVFIndex.build(LakeCatalog(wh), "ann", "ivf", emb, n_cells=8)
+        return idx.search(
+            spark, query_ids=list(range(10)), k=5, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+_ORACLES["ann_ivf_index_topk"] = _ORACLES["ann_cosine_topk"]
+
+
+@_register(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, count(*) AS order_count
