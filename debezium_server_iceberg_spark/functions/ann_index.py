@@ -112,9 +112,11 @@ class IVFIndex:
             assign,
             schema=self.table.metadata().schema,
         )
-        n = assigned.count()
+        # rows added come from the commit's own file stats — the assignment
+        # GEMM runs exactly once (a pre-count would compute it twice)
+        before = self.table.row_count()
         self.table.append(assigned)
-        return n
+        return self.table.row_count() - before
 
     # ------------------------------------------------------------ search
     def probed_files(self, query_vecs: np.ndarray, n_probe: int) -> tuple[list, set]:
