@@ -117,3 +117,21 @@ def test_stratified_sample_is_scan_plus_filter(spark, fns):
     plan = _plan(fns["stratified_sample_docs"](spark, SF))
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_pipeline_end_to_end_is_single_dag(spark, fns):
+    plan = _plan(fns["pipeline_end_to_end"](spark, SF))
+    assert "LocalTableScan" not in plan  # no collected intermediates
+
+
+def test_mixture_sample_is_one_window_pass(spark, fns):
+    plan = _plan(fns["mixture_sample_sources"](spark, SF))
+    assert plan.count("Window") == 1
+    # one shuffle for the per-source window, nothing else
+    assert plan.count("Exchange") <= 2  # hashpartition + possible AQE read
+
+
+def test_sequence_packing_single_shuffle(spark, fns):
+    plan = _plan(fns["sequence_packing"](spark, SF))
+    assert plan.count("Window") == 1
+    assert "LocalTableScan" not in plan
