@@ -119,12 +119,15 @@ class IVFIndex:
         return self.table.row_count() - before
 
     # ------------------------------------------------------------ search
-    def probed_files(self, query_vecs: np.ndarray, n_probe: int) -> tuple[list, set]:
-        """Manifest-level planning: the files whose partition cell is among
-        any query's n_probe nearest cells. Driver-side, no Spark job."""
+    def probed_files(
+        self, query_vecs: np.ndarray, n_probe: int
+    ) -> tuple[list, dict[int, list[int]]]:
+        """Manifest-level planning: per-query n_probe nearest cells, plus
+        the files whose partition cell any query probes. Driver-side, no
+        Spark job."""
         qn = _l2_normalize(query_vecs)
+        per_query: dict[int, list[int]] = {}
         cells: set[int] = set()
-        per_query = {}
         for i, qv in enumerate(qn):
             order = np.argsort(-(self.centroids @ qv))[:n_probe]
             per_query[i] = [int(c) for c in order]
@@ -135,7 +138,7 @@ class IVFIndex:
             if f.partition.get("_p_cell") is None
             or int(f.partition["_p_cell"]) in cells
         ]
-        return files, cells
+        return files, per_query
 
     def search(
         self,
@@ -143,28 +146,51 @@ class IVFIndex:
         query_ids: list[int],
         k: int = 5,
         n_probe: int = 4,
+        query_vecs: np.ndarray | None = None,
     ) -> DataFrame:
-        """Top-k cosine neighbors for stored query ids, scanning only the
-        probed cells' data files."""
-        q_rows = (
-            self.table.to_df(spark)
-            .filter(F.col("vec_id").isin(query_ids))
-            .select("vec_id", "embedding")
-            .collect()
+        """Top-k cosine neighbors, scanning only the probed cells' files.
+
+        Per-query probe semantics: each query joins candidates from ITS
+        OWN n_probe cells only (probe rows carry (qid, cell)), so results
+        are independent of which other queries share the batch.
+
+        ``query_vecs`` (row-aligned with ``query_ids``) skips the id
+        lookup entirely — the right call shape at scale, where scanning
+        the corpus for k query rows would dwarf the pruned candidate
+        read. Without it, ids are resolved via a column-pruned scan of
+        the stored table (fine for interactive use, documented cost)."""
+        if query_vecs is not None:
+            qpairs = list(zip(query_ids, np.asarray(query_vecs, dtype=np.float64)))
+        else:
+            q_rows = (
+                self.table.to_df(spark)
+                .filter(F.col("vec_id").isin(query_ids))
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            qpairs = [
+                (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+                for r in q_rows
+            ]
+        empty = spark.createDataFrame(
+            [], schema="query_id long, rank int, neighbor_id long, cosine double"
         )
-        qmat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
-        files, cells = self.probed_files(qmat, n_probe)
+        if not qpairs:
+            return empty
+        qmat = np.array([v for _, v in qpairs])
+        files, per_query = self.probed_files(qmat, n_probe)
+        if not files:
+            return empty
         qn = _l2_normalize(qmat)
+        probe_rows = [
+            (int(qid), int(cell), [float(x) for x in qv])
+            for i, ((qid, _), qv) in enumerate(zip(qpairs, qn))
+            for cell in per_query[i]
+        ]
         probes = spark.createDataFrame(
-            [
-                (int(r["vec_id"]), [float(x) for x in qv])
-                for r, qv in zip(q_rows, qn)
-            ],
-            schema="qid long, qvec array<double>",
+            probe_rows, schema="qid long, cell int, qvec array<double>"
         )
-        cand = self.table.scan_files(spark, files).filter(
-            F.col("cell").isin(*[int(c) for c in cells])
-        )
+        cand = self.table.scan_files(spark, files)
         vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         dot = F.aggregate(
             F.zip_with(vec, F.col("qvec"), lambda x, y: x * y),
@@ -174,8 +200,10 @@ class IVFIndex:
         norm = F.sqrt(
             F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
         )
+        # equi-join on cell: a candidate is scored ONLY against queries
+        # probing its cell (per-query n_probe enforced in-plan)
         scored = (
-            cand.crossJoin(F.broadcast(probes))
+            cand.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("qid"))
             .select("qid", "vec_id", (dot / norm).alias("cos"))
         )

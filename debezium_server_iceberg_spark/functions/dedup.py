@@ -115,6 +115,38 @@ def _minhash_wide(
     )
 
 
+def band_structs_expr(num_hashes: int, band_size: int):
+    """LSH band array over the wide signature columns ``m0..m{H-1}``:
+    one struct(band, band_val) per band, band_val = '|'-joined sort_array
+    of the band's minhashes. THE canonical band formula — shared by the
+    one-shot pair generator and the incremental lakehouse index
+    (functions/incremental.py); their candidate-generation equivalence
+    (asserted in tests/test_incremental.py) depends on both deriving band
+    values from this one expression."""
+    n_bands = (num_hashes + band_size - 1) // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[
+                                F.col(f"m{s}")
+                                for s in range(
+                                    b * band_size, min((b + 1) * band_size, num_hashes)
+                                )
+                            ]
+                        )
+                    ),
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -138,28 +170,7 @@ def minhash_near_dup_pairs(
     expression, so no (doc, seed)-grained join ever happens.
     """
     wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_size, shingles).cache()
-    n_bands = (num_hashes + band_size - 1) // band_size
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    F.sort_array(
-                        F.array(
-                            *[
-                                F.col(f"m{s}")
-                                for s in range(
-                                    b * band_size, min((b + 1) * band_size, num_hashes)
-                                )
-                            ]
-                        )
-                    ),
-                ).alias("band_val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    band_structs = band_structs_expr(num_hashes, band_size)
     bands = wide.select("doc", F.explode(band_structs).alias("bv")).select(
         "doc", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
     )
@@ -226,7 +237,9 @@ def near_dup_clusters(
         .cache()
     )
     n_edges = edges.count()  # materializes the cache either path uses
-    if n_edges <= small_edge_threshold:
+    # edges is the SYMMETRIZED list (2 rows per undirected pair) — compare
+    # against 2x so the documented threshold counts undirected edges
+    if n_edges <= 2 * small_edge_threshold:
         rows = edges.filter(F.col("u") < F.col("v")).collect()
         parent: dict = {}
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.catalog import LakeCatalog
 from ..lakehouse.table import LakeTable
-from .dedup import _minhash_wide
+from .dedup import _minhash_wide, band_structs_expr
 
 
 class MinHashIndex:
@@ -81,30 +81,10 @@ class MinHashIndex:
         wide = _minhash_wide(
             docs, text_col, id_col, self.num_hashes, self.shingle_size
         )
-        n_bands = (self.num_hashes + self.band_size - 1) // self.band_size
         mcols = [f"m{s}" for s in range(self.num_hashes)]
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).cast("int").alias("band"),
-                    F.concat_ws(
-                        "|",
-                        F.sort_array(
-                            F.array(
-                                *[
-                                    F.col(f"m{s}")
-                                    for s in range(
-                                        b * self.band_size,
-                                        min((b + 1) * self.band_size, self.num_hashes),
-                                    )
-                                ]
-                            )
-                        ),
-                    ).alias("band_val"),
-                )
-                for b in range(n_bands)
-            ]
-        )
+        # the ONE canonical band formula — sharing it with the one-shot
+        # pair generator is what makes incremental ≡ batch-at-once hold
+        band_structs = band_structs_expr(self.num_hashes, self.band_size)
         return wide.select(
             F.col("doc").cast("long").alias("doc"),
             F.explode(band_structs).alias("bv"),

@@ -46,11 +46,15 @@ def chunk_documents(
     ``explode`` so the fan-out happens inside the scan stage."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
+    # materialize tokens ONCE, then derive starts from the materialized
+    # column — referencing tokens_col in both the projection and the
+    # explode puts the regex split in two operators Spark cannot merge
+    # (the _doc_shingles 6x lesson, functions/dedup.py)
+    with_toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     return (
-        df.select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("start"))
+        with_toks.select(F.col(id_col), F.col("_toks"), F.explode(starts).alias("start"))
         .select(
             F.col(id_col),
             (F.col("start") / stride).cast("long").alias("chunk_id"),

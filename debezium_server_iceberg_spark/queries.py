@@ -2608,11 +2608,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_f = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
         "s_suppkey"
     )
+    # no persist: the threshold aggregation and the filtered output share
+    # the identical groupBy subplan, so ReuseExchange computes the heavy
+    # shuffle once within the job — and nothing leaks cached blocks into
+    # the rest of the session
     vals = (
         li.join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_money(F.col("l_extendedprice"))).alias("value"))
-        .persist()
     )
     threshold = vals.agg(
         (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("_thr")
@@ -2890,8 +2893,10 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = _tf.mkdtemp(prefix="minhash_idx_")
     try:
         idx = MinHashIndex.create(LakeCatalog(wh), "idx", "bands")
-        p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
-        p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1)).localCheckpoint()
+        # add_batch already returns eagerly-checkpointed pairs (safe after
+        # the temp warehouse is removed) — no second checkpoint needed
+        p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0))
+        p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1))
         return p1.unionByName(p2)
     finally:
         _sh.rmtree(wh, ignore_errors=True)

@@ -242,10 +242,10 @@ class ChangeConsumer:
         if len(table.current_deletes()) >= max(1, ic.rewrite_delete_files_min):
             table.materialize_deletes(spark)
         keep = ic.expire_keep_snapshots
-        if keep and len(table.metadata().snapshots) > keep:
+        if keep:
             # metadata-growth hygiene: retire history beyond the configured
             # time-travel horizon and GC files only the expired snapshots
-            # reference (Iceberg's expire_snapshots)
+            # reference (no-op when history is already within the horizon)
             table.expire_snapshots(keep_last=keep)
         n = ic.compact_every_commits
         if not n:

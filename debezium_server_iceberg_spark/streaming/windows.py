@@ -123,7 +123,16 @@ def stream_exact_dedup(
     cols = list(key_cols or ["doc_id"])
     src = docs
     if content_col is not None:
-        src = src.withColumn("content_md5", F.md5(F.col(content_col)))
+        # NULL content must NOT collapse into one group (dropDuplicates
+        # treats NULL keys as equal): null-content rows fall back to a
+        # per-key identity so each stays distinct
+        key_fallback = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        src = src.withColumn(
+            "content_md5",
+            F.coalesce(
+                F.md5(F.col(content_col)), F.concat(F.lit("key:"), key_fallback)
+            ),
+        )
         cols = ["content_md5"]
     if src.isStreaming:
         return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)

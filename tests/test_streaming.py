@@ -379,3 +379,25 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
         schema,
     )
     assert stream_exact_dedup(batch, content_col="text").count() == 2
+
+
+def test_stream_exact_dedup_null_content_stays_distinct(spark):
+    """NULL content must not collapse distinct docs into one group."""
+    from debezium_server_iceberg_spark.streaming.windows import stream_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(1, None, None), (2, None, None), (3, "x", None), (4, "x", None)],
+        schema,
+    )
+    out = stream_exact_dedup(batch, content_col="text").collect()
+    # both null-content docs survive (distinct fallback keys); the two
+    # identical texts collapse to one
+    assert sorted(r.doc_id for r in out if r.text is None) == [1, 2]
+    assert len([r for r in out if r.text == "x"]) == 1
