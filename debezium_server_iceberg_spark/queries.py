@@ -2906,6 +2906,38 @@ _ORACLES["incremental_minhash_pairs"] = _MINHASH_PAIRS_ORACLE
 
 
 @_register(
+    "skew_salted_join_agg",
+    """
+    WITH dim(flag, label) AS (
+      VALUES ('A', 'accepted'), ('N', 'neutral'), ('R', 'returned')
+    )
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY label
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: l_returnflag has only 3 values (maximal key
+    skew — a plain shuffle join melts three reducers), so the fact side is
+    salted across 8 sub-partitions per key and the 3-row dim is replicated
+    per salt (operators/skew.py). Result is EXACTLY the unsalted join —
+    which is what the plain-SQL oracle verifies."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "neutral"), ("R", "returned")],
+        "l_returnflag string, label string",
+    )
+    joined = salted_join(li, dim, on=["l_returnflag"], salt=8)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+    )
+
+
+@_register(
     "reservoir_sample_per_lang",
     """
     WITH r AS (
