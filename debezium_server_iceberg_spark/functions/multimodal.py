@@ -1,12 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side contract is real and tested — schema, partition-friendly
-batch iteration (``mapInPandas``: Arrow batches, no per-row Python), UDF
-signatures, deterministic output — while the actual media decode is stubbed:
-this container ships no image/audio libraries, so decode attempts either use
-an import-gated real path (PIL/soundfile if ever present) or a clearly
-deterministic fake derived from the bytes, and ``strict=True`` raises
-``NotImplementedError`` to mark the boundary.
+Real, dependency-free decoders for the canonical container formats whose
+specs are public and header-parseable with numpy alone:
+
+- **BMP** (24-bpp uncompressed BITMAPINFOHEADER): full decode to a pixel
+  array — width/height/channel extraction, bottom-up row order, 4-byte row
+  padding — plus a nearest-neighbor resize + re-encode path.
+- **WAV** (RIFF PCM16): chunk walk to the ``fmt ``/``data`` chunks, sample
+  rate/bit-depth/channel extraction, and real RMS over the int16 samples.
+- **VID0** (a simple length-prefixed frame container of BMP frames, defined
+  here): real frame-boundary parsing + per-frame BMP decode.
+
+Formats outside these (JPEG/PNG/MP3/...) need codec libraries this
+container doesn't ship; those fall back to an import-gated PIL path, then
+to a clearly-labeled deterministic fake (``decoder='fake-deterministic'``),
+and ``strict=True`` raises ``NotImplementedError`` at that boundary.
 
 Design for 100 TB: media bytes never leave the executor (no collect); each
 transform is a single ``mapInPandas`` pass whose output is narrow metadata,
@@ -16,11 +24,195 @@ so downstream shuffles move kilobytes per item, not the media itself.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+# ---------------------------------------------------------------------------
+# Dependency-free codecs (public file formats, numpy only)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a 24-bpp uncompressed BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte padding)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # BMP stores BGR bottom-up; our in-memory convention is RGB top-down
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + data_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bpp uncompressed BMP. Returns (width, height, channels,
+    pixels (h, w, 3) uint8 top-down RGB) or None when not such a BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    if data_offset + row_size * h > len(data):
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]
+    return w, h, 3, np.ascontiguousarray(px)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as a canonical RIFF/WAVE PCM file."""
+    raw = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(raw), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(raw))
+        + raw
+    )
+
+
+def decode_wav(data: bytes):
+    """Walk RIFF chunks of a PCM WAV. Returns (sample_rate, bits, channels,
+    samples int16 array) or None when not PCM16 WAV."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        return None
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return rate, bits, channels, samples
+
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: ``VID0 | u32 n | (u32 len | frame)*``."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video(data: bytes):
+    """Parse a VID0 container into its frame byte-slices, or None."""
+    if len(data) < 8 or data[:4] != VIDEO_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<I", data, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            return None
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + ln > len(data):
+            return None
+        frames.append(data[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture synthesizers (media generated from row ids, so the
+# decoded header fields are SQL-derivable — the correctness oracle)
+# ---------------------------------------------------------------------------
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _synth_bmp_bytes(i: int) -> bytes:
+    """Canonical fixture BMP for id ``i``: w=4+i%16, h=4+(i//16)%16,
+    gray row value (i+y)%256 — every field SQL-derivable from ``i``."""
+    w, h = 4 + i % 16, 4 + (i // 16) % 16
+    v = (np.arange(h, dtype=np.int64) + i) % 256
+    px = np.broadcast_to(
+        v.astype(np.uint8)[:, None, None], (h, w, 3)
+    )
+    return encode_bmp(np.ascontiguousarray(px))
+
+
+def _synth_wav_bytes(i: int) -> bytes:
+    """Fixture WAV for id ``i``: n=64+i%128 samples at 8 kHz,
+    sample[s] = (((i + 7*s) % 256) - 128) * 64."""
+    n = 64 + i % 128
+    s = np.arange(n, dtype=np.int64)
+    samples = (((i + 7 * s) % 256) - 128) * 64
+    return encode_wav(samples.astype(np.int16))
+
+
+def _synth_video_bytes(i: int) -> bytes:
+    """Fixture video for id ``i``: 2+i%4 BMP frames, frame f sized
+    w=4+(i+f)%8, h=4+(i*3+f)%8, gray row value (i+f+y)%256."""
+    frames = []
+    for f in range(2 + i % 4):
+        w, h = 4 + (i + f) % 8, 4 + (i * 3 + f) % 8
+        v = (np.arange(h, dtype=np.int64) + i + f) % 256
+        px = np.broadcast_to(v.astype(np.uint8)[:, None, None], (h, w, 3))
+        frames.append(encode_bmp(np.ascontiguousarray(px)))
+    return encode_video(frames)
+
+
+def _synthesize(df: DataFrame, id_col: str, make: "callable") -> DataFrame:
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"item_id": ids, "content": [make(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(op, ITEM_SCHEMA)
+
+
+def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real BMP per row, deterministically derived from the id."""
+    return _synthesize(df, id_col, _synth_bmp_bytes)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real PCM16 WAV per row, deterministically derived from the id."""
+    return _synthesize(df, id_col, _synth_wav_bytes)
+
+
+def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One VID0 container of BMP frames per row, derived from the id."""
+    return _synthesize(df, id_col, _synth_video_bytes)
+
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -30,6 +222,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
         T.StructField("decoder", T.StringType(), True),
     ]
 )
@@ -38,6 +231,9 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType(), False),
         T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_n_bytes", T.LongType(), True),
+        T.StructField("frame_width", T.IntegerType(), True),
+        T.StructField("frame_height", T.IntegerType(), True),
         T.StructField("frame_sha256", T.StringType(), True),
         T.StructField("frame_bytes", T.BinaryType(), True),
     ]
@@ -73,16 +269,28 @@ def image_features(
 ) -> DataFrame:
     """Per-item image metadata via one Arrow-batched pass.
 
-    ``strict=True``: raise NotImplementedError when no real decoder exists
-    (the honest mode); default: deterministic fake dims, real byte stats.
-    """
+    Decode order: real BMP parser (dependency-free, this module) → PIL if
+    installed → deterministic fake dims.  ``pixel_sum`` is the exact sum of
+    all decoded pixel bytes (null when no real decode happened) — a
+    byte-level integrity check the SQL oracle can recompute.
+    ``strict=True``: raise NotImplementedError instead of faking."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for item_id, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data) if data is not None else b""
-                real = _try_real_image_decode(data) if data else (0, 0, 0, "empty")
+                px_sum = None
+                if not data:
+                    real = (0, 0, 0, "empty")
+                else:
+                    bmp = decode_bmp(data)
+                    if bmp is not None:
+                        w0, h0, c0, px = bmp
+                        px_sum = int(px.astype(np.int64).sum())
+                        real = (w0, h0, c0, "bmp")
+                    else:
+                        real = _try_real_image_decode(data)
                 if real is None:
                     if strict:
                         raise NotImplementedError(
@@ -99,6 +307,7 @@ def image_features(
                         w,
                         h,
                         c,
+                        px_sum,
                         decoder,
                     )
                 )
@@ -114,6 +323,8 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("item_id", T.LongType(), False),
         T.StructField("out_width", T.IntegerType(), True),
         T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_n_bytes", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
         T.StructField("resized_bytes", T.BinaryType(), True),
         T.StructField("resized_sha256", T.StringType(), True),
         T.StructField("resizer", T.StringType(), True),
@@ -129,23 +340,44 @@ def resize_images(
     bin_col: str = "content",
     strict: bool = False,
 ) -> DataFrame:
-    """Resize plumbing (binary in -> binary out, fixed target dims).
+    """Resize binary images to fixed target dims (binary in -> binary out).
 
-    Real implementation needs an image lib; this environment has none, so
-    the transform is STUBBED deterministically: output bytes are a
-    content-derived sample of the input sized to width*height/64 (so batch
-    shapes, Arrow transfer, and downstream hashing are all real).
-    ``strict=True`` raises NotImplementedError instead (the honest mode)."""
+    BMP inputs get a REAL nearest-neighbor resize: decode to a pixel array,
+    index-map ``src = (dst * src_dim) // dst_dim`` in both axes with numpy,
+    re-encode as BMP.  ``pixel_sum`` is the exact sum of resized pixel
+    bytes (SQL-derivable for fixture images).  Non-BMP inputs fall back to
+    the deterministic byte-cycle stub (``resizer='fake-cycle'``) unless
+    ``strict=True``, which raises at that boundary."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for item_id, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data) if data is not None else b""
-                if _try_real_image_decode(data) is None and strict:
+                bmp = decode_bmp(data) if data else None
+                if bmp is not None:
+                    w0, h0, _, px = bmp
+                    xs = (np.arange(width, dtype=np.int64) * w0) // width
+                    ys = (np.arange(height, dtype=np.int64) * h0) // height
+                    out_px = np.ascontiguousarray(px[ys][:, xs])
+                    enc = encode_bmp(out_px)
+                    rows.append(
+                        (
+                            item_id,
+                            width,
+                            height,
+                            len(enc),
+                            int(out_px.astype(np.int64).sum()),
+                            enc,
+                            hashlib.sha256(enc).hexdigest(),
+                            "bmp-nn",
+                        )
+                    )
+                    continue
+                if data and strict:
                     raise NotImplementedError(
-                        "no image decoder in this environment; strict=False "
-                        "uses the deterministic stub"
+                        "no decoder for this format in this environment; "
+                        "strict=False uses the deterministic stub"
                     )
                 n_out = max(1, (width * height) // 64)
                 # deterministic fake resample: cycle the source bytes
@@ -155,6 +387,8 @@ def resize_images(
                         item_id,
                         width,
                         height,
+                        len(fake),
+                        None,
                         fake,
                         hashlib.sha256(fake).hexdigest(),
                         "fake-cycle" if data else "empty",
@@ -169,8 +403,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
         T.StructField("est_duration_ms", T.LongType(), True),
         T.StructField("rms_proxy", T.DoubleType(), True),
+        T.StructField("sumsq", T.LongType(), True),
         T.StructField("sha256", T.StringType(), True),
         T.StructField("decoder", T.StringType(), True),
     ]
@@ -183,16 +420,41 @@ def audio_features(
     id_col: str = "item_id",
     bin_col: str = "content",
 ) -> DataFrame:
-    """Audio metadata plumbing: duration estimate from byte length at an
-    assumed bitrate and an 'RMS' computed over the raw bytes as a stand-in
-    signal (STUB — a real impl decodes PCM with an audio lib). The Spark
-    side — schema, batching, vectorized numpy per batch — is real."""
+    """Per-item audio metadata via one Arrow-batched pass.
+
+    RIFF/WAVE PCM16 inputs get a REAL decode (chunk walk in this module):
+    sample rate / sample count from the headers, duration from
+    ``n_samples * 1000 // rate``, RMS over the int16 samples, and ``sumsq``
+    — the exact integer sum of squared samples, which a SQL oracle can
+    recompute for fixture audio.  Other formats fall back to the documented
+    byte-proxy stub (``decoder='fake-bytes'``)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for item_id, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data) if data is not None else b""
+                wav = decode_wav(data) if data else None
+                if wav is not None:
+                    rate, _bits, _ch, samples = wav
+                    s = samples.astype(np.int64)
+                    sumsq = int((s * s).sum())
+                    n = len(s)
+                    rms = float(np.sqrt(sumsq / n)) if n else 0.0
+                    rows.append(
+                        (
+                            item_id,
+                            len(data),
+                            rate,
+                            n,
+                            n * 1000 // rate if rate else 0,
+                            round(rms, 6),
+                            sumsq,
+                            hashlib.sha256(data).hexdigest(),
+                            "wav",
+                        )
+                    )
+                    continue
                 if data:
                     arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
                     rms = float(np.sqrt(np.mean((arr - 128.0) ** 2)))
@@ -202,8 +464,11 @@ def audio_features(
                     (
                         item_id,
                         len(data),
+                        None,
+                        None,
                         len(data) // bytes_per_ms,
                         round(rms, 6),
+                        None,
                         hashlib.sha256(data).hexdigest(),
                         "fake-bytes" if data else "empty",
                     )
@@ -221,20 +486,56 @@ def frame_sample(
     max_frames: int = 8,
     id_col: str = "item_id",
     bin_col: str = "content",
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """'Video' frame sampling stub: real plumbing (one binary in, N binary
-    frames out, fan-out inside mapInPandas), fake frame boundaries (fixed
-    byte stride — a real impl would keyframe-split with a media lib)."""
+    """Video frame sampling (one binary in, N binary frames out, fan-out
+    inside one ``mapInPandas`` pass).
+
+    VID0 containers (``encode_video``) get REAL frame-boundary parsing:
+    the length-prefixed frame table is walked, every ``every_n_frames``-th
+    frame (up to ``max_frames``) is emitted with its true byte length, and
+    BMP frames are header-decoded for ``frame_width``/``frame_height``.
+    Other inputs fall back to the fixed byte-stride split (the documented
+    keyframe-less stub; width/height null)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for item_id, data in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(data) if data is not None else b""
+                frames = decode_video(data) if data else None
+                if frames is not None:
+                    emitted = 0
+                    for i, chunk in enumerate(frames):
+                        if i % every_n_frames or emitted >= max_frames:
+                            continue
+                        emitted += 1
+                        bmp = decode_bmp(chunk)
+                        w, h = (bmp[0], bmp[1]) if bmp is not None else (None, None)
+                        rows.append(
+                            (
+                                item_id,
+                                i,
+                                len(chunk),
+                                w,
+                                h,
+                                hashlib.sha256(chunk).hexdigest(),
+                                chunk,
+                            )
+                        )
+                    continue
                 for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     chunk = data[i * every_n_bytes : (i + 1) * every_n_bytes]
                     rows.append(
-                        (item_id, i, hashlib.sha256(chunk).hexdigest(), chunk)
+                        (
+                            item_id,
+                            i,
+                            len(chunk),
+                            None,
+                            None,
+                            hashlib.sha256(chunk).hexdigest(),
+                            chunk,
+                        )
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]

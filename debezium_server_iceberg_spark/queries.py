@@ -2244,62 +2244,111 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only) ----
 
 
-@_register("multimodal_resize", None)
+@_register(
+    "multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id AS item_id, 4 + (doc_id // 16) % 16 AS h
+      FROM documents WHERE doc_id % 10 = 0
+    ), ps AS (
+      SELECT item_id,
+             CAST(3 * 8 * sum((item_id + (y.y * h) // 8) % 256) AS BIGINT)
+               AS pixel_sum
+      FROM d, unnest(range(8)) AS y(y)
+      GROUP BY item_id
+    )
+    SELECT d.item_id, 8 AS out_width, 8 AS out_height,
+           CAST(246 AS BIGINT) AS out_n_bytes, ps.pixel_sum,
+           'bmp-nn' AS resizer
+    FROM d JOIN ps USING (item_id)
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (binary->binary, fixed dims) over mapInPandas; the
-    resample itself is a deterministic stub (no image libs here)."""
-    from .functions.multimodal import as_binary_items, resize_images
+    """REAL nearest-neighbor resize over real BMP bytes: fixture BMPs are
+    synthesized from doc_id (header fields SQL-derivable), decoded with the
+    dependency-free BMP parser, index-mapped ``src=(dst*src_dim)//dst_dim``
+    in numpy, re-encoded.  The oracle recomputes the resized pixel sum and
+    output byte length from the same formulas, so a wrong row stride, an
+    off-by-one in the NN index map, or padding mishandling all hash-mismatch."""
+    from .functions.multimodal import resize_images, synthesize_images
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    out = resize_images(as_binary_items(docs, "doc_id", "text"), 64, 64)
-    return out.select("item_id", "out_width", "out_height", "resized_sha256")
+    out = resize_images(synthesize_images(docs, "doc_id"), 8, 8)
+    return out.select(
+        "item_id", "out_width", "out_height", "out_n_bytes", "pixel_sum", "resizer"
+    )
 
 
 @_register(
     "multimodal_audio_features",
     """
-    WITH h AS (
-      SELECT doc_id AS item_id,
-             hex(encode(coalesce(text, ''))) AS hx,
-             octet_length(encode(coalesce(text, ''))) AS n,
-             sha256(coalesce(text, '')) AS sha
+    WITH d AS (
+      SELECT doc_id AS item_id, 64 + doc_id % 128 AS n
       FROM documents WHERE doc_id % 10 = 0
-    ), bytes AS (
-      SELECT item_id,
-             (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-               + strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1 AS b
-      FROM h, unnest(range(n)) AS t(i)
-    ), rms AS (
-      SELECT item_id, sqrt(avg((b - 128.0) * (b - 128.0))) AS r
-      FROM bytes GROUP BY item_id
+    ), samp AS (
+      SELECT item_id, (((item_id + 7 * s.s) % 256) - 128) * 64 AS v
+      FROM d, unnest(range(n)) AS s(s)
+    ), sq AS (
+      SELECT item_id, CAST(sum(v * v) AS BIGINT) AS sumsq
+      FROM samp GROUP BY item_id
     )
-    SELECT h.item_id, h.n AS n_bytes, h.n // 32 AS est_duration_ms,
-           round(coalesce(rms.r, 0.0), 6) AS rms_proxy,
-           h.sha AS sha256,
-           CASE WHEN h.n = 0 THEN 'empty' ELSE 'fake-bytes' END AS decoder
-    FROM h LEFT JOIN rms ON h.item_id = rms.item_id
+    SELECT d.item_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 8000 AS BIGINT) AS est_duration_ms,
+           sq.sumsq, 'wav' AS decoder
+    FROM d JOIN sq USING (item_id)
     """,
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-feature plumbing (duration estimate + RMS proxy) over
-    mapInPandas with numpy per batch; decode stubbed deterministically over
-    the raw bytes — which DuckDB can recompute (hex pair decode -> per-byte
-    RMS), making the Arrow batch path oracle-checkable like the image one."""
-    from .functions.multimodal import as_binary_items, audio_features
+    """REAL RIFF/WAVE PCM16 decode: fixture WAVs are synthesized from
+    doc_id (sample values SQL-derivable), then the dependency-free chunk
+    walker extracts rate/bit-depth/sample count and numpy computes the
+    exact integer sum of squared samples.  The oracle regenerates the same
+    samples with ``unnest(range(n))`` — a mis-parsed fmt chunk, wrong data
+    offset, or byte-order bug all hash-mismatch."""
+    from .functions.multimodal import audio_features, synthesize_audio
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return audio_features(as_binary_items(docs, "doc_id", "text"))
+    out = audio_features(synthesize_audio(docs, "doc_id"))
+    return out.select(
+        "item_id", "n_bytes", "sample_rate", "n_samples",
+        "est_duration_ms", "sumsq", "decoder",
+    )
 
 
-@_register("multimodal_frame_sample", None)
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id AS item_id, 2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 10 = 0
+    ), fr AS (
+      SELECT item_id, CAST(f.f AS INT) AS frame_index,
+             4 + (item_id + f.f) % 8 AS w,
+             4 + (item_id * 3 + f.f) % 8 AS h
+      FROM d, unnest(range(nf)) AS f(f)
+      WHERE f.f % 2 = 0
+    )
+    SELECT item_id, frame_index,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS frame_n_bytes,
+           CAST(w AS INT) AS frame_width, CAST(h AS INT) AS frame_height
+    FROM fr
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary fan-out plumbing ('video' -> N frames) over mapInPandas; frame
-    boundaries stubbed to a byte stride (no media libs here)."""
-    from .functions.multimodal import as_binary_items, frame_sample
+    """REAL frame-boundary parsing: fixture videos are VID0 containers of
+    BMP frames synthesized from doc_id; the sampler walks the
+    length-prefixed frame table, keeps every 2nd frame, and header-decodes
+    each kept frame's BMP dimensions.  The oracle regenerates frame count,
+    sizes, and dims from the same formulas, so a mis-read length prefix or
+    a wrong sampling stride hash-mismatches."""
+    from .functions.multimodal import frame_sample, synthesize_videos
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    frames = frame_sample(as_binary_items(docs, "doc_id", "text"), every_n_bytes=64)
-    return frames.select("item_id", "frame_index", "frame_sha256")
+    frames = frame_sample(synthesize_videos(docs, "doc_id"), every_n_frames=2)
+    return frames.select(
+        "item_id", "frame_index", "frame_n_bytes", "frame_width", "frame_height"
+    )
 
 
 @_register("approx_distinct_parts", None)
@@ -2338,41 +2387,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "multimodal_image_features",
     """
-    WITH b AS (
+    WITH d AS (
       SELECT doc_id AS item_id,
-             octet_length(encode(coalesce(text, ''))) AS n_bytes,
-             sha256(coalesce(text, '')) AS sha
+             4 + doc_id % 16 AS w,
+             4 + (doc_id // 16) % 16 AS h
       FROM documents
-    ), d AS (
-      SELECT item_id, n_bytes, sha,
-        (strpos('0123456789abcdef', substr(sha,1,1))-1)*16
-          + strpos('0123456789abcdef', substr(sha,2,1))-1 AS b0,
-        (strpos('0123456789abcdef', substr(sha,3,1))-1)*16
-          + strpos('0123456789abcdef', substr(sha,4,1))-1 AS b1,
-        (strpos('0123456789abcdef', substr(sha,5,1))-1)*16
-          + strpos('0123456789abcdef', substr(sha,6,1))-1 AS b2
-      FROM b
+    ), ps AS (
+      SELECT item_id, CAST(3 * w * sum((item_id + y.y) % 256) AS BIGINT)
+               AS pixel_sum
+      FROM d, unnest(range(h)) AS y(y)
+      GROUP BY item_id, w
     )
-    SELECT item_id, n_bytes, sha AS sha256,
-           CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + b0 % 192 END AS width,
-           CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + b1 % 192 END AS height,
-           CASE WHEN n_bytes = 0 THEN 0 ELSE 1 + b2 % 4 END AS channels,
-           CASE WHEN n_bytes = 0 THEN 'empty' ELSE 'fake-deterministic' END AS decoder
-    FROM d
+    SELECT d.item_id,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS channels, ps.pixel_sum, 'bmp' AS decoder
+    FROM d JOIN ps USING (item_id)
     """,
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column multimodal plumbing over mapInPandas.  The decode is a
-    documented deterministic stub (no media libs in this environment) whose
-    pseudo-dims derive from the content sha256 — which makes the whole
-    Arrow-batched path ORACLE-CHECKABLE: DuckDB recomputes byte stats, hash,
-    and the same hash-derived dims in SQL, so schema/partitioning/UDF
-    plumbing errors (byte mangling, row drops, column misalignment) surface
-    as hash mismatches even though no real pixels are decoded."""
-    from .functions.multimodal import as_binary_items, image_features
+    """REAL BMP decode over mapInPandas: fixture BMPs are synthesized per
+    doc_id (dimensions and the gray row gradient are pure functions of the
+    id), then fully parsed — magic, data offset, BITMAPINFOHEADER dims,
+    bottom-up row order, 4-byte row padding — and the exact pixel byte sum
+    is computed from the decoded array.  The oracle recomputes every field
+    (including the padding-sensitive file size and the pixel sum) from the
+    same formulas, so any parser defect hash-mismatches."""
+    from .functions.multimodal import image_features, synthesize_images
 
     docs = _t(spark, sf_dir, "documents")
-    return image_features(as_binary_items(docs, "doc_id", "text"))
+    out = image_features(synthesize_images(docs, "doc_id"))
+    return out.select(
+        "item_id", "n_bytes", "width", "height", "channels", "pixel_sum", "decoder"
+    )
 
 
 # =====================================================================

@@ -133,6 +133,85 @@ def test_multimodal_frame_sample_fanout(spark):
     assert all(len(f["frame_bytes"]) > 0 for f in frames)
 
 
+def test_multimodal_real_bmp_decode_and_resize(spark):
+    """Real decoders (not stubs): synthesized BMPs round-trip through the
+    dependency-free parser; resize is a true nearest-neighbor resample
+    whose output re-decodes to the target dims with the expected pixels."""
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        decode_bmp,
+        resize_images,
+        synthesize_images,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 33, 260)], "doc_id long")
+    items = synthesize_images(docs, "doc_id")
+
+    feats = {r["item_id"]: r for r in image_features(items).collect()}
+    for i in (0, 7, 33, 260):
+        f = feats[i]
+        assert f["decoder"] == "bmp"
+        assert (f["width"], f["height"]) == (4 + i % 16, 4 + (i // 16) % 16)
+        assert f["channels"] == 3
+        expect = 3 * f["width"] * sum((i + y) % 256 for y in range(f["height"]))
+        assert f["pixel_sum"] == expect
+
+    rz = {r["item_id"]: r for r in resize_images(items, 8, 8).collect()}
+    for i in (0, 7, 33, 260):
+        r = rz[i]
+        assert r["resizer"] == "bmp-nn" and r["out_n_bytes"] == 246
+        w, h, c, px = decode_bmp(bytes(r["resized_bytes"]))
+        assert (w, h, c) == (8, 8, 3)
+        src_h = 4 + (i // 16) % 16
+        expect = 3 * 8 * sum((i + (y * src_h) // 8) % 256 for y in range(8))
+        assert r["pixel_sum"] == expect == int(px.astype("int64").sum())
+
+
+def test_multimodal_real_wav_decode(spark):
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 129)], "doc_id long")
+    au = {r["item_id"]: r for r in audio_features(synthesize_audio(docs, "doc_id")).collect()}
+    for i in (0, 5, 129):
+        a = au[i]
+        n = 64 + i % 128
+        assert a["decoder"] == "wav" and a["sample_rate"] == 8000
+        assert a["n_samples"] == n and a["n_bytes"] == 44 + 2 * n
+        assert a["est_duration_ms"] == n * 1000 // 8000
+        expect_sq = sum(((((i + 7 * s) % 256) - 128) * 64) ** 2 for s in range(n))
+        assert a["sumsq"] == expect_sq
+        import math
+
+        assert abs(a["rms_proxy"] - round(math.sqrt(expect_sq / n), 6)) < 1e-9
+
+
+def test_multimodal_real_video_frame_parse(spark):
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        frame_sample as fs,
+        synthesize_videos,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (1, 3, 10)], "doc_id long")
+    frames = fs(synthesize_videos(docs, "doc_id"), every_n_frames=2).collect()
+    by_item = {}
+    for r in frames:
+        by_item.setdefault(r["item_id"], []).append(r)
+    for i in (1, 3, 10):
+        nf = 2 + i % 4
+        kept = sorted(by_item[i], key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in kept] == [f for f in range(nf) if f % 2 == 0]
+        for r in kept:
+            f = r["frame_index"]
+            w, h = 4 + (i + f) % 8, 4 + (i * 3 + f) % 8
+            assert (r["frame_width"], r["frame_height"]) == (w, h)
+            assert r["frame_n_bytes"] == 54 + ((w * 3 + 3) // 4 * 4) * h
+            assert len(r["frame_bytes"]) == r["frame_n_bytes"]
+
+
 def test_variant_end_to_end_through_lakehouse(spark, warehouse):
     """nested_as_variant=True: events flow through the consumer into a table
     whose variant column survives the parquet roundtrip and is queryable
