@@ -250,6 +250,20 @@ def ivf_topk(
     )
 
 
+def plane_matrix(seed: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplane components in [-1, 1): md5 of
+    ``"{seed}:{plane}:{dim_index}"`` — reproducible by any engine with an
+    md5 function (the SQL oracle recomputes the identical matrix)."""
+    import hashlib
+
+    comps = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            comps[p, i] = (int(h[:8], 16) / 0x7FFFFFFF) - 1.0
+    return comps
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -260,32 +274,36 @@ def lsh_bucketed_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature buckets, exact rerank
-    inside the query's bucket. Deterministic planes from a seeded xorshift-free
-    recurrence on (seed, plane, dim) via md5 — no RNG state.
+    inside the query's bucket. Deterministic planes from md5(seed:plane:dim)
+    — no RNG state, and any engine can recompute them.
 
-    Scale path: one narrow map to compute signatures, then an equi-join on
-    the signature (shuffle keyed by bucket), then the same windowed top-k.
-    """
-    dim_df = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = dim_df["d"]
+    Scale path: signatures come from one Arrow-batched ``mapInPandas`` GEMM
+    against a plane matrix materialized per executor from the seed (plan
+    size independent of embedding dim — no per-(plane,dim) literals), then
+    an equi-join on the signature (shuffle keyed by bucket), then the same
+    windowed top-k."""
 
-    def plane_component(p: int, i: int) -> float:
-        # deterministic pseudo-random in [-1, 1) from md5 — pure python,
-        # computed once on the driver and baked into the plan as literals
-        import hashlib
+    def sig_batches(batches):
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _vec_matrix(pdf[vec_col])
+            if planes is None:
+                planes = plane_matrix(seed, n_planes, mat.shape[1])
+            bits = mat @ planes.T >= 0  # (n, n_planes)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf[id_col].to_numpy(),
+                    "cvec": [row.tolist() for row in mat],
+                    "bucket": [
+                        "".join("1" if b else "0" for b in row) for row in bits
+                    ],
+                }
+            )
 
-        h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
-        return (int(h[:8], 16) / 0x7FFFFFFF) - 1.0
-
-    vec = _as_double(F.col(vec_col))
-    sig_bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(p, i)) for i in range(dim)])
-        sig_bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    sig = F.concat(*sig_bits)
-
-    base = df.select(
-        F.col(id_col).alias("cid"), vec.alias("cvec"), sig.alias("bucket")
+    base = df.select(id_col, vec_col).mapInPandas(
+        sig_batches, schema="cid long, cvec array<double>, bucket string"
     )
     queries = base.filter(F.col("cid").isin(query_ids)).select(
         F.col("cid").alias("qid"), F.col("cvec").alias("qvec"), "bucket"

@@ -2351,32 +2351,129 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_distinct_parts", None)
+@_register(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           true AS parts_within_tol, true AS supps_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (engine-specific sketch — no cross-engine
-    oracle by construction)."""
+    """HLL approximate distinct, gated on its accuracy contract: the sketch
+    estimate must land within 3x the configured rsd (0.05) of the exact
+    count, surfaced as a boolean the oracle reproduces with ``true`` — a
+    drifting sketch hash-mismatches.  The raw estimate itself is
+    engine-specific and deliberately not compared."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    tol = 0.15
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supps"),
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("exact_supps"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= tol * F.col("exact_parts")
+        ).alias("parts_within_tol"),
+        (
+            F.abs(F.col("approx_supps") - F.col("exact_supps"))
+            <= tol * F.col("exact_supps")
+        ).alias("supps_within_tol"),
     )
 
 
-@_register("ann_ivf_topk", None)
+@_register("ann_ivf_topk", None)  # oracle assigned below (exact-probe mode)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell approximate ANN (coarse quantizer + n_probe rerank; recall
-    is probabilistic -> weak check)."""
+    """One-shot IVF with n_probe = n_cells: exhaustive probing makes the
+    result EXACT, so the brute-force cosine oracle checks the full
+    codebook-GEMM assignment + cell-keyed probe join + rerank machinery.
+    The approximate n_probe < n_cells mode runs the same code over fewer
+    cells (pytest covers its recall behavior)."""
     from .functions.similarity import ivf_topk
 
     return ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=16,
+        n_probe=16,
     )
 
 
-@_register("ann_lsh_topk", None)
+_ORACLES["ann_ivf_topk"] = _ORACLES["ann_cosine_topk"]
+
+
+def _hex8_to_int(expr: str) -> str:
+    """SQL expression decoding the first 8 hex chars of md5 text ``expr``
+    to a non-negative integer (DuckDB has no hex->int cast)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {c + 1}, 1)) - 1) "
+        f"* {16 ** (7 - c)}"
+        for c in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle(n_planes: int = 4, seed: int = 42, k: int = 5) -> str:
+    """Full-semantics LSH oracle: DuckDB recomputes the identical
+    md5-derived hyperplanes (functions/similarity.py:plane_matrix), the
+    per-vector sign signatures, the bucket equi-join, and the exact
+    in-bucket rerank — so the gate verifies the approximate operator's
+    actual contract, not a degenerate exact mode."""
+    comp = _hex8_to_int(f"md5(concat({seed}, ':', p.p, ':', i.i))")
+    return f"""
+    WITH dims AS (
+      SELECT max(len(embedding)) AS d FROM embeddings
+    ), planes AS (
+      SELECT p.p AS p, i.i AS i,
+             ({comp} / 2147483647.0) - 1.0 AS comp
+      FROM range({n_planes}) AS p(p), dims, unnest(range(dims.d)) AS i(i)
+    ), dots AS (
+      SELECT e.vec_id, pl.p,
+             sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.comp) AS dot
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.p
+    ), sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id
+    ), base AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id)
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, bucket FROM base WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, b.vec_id AS cid,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.qid
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)
+               AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, rank, cid AS neighbor_id, round(cos, 3) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_lsh_topk", _lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (scale path of
-    ann_cosine_topk; bucket recall is probabilistic -> weak check)."""
+    """Approximate ANN via random-hyperplane LSH buckets, oracle-backed at
+    FULL approximate semantics: the planes are a pure function of
+    (seed, plane, dim) through md5, so DuckDB rebuilds the same matrix,
+    the same sign signatures, and the same bucket-restricted exact rerank.
+    A wrong signature bit, bucket-join defect, or rank tie-break all
+    hash-mismatch."""
     from .functions.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(

