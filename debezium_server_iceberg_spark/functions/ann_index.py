@@ -201,11 +201,15 @@ class IVFIndex:
             F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
         )
         # equi-join on cell: a candidate is scored ONLY against queries
-        # probing its cell (per-query n_probe enforced in-plan)
+        # probing its cell (per-query n_probe enforced in-plan).
+        # nullif guards zero-norm embeddings: 0/0 would be NaN, which Spark
+        # orders ABOVE every real cosine in the descending rank window —
+        # null instead, and the filter drops the degenerate vector.
         scored = (
             cand.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("qid"))
-            .select("qid", "vec_id", (dot / norm).alias("cos"))
+            .select("qid", "vec_id", (dot / F.nullif(norm, F.lit(0.0))).alias("cos"))
+            .filter(F.col("cos").isNotNull())
         )
         w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         return (

@@ -202,7 +202,7 @@ def minhash_near_dup_pairs(
 def near_dup_clusters(
     pairs: DataFrame,
     max_rounds: int | None = None,
-    small_edge_threshold: int = 2_000_000,
+    small_edge_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list -> one cluster
     id (the minimum member) per doc, plus the canonical flag.
@@ -211,13 +211,17 @@ def near_dup_clusters(
     join makes:
 
     - **Small graphs** (≤ ``small_edge_threshold`` undirected edges — the
-      count is known for free when the edge list is cached): collect the
-      EDGE LIST (never the corpus) and run union-find on the driver, then
-      rejoin labels distributed.  Near-dup graphs are usually a sparse
-      residue of the corpus — at sf0.1 the LSH pairs are a few hundred
-      rows, where a distributed iteration pays multiple all-but-empty
-      shuffle rounds for nothing.  2M edges ≈ tens of MB, the same memory
-      class Spark itself accepts for a broadcast side.
+      count is known for free when the edge list is cached): fetch the
+      EDGE LIST (never the corpus) to the driver as Arrow-backed numpy
+      int arrays (no Row objects) and run union-find there, then rejoin
+      labels distributed.  Near-dup graphs are usually a sparse residue of
+      the corpus — at sf0.1 the LSH pairs are a few hundred rows, where a
+      distributed iteration pays multiple all-but-empty shuffle rounds for
+      nothing.  Driver memory is ~16 B/edge for the arrays plus the Python
+      parent/label dicts (~100 B/touched node), so 500k edges stays in the
+      low hundreds of MB worst-case — the same memory class as a large
+      broadcast side; raise the threshold only with driver headroom to
+      match.
 
     - **Large graphs**: min-label propagation WITH pointer doubling (the
       hash-join form of the large-star/small-star CC algorithm, Kiveris et
@@ -240,7 +244,10 @@ def near_dup_clusters(
     # edges is the SYMMETRIZED list (2 rows per undirected pair) — compare
     # against 2x so the documented threshold counts undirected edges
     if n_edges <= 2 * small_edge_threshold:
-        rows = edges.filter(F.col("u") < F.col("v")).collect()
+        # Arrow fetch -> two int64 numpy columns: ~16 B/edge on the driver
+        # instead of hundreds of bytes per pyspark Row (ADVICE r6)
+        pdf = edges.filter(F.col("u") < F.col("v")).toPandas()
+        us, vs = pdf["u"].to_numpy(), pdf["v"].to_numpy()
         parent: dict = {}
 
         def find(x):
@@ -251,13 +258,13 @@ def near_dup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for r in rows:
-            ru, rv = find(r.u), find(r.v)
+        for u, v in zip(us.tolist(), vs.tolist()):
+            ru, rv = find(u), find(v)
             if ru != rv:
                 # union by min so the root IS the cluster id
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
-        label_rows = [(d, find(d)) for d in {x for r in rows for x in (r.u, r.v)}]
+        label_rows = [(d, find(d)) for d in set(us.tolist()) | set(vs.tolist())]
         spark = pairs.sparkSession
         id_type = edges.schema["u"].dataType.simpleString()
         out = spark.createDataFrame(

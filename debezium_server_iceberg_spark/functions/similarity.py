@@ -233,10 +233,14 @@ def ivf_topk(
     )
 
     joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("cid") != F.col("qid"))
+    # nullif: a zero-norm candidate would score NaN, which sorts above every
+    # real cosine in the descending window — null it out and drop it
     cos = _dot(
         F.transform(F.col("cvec"), lambda x: x.cast("double")), F.col("qvec")
-    ) / _norm(F.transform(F.col("cvec"), lambda x: x.cast("double")))
-    scored = joined.select("qid", "cid", cos.alias("cos"))
+    ) / F.nullif(_norm(F.transform(F.col("cvec"), lambda x: x.cast("double"))), F.lit(0.0))
+    scored = joined.select("qid", "cid", cos.alias("cos")).filter(
+        F.col("cos").isNotNull()
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -312,8 +316,11 @@ def lsh_bucketed_topk(
     scored = pairs.select(
         "qid",
         "cid",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
-    )
+        (
+            _dot(F.col("qvec"), F.col("cvec"))
+            / F.nullif(_norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(0.0))
+        ).alias("cos"),
+    ).filter(F.col("cos").isNotNull())
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -248,6 +248,20 @@ class LakeTable:
             fh.write(str(new_version))
         os.replace(tmp, os.path.join(self.meta_dir, _HINT))  # ATOMIC POINT
 
+    def update_properties(self, retries: int = 5, **props) -> None:
+        """Metadata-only property update (Iceberg's UpdateProperties): CAS
+        through the same optimistic-concurrency commit as data writes."""
+        for attempt in range(retries):
+            meta = self.metadata()
+            meta.properties.update({k: str(v) for k, v in props.items()})
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     # ------------------------------------------------------------ manifests
 
     def _manifest_entry(self, meta: TableMetadata, snapshot_id: int | None = None) -> dict:
@@ -514,8 +528,11 @@ class LakeTable:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> None:
-        """Append commit (reference AppendFiles, IcebergTableOperator.java:224-228)."""
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Append commit (reference AppendFiles, IcebergTableOperator.java:224-228).
+
+        Returns the number of rows committed — read from the staged files'
+        own stats, so no extra Spark action runs."""
         meta = self.metadata()
         add = self._stage_write(df, meta)
         try:
@@ -523,6 +540,7 @@ class LakeTable:
         except Exception:
             self._abort_staged(add)
             raise
+        return sum(f.rows for f in add)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> None:
         """Full-table overwrite (reference OverwriteFiles alwaysTrue,

@@ -1354,7 +1354,8 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            strftime(max(date_trunc('second', o_orderdate)), '%Y-%m-%d %H:%M:%S') AS max_orderdate
-    FROM orders WHERE o_orderkey % 100 = 0 GROUP BY o_orderstatus
+    FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey < 4000000
+    GROUP BY o_orderstatus
     """,
 )
 def cdc_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,9 +1389,11 @@ def cdc_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="Value",
     )
     kschema = CS.struct([("o_orderkey", CS.primitive("int64", optional=False))])
+    # key-bounded fixture batch: deterministic at every sf (unlike limit)
+    # and caps the driver-side collect at ~40k rows even at sf10+
     batch = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 100 == 0)
+        .filter((F.col("o_orderkey") % 100 == 0) & (F.col("o_orderkey") < 4_000_000))
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
         .collect()
     )

@@ -226,12 +226,15 @@ class ChangeConsumer:
             self._maybe_compact(raw.sparkSession, table)
             return stats.source_rows
         conformed = conform_to_schema(events, meta.schema)
-        table.append(
+        n_rows = table.append(
             conformed,
             summary={"epoch_id": epoch_id} if epoch_id is not None else None,
         )
         self._maybe_compact(raw.sparkSession, table)
-        return -1  # append path: row count not re-measured (avoid extra action)
+        # row count from the commit's own file stats (manifest already has
+        # it) — no extra action, and no -1 sentinel leaking into lineage
+        # or the offsets mirror
+        return n_rows
 
     def _maybe_compact(self, spark: SparkSession, table) -> None:
         """Scheduled compaction (upsert read-amplification hygiene the
@@ -250,11 +253,22 @@ class ChangeConsumer:
         n = ic.compact_every_commits
         if not n:
             return
-        data_commits = [
-            s for s in table.metadata().snapshots if s.operation != "evolve"
-        ]
-        if len(data_commits) % n == 0:
+        # Cadence must survive history expiry: retained-snapshot counts are
+        # pinned at ~expire_keep_snapshots once expiry runs, so measure
+        # against the never-resetting snapshot id and record the last
+        # compaction point in a table property (durable across restarts).
+        meta = table.metadata()
+        sid = meta.current_snapshot_id or 0
+        last = int(meta.properties.get("compaction.last-compact-snapshot-id", 0))
+        if sid - last >= n:
             table.compact(spark, min_input_files=ic.compact_min_input_files)
+            table.update_properties(
+                **{
+                    "compaction.last-compact-snapshot-id": (
+                        table.metadata().current_snapshot_id or 0
+                    )
+                }
+            )
 
     # -------------------------------------------------------- streaming path
 

@@ -83,3 +83,17 @@ def test_ivf_search_batch_independence_and_missing_ids(spark, warehouse):
     via_vec = {(r.rank, r.neighbor_id)
                for r in idx.search(spark, [0], k=3, n_probe=2, query_vecs=qv).collect()}
     assert via_vec == solo
+
+
+def test_zero_norm_vectors_excluded_from_topk(spark, warehouse):
+    """A zero-norm stored embedding must never outrank real neighbors
+    (ADVICE r6: 0/0 = NaN sorts above every real cosine in the descending
+    window; the guard nulls + drops it)."""
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # degenerate vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVFIndex.build(LakeCatalog(warehouse), "ann", "zn", emb, n_cells=2)
+    got = idx.search(spark, [0], k=5, n_probe=2).collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id != 99 for r in got)
+    assert all(not np.isnan(r.cosine) for r in got)

@@ -381,3 +381,28 @@ def test_expire_snapshots_cadence(spark, warehouse):
     assert len(table.metadata().snapshots) <= 3  # keep_last=2 (+ the commit
     # that ran after the checkpoint), never the full 4+ history
     assert table.to_df(spark).count() == 5
+
+
+def test_compaction_fires_with_expiry_enabled(spark, warehouse):
+    """Cadence must not be pinned by history expiry (ADVICE r6): with
+    expire_keep_snapshots=2 AND compact_every_commits=3 the retained
+    snapshot count is constant, yet compaction still fires — the trigger
+    tracks the never-resetting snapshot id via a table property."""
+    c = build_consumer(
+        warehouse,
+        upsert=False,
+        expire_keep_snapshots=2,
+        compact_every_commits=3,
+        compact_min_input_files=2,
+    )
+    for i in range(7):
+        c.handle_batch(
+            to_df(spark, [customer_event(10 * i + j, f"v{i}", "c", 1) for j in range(2)]),
+            epoch_id=i,
+        )
+    table = c.catalog.load_table("debeziumevents", TABLE)
+    props = table.metadata().properties
+    assert int(props.get("compaction.last-compact-snapshot-id", 0)) > 0
+    assert read_table(c, spark).count() == 14
+    # bin-packing happened: fewer live files than data commits
+    assert len(table.current_files()) < 7
