@@ -80,11 +80,20 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """Equality-delete file (Iceberg v2 semantics): a parquet file of key
-    tuples that logically removes every matching row in data files with a
-    LOWER sequence number. This is the merge-on-read half of the reference's
-    delta writer (IcebergTableWriterFactory.java:97-108 equalityFieldIds,
-    BaseDeltaTaskWriter.java:60-71 deleteKey-then-write)."""
+    """Merge-on-read delete file, two contents:
+
+    - ``content='equality'`` (Iceberg v2 semantics): a parquet file of key
+      tuples that logically removes every matching row in data files with a
+      LOWER sequence number — the reference's equality-delta writer
+      (IcebergTableWriterFactory.java:97-108 equalityFieldIds,
+      BaseDeltaTaskWriter.java:60-71 deleteKey-then-write).
+    - ``content='position'`` (v3 deletion-vector semantics,
+      IcebergConfig.java:106-108 default + PartitioningDVWriter in
+      BaseDeltaTaskWriter.java:74-88): a parquet file of
+      ``(file_name, pos)`` rows naming exact row positions to skip.  The
+      read side does positional anti-joins (cheap integer compare per row)
+      instead of key-tuple anti-joins; data file names are globally unique
+      (``_uniquify_staged``), so name+pos identifies a row forever."""
 
     path: str
     rows: int
@@ -92,6 +101,7 @@ class DeleteFile:
     equality_cols: list[str] = dc_field(default_factory=list)
     bounds: dict[str, list] = dc_field(default_factory=dict)
     bytes: int = 0
+    content: str = "equality"
 
     def to_dict(self) -> dict:
         return {
@@ -101,13 +111,14 @@ class DeleteFile:
             "equality_cols": self.equality_cols,
             "bounds": self.bounds,
             "bytes": self.bytes,
+            "content": self.content,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "DeleteFile":
         return DeleteFile(
             d["path"], d["rows"], d["seq"], d.get("equality_cols", []),
-            d.get("bounds", {}), d.get("bytes", 0)
+            d.get("bounds", {}), d.get("bytes", 0), d.get("content", "equality")
         )
 
 
@@ -583,14 +594,19 @@ class LakeTable:
         delete_keys_df: DataFrame | None,
         summary: dict | None = None,
         delete_target_files: int = 1,
+        delete_positions_df: DataFrame | None = None,
     ) -> tuple[int, int]:
-        """Merge-on-read upsert commit: append new data files AND an
-        equality-delete file of source keys in ONE atomic snapshot — no
-        existing data file is read or rewritten. This is the Spark-side
-        equivalent of the reference's equality-delta writer
-        (BaseDeltaTaskWriter.java:60-71: deleteKey(key) then write(row);
-        IcebergTableWriterFactory.java:97-108: equality field ids = the
-        table's identifier fields). Returns (added_rows, delete_rows)."""
+        """Merge-on-read upsert commit: append new data files AND delete
+        files in ONE atomic snapshot — no existing data file is rewritten.
+
+        ``delete_keys_df`` stages an equality-delete file of source keys
+        (v2 semantics; the reference's equality-delta writer,
+        BaseDeltaTaskWriter.java:60-71 deleteKey-then-write,
+        IcebergTableWriterFactory.java:97-108 equality field ids).
+        ``delete_positions_df`` — columns ``(file_name, pos)`` — stages a
+        position-delete file instead (v3 deletion-vector semantics,
+        IcebergConfig.java:106-108 / PartitioningDVWriter).  Both may be
+        combined.  Returns (added_rows, delete_rows)."""
         meta = self.metadata()
         key_cols = [
             c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}
@@ -599,6 +615,36 @@ class LakeTable:
             raise ValueError("commit_row_delta requires identifier fields")
         add = self._stage_write(add_df, meta) if add_df is not None else []
         add_deletes: list[DeleteFile] = []
+        if delete_positions_df is not None:
+            staging = os.path.join(self.data_dir, "posdel-" + uuidlib.uuid4().hex)
+            try:
+                (
+                    delete_positions_df.select(
+                        F.col("file_name").cast("string"),
+                        F.col("pos").cast("long"),
+                    )
+                    .coalesce(1)
+                    .sortWithinPartitions("file_name", "pos")
+                    .write.mode("error")
+                    .parquet(staging)
+                )
+                _uniquify_staged(staging)
+                for f in self._collect_stats(
+                    delete_positions_df.sparkSession, staging, meta
+                ):
+                    if f.rows:
+                        add_deletes.append(
+                            DeleteFile(
+                                f.path, f.rows, 0, [], {}, f.bytes,
+                                content="position",
+                            )
+                        )
+                    else:  # empty batch touched nothing: drop the file
+                        os.remove(f.path)
+            except Exception:
+                self._abort_staged(add, add_deletes)
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
         if delete_keys_df is not None:
             staging = os.path.join(self.data_dir, "deletes-" + uuidlib.uuid4().hex)
             try:
@@ -625,7 +671,7 @@ class LakeTable:
                         DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
                     )
             except Exception:
-                self._abort_staged(add)
+                self._abort_staged(add, add_deletes)
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
         try:
@@ -697,9 +743,25 @@ class LakeTable:
         key_cols = [
             c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}
         ]
+        eq_dels = [d for d in deletes if d.content != "position"]
+        pos_dels = [d for d in deletes if d.content == "position"]
+        # position deletes name their victims exactly: one tiny read of the
+        # delete files' distinct file_name column (bounded by delete rows)
+        pos_names: set[str] = set()
+        if pos_dels:
+            pos_names = {
+                r["file_name"]
+                for r in spark.read.schema("file_name string, pos long")
+                .parquet(*[d.path for d in pos_dels])
+                .select("file_name")
+                .distinct()
+                .collect()
+            }
 
         def hit(f: DataFile) -> bool:
-            for d in deletes:
+            if os.path.basename(f.path) in pos_names:
+                return True
+            for d in eq_dels:
                 if f.seq >= d.seq:
                     continue
                 if _bounds_intersect(f.bounds, d.bounds, key_cols):
@@ -813,14 +875,37 @@ class LakeTable:
         key_cols = [c for c in meta.identifier_fields if c in {f.name for f in schema.fields}]
         # a delete file is relevant only if some scanned file is older
         min_seq = min(f.seq for f in files)
-        relevant = [d for d in deletes if d.seq > min_seq] if key_cols else []
+        pos_relevant = [
+            d for d in deletes if d.content == "position" and d.seq > min_seq
+        ]
+        relevant = (
+            [d for d in deletes if d.content != "position" and d.seq > min_seq]
+            if key_cols
+            else []
+        )
 
         df = spark.read.schema(schema).parquet(*[f.path for f in files])
-        if not relevant and not file_col:
+        if not relevant and not pos_relevant and not file_col:
             return df
 
         fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = df.withColumn("_fname", fname)
+        if pos_relevant:
+            # positional skipping: anti-join on (file name, parquet row
+            # index) — integer compare per row, no key-tuple comparison
+            df = df.withColumn("_pos", F.col("_metadata.row_index"))
+            pdels = spark.read.schema("file_name string, pos long").parquet(
+                *[d.path for d in pos_relevant]
+            )
+            if sum(d.rows for d in pos_relevant) * 64 <= _BROADCAST_BYTES:
+                pdels = F.broadcast(pdels)
+            df = df.withColumn("_fname", fname).join(
+                pdels,
+                (F.col("_fname") == F.col("file_name"))
+                & (F.col("_pos") == F.col("pos")),
+                "left_anti",
+            )
+        else:
+            df = df.withColumn("_fname", fname)
         fmap = spark.createDataFrame(
             [(os.path.basename(f.path), f.seq, f.path) for f in files],
             "_fname string, _seq long, _fpath string",

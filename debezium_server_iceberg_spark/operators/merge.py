@@ -90,8 +90,13 @@ def merge_into(
     broadcast_source: bool | None = None,
     summary: dict | None = None,
     mode: str | None = None,
+    delete_style: str | None = None,
 ) -> MergeStats:
-    """Upsert a deduped source batch into the table (one row per key)."""
+    """Upsert a deduped source batch into the table (one row per key).
+
+    ``delete_style`` ('equality' | 'position') overrides the
+    format-version-derived merge-on-read delete format (v2 -> equality,
+    v3 -> position; see ``_merge_mor``)."""
     spark = source.sparkSession
     meta = table.metadata()
     key_cols = meta.identifier_fields
@@ -105,7 +110,10 @@ def merge_into(
     source = conform_to_schema(source, schema, keep_extra=[op_col]).cache()
     try:
         if mode == "merge-on-read":
-            return _merge_mor(table, source, keep_deletes, op_col, summary, key_cols, schema)
+            return _merge_mor(
+                table, source, keep_deletes, op_col, summary, key_cols, schema,
+                delete_style,
+            )
 
         # --- copy-on-write: source key range (one tiny agg) + row count
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -211,25 +219,97 @@ def _merge_mor(
     summary: dict | None,
     key_cols: list[str],
     schema,
+    delete_style: str | None = None,
 ) -> MergeStats:
-    """Merge-on-read upsert: equality-delete the batch's keys + append the
-    surviving rows, one atomic commit, zero files read or rewritten
-    (BaseDeltaTaskWriter.java:60-71: deleteKey then write — unmatched
-    deleteKeys are no-ops, so no match probe is needed at all)."""
+    """Merge-on-read upsert: delete the batch's keys + append the surviving
+    rows, one atomic commit, zero files rewritten.
+
+    Delete style follows the table's ``format-version`` (the reference's
+    v2/v3 switch, IcebergTableWriterFactory.java:97-108 +
+    IcebergConfig.java:106-108):
+
+    - **equality** (v2): write the key tuples as an equality-delete file.
+      Zero reads of existing data (BaseDeltaTaskWriter.java:60-71:
+      deleteKey then write — unmatched deleteKeys are no-ops, so no match
+      probe runs at all); every scan pays a key anti-join until
+      materialization.
+    - **position** (v3 deletion-vector semantics): locate the matched rows
+      with one column-pruned, bounds-pruned scan of candidate files
+      (key columns + parquet ``_metadata`` only) and write their
+      ``(file_name, pos)`` rows as a position-delete file.  Write cost
+      gains a pruned key-scan; every subsequent read does positional
+      skipping (integer compares) instead of key-tuple anti-joins — the
+      same read/write tradeoff deletion vectors make."""
+    spark = source.sparkSession
+    meta = table.metadata()
     table_cols = [f.name for f in schema.fields]
+    style = delete_style or (
+        "position"
+        if int(meta.properties.get("format-version", "2")) >= 3
+        else "equality"
+    )
     surviving = (
         source if keep_deletes else source.filter(F.col(op_col) != F.lit("d"))
     )
     # skip the delete file entirely on a first write into an empty table
     # (nothing older to delete from) — the commit would prune it anyway,
     # but this also skips staging the extra parquet write
-    empty_table = not table.current_files()
+    current = table.current_files()
+    if not current:
+        added, deleted = table.commit_row_delta(
+            surviving.select(*table_cols),
+            None,
+            summary=dict(summary or {}, operation_detail="merge-mor"),
+        )
+        return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
+
+    src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+    if style == "equality":
+        added, deleted = table.commit_row_delta(
+            surviving.select(*table_cols),
+            src_keys,
+            summary=dict(summary or {}, operation_detail="merge-mor"),
+        )
+        return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
+
+    # --- position style: find (file, pos) of matched rows
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
+    stat = source.agg(*aggs).collect()[0]
+    lo = {k: stat[f"_lo_{k}"] for k in key_cols}
+    hi = {k: stat[f"_hi_{k}"] for k in key_cols}
+    candidates = [f for f in current if _bounds_overlap(f, key_cols, lo, hi)]
+    positions = None
+    if candidates:
+        key_schema = _key_schema(schema, key_cols)
+        probe = (
+            F.broadcast(src_keys)
+            if stat["_n"] * _est_row_width(key_schema) <= _BROADCAST_BYTES
+            else src_keys
+        )
+        positions = (
+            spark.read.schema(key_schema)
+            .parquet(*[f.path for f in candidates])
+            .select(
+                *key_cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file_name"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .join(probe, on=key_cols, how="left_semi")
+            .select("file_name", "pos")
+        )
     added, deleted = table.commit_row_delta(
         surviving.select(*table_cols),
-        None if empty_table else source.select(*key_cols).dropDuplicates(key_cols),
-        summary=dict(summary or {}, operation_detail="merge-mor"),
+        None,
+        summary=dict(summary or {}, operation_detail="merge-mor-pos"),
+        delete_positions_df=positions,
     )
-    return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
+    return MergeStats(
+        len(candidates), 0, max(added, deleted), "merge-on-read", deleted
+    )
 
 
 def merge_dataframes(

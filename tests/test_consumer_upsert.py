@@ -406,3 +406,78 @@ def test_compaction_fires_with_expiry_enabled(spark, warehouse):
     assert read_table(c, spark).count() == 14
     # bin-packing happened: fewer live files than data commits
     assert len(table.current_files()) < 7
+
+
+def test_mor_position_deletes_v3(spark, warehouse):
+    """format-version=3 merge-on-read writes POSITION delete files (v3
+    deletion-vector semantics, IcebergConfig.java:106-108 /
+    BaseDeltaTaskWriter.java:74-88) and produces contents identical to the
+    v2 equality path."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    base = spark.createDataFrame([(i, f"v{i}", "r") for i in range(10)], schema)
+    upd = spark.createDataFrame(
+        [(i, f"u{i}", "u") for i in range(0, 10, 3)]
+        + [(4, None, "d"), (77, "new", "c")],
+        schema,
+    )
+
+    results = {}
+    for fv, want_content in (("2", "equality"), ("3", "position")):
+        t = cat.create_table(
+            "ns", f"pd_v{fv}", base.schema, identifier_fields=["id"],
+            properties={"format-version": fv},
+        )
+        merge_into(t, base, mode="merge-on-read")
+        stats = merge_into(t, upd, keep_deletes=False, mode="merge-on-read")
+        dels = t.current_deletes()
+        assert dels and all(d.content == want_content for d in dels), fv
+        if want_content == "position":
+            # positional rows name exact victims: 4 updates + 1 delete
+            assert stats.delete_rows == 5
+            assert stats.candidate_files >= 1
+        results[fv] = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+
+    expect = {i: (f"u{i}" if i % 3 == 0 else f"v{i}") for i in range(10)}
+    expect.pop(4)
+    expect[77] = "new"
+    assert results["2"] == results["3"] == expect
+
+
+def test_mor_position_deletes_materialize_and_time_travel(spark, warehouse):
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    base = spark.createDataFrame([(i, f"v{i}", "r") for i in range(12)], schema)
+    t = cat.create_table(
+        "ns", "pd_mat", base.schema, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    merge_into(t, base, mode="merge-on-read")
+    sid_v1 = t.metadata().current_snapshot_id
+    for b in range(2):
+        upd = spark.createDataFrame(
+            [(i, f"b{b}", "u") for i in range(b, 12, 4)], schema
+        )
+        merge_into(t, upd, mode="merge-on-read")
+    assert all(d.content == "position" for d in t.current_deletes())
+    assert len(t.current_deletes()) == 2
+    # chained updates: batch 1 position-deletes batch 0's new rows too
+    expect = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert len(expect) == 12
+    assert expect[0] == "b0" and expect[1] == "b1" and expect[2] == "v2"
+    # time travel predates the deletes
+    assert {r["v"] for r in t.to_df(spark, snapshot_id=sid_v1).collect()} == {
+        f"v{i}" for i in range(12)
+    }
+    # materialization rewrites exactly the named victim files
+    rewritten = t.materialize_deletes(spark)
+    assert rewritten >= 1
+    assert t.current_deletes() == []
+    assert {r["id"]: r["v"] for r in t.to_df(spark).collect()} == expect
+    assert t.materialize_deletes(spark) == 0
