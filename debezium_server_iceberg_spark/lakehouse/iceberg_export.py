@@ -1,0 +1,427 @@
+"""Real Apache Iceberg v2 metadata for engine-written tables.
+
+The reference's core contract is tables ANY engine can read through
+standard Iceberg metadata (IcebergChangeConsumer.java:100-102; its tests
+read the produced tables back with Spark SQL, BaseSparkTest.java:49-71,
+170-178).  The engine's native store is the JSON-manifest lakehouse format
+(``table.py``); this module publishes a table's current snapshot as a
+genuine Iceberg v2 table — ``v1.metadata.json`` + Avro manifest list +
+Avro manifest per the public Iceberg table spec — so external readers
+(Spark+iceberg-runtime, Trino, DuckDB's iceberg extension, pyiceberg)
+can load it with no knowledge of this engine.
+
+What makes this *verifiable in this environment* (no iceberg runtime jar,
+no network): the Avro container files are written by the dependency-free
+codec in ``avro_io.py`` and validated byte-for-byte by the REAL Apache
+Avro Java library already on Spark's classpath
+(``org.apache.avro.file.DataFileReader`` via py4j, tests in
+``tests/test_iceberg_export.py``), and ``read_iceberg_table`` re-reads the
+table through the metadata chain alone — version-hint → metadata.json →
+manifest list → manifests → parquet — exactly the walk an external engine
+performs.
+
+Scope: append-only snapshots of unpartitioned tables (no delete files —
+those use the engine-native manifest; export refuses rather than silently
+dropping semantics).  Variant columns are refused (v2 has no variant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from .avro_io import read_container, write_container
+from .table import LakeTable
+
+# ---------------------------------------------------------------- schema
+
+
+_PRIMITIVES = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def spark_schema_to_iceberg(
+    schema: T.StructType, identifier_fields: list[str] | None = None
+) -> tuple[dict, int]:
+    """Spark StructType -> Iceberg schema JSON (spec 'Schemas' section).
+    Returns (schema_json, last_column_id).  Field ids are assigned
+    pre-order, parents before children — the same fresh-assignment walk
+    Iceberg's own schema converters do."""
+    counter = {"id": 0}
+
+    def nid() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv(dt: T.DataType) -> object:
+        name = dt.typeName()
+        if name in _PRIMITIVES:
+            return _PRIMITIVES[name]
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = nid()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = nid()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = nid(), nid()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        raise ValueError(
+            f"type {name!r} has no Iceberg v2 representation (variant needs v3)"
+        )
+
+    top: dict[str, int] = {}
+    fields = []
+    for f in schema.fields:
+        fid = nid()
+        top[f.name] = fid
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                # identifier fields must be required in Iceberg
+                "required": (not f.nullable) or f.name in (identifier_fields or []),
+                "type": conv(f.dataType),
+            }
+        )
+    out = {"type": "struct", "schema-id": 0, "fields": fields}
+    ids = [top[c] for c in identifier_fields or [] if c in top]
+    if ids:
+        out["identifier-field-ids"] = ids
+    return out, counter["id"]
+
+
+def iceberg_schema_to_spark(schema_json: dict) -> T.StructType:
+    """The reverse walk, used by the independent read path."""
+
+    def conv(t) -> T.DataType:
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+                return T.DecimalType(int(p), int(s))
+            return {
+                "long": T.LongType(),
+                "int": T.IntegerType(),
+                "string": T.StringType(),
+                "double": T.DoubleType(),
+                "float": T.FloatType(),
+                "boolean": T.BooleanType(),
+                "date": T.DateType(),
+                "timestamptz": T.TimestampType(),
+                "timestamp": T.TimestampNTZType(),
+                "binary": T.BinaryType(),
+                "uuid": T.StringType(),
+            }[t]
+        if t["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], conv(f["type"]), not f["required"])
+                    for f in t["fields"]
+                ]
+            )
+        if t["type"] == "list":
+            return T.ArrayType(conv(t["element"]), not t["element-required"])
+        if t["type"] == "map":
+            return T.MapType(
+                conv(t["key"]), conv(t["value"]), not t["value-required"]
+            )
+        raise ValueError(f"unknown iceberg type {t!r}")
+
+    return conv(schema_json)
+
+
+# --------------------------------------------------- manifest avro schemas
+
+
+def _opt(t) -> list:
+    return ["null", t]
+
+
+def _field(name: str, ftype, field_id: int, default_null: bool = False) -> dict:
+    f = {"name": name, "type": ftype, "field-id": field_id}
+    if default_null:
+        f["default"] = None
+    return f
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _field("manifest_path", "string", 500),
+        _field("manifest_length", "long", 501),
+        _field("partition_spec_id", "int", 502),
+        _field("content", "int", 517),
+        _field("sequence_number", "long", 515),
+        _field("min_sequence_number", "long", 516),
+        _field("added_snapshot_id", "long", 503),
+        _field("added_files_count", "int", 504),
+        _field("existing_files_count", "int", 505),
+        _field("deleted_files_count", "int", 506),
+        _field("added_rows_count", "long", 512),
+        _field("existing_rows_count", "long", 513),
+        _field("deleted_rows_count", "long", 514),
+    ],
+}
+
+
+def manifest_entry_schema() -> dict:
+    """v2 manifest_entry Avro schema (unpartitioned spec: empty r102)."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _field("content", "int", 134),
+            _field("file_path", "string", 100),
+            _field("file_format", "string", 101),
+            _field(
+                "partition",
+                {"type": "record", "name": "r102", "fields": []},
+                102,
+            ),
+            _field("record_count", "long", 103),
+            _field("file_size_in_bytes", "long", 104),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _field("status", "int", 0),
+            _field("snapshot_id", _opt("long"), 1, default_null=True),
+            _field("sequence_number", _opt("long"), 3, default_null=True),
+            _field("file_sequence_number", _opt("long"), 4, default_null=True),
+            _field("data_file", data_file, 2),
+        ],
+    }
+
+
+# ------------------------------------------------------------------ export
+
+
+def export_iceberg_table(table: LakeTable, dest: str) -> str:
+    """Publish ``table``'s current snapshot as an Iceberg v2 table rooted at
+    ``dest`` (metadata-only: data file paths point at the engine's parquet
+    files in place, the same absolute-path model Iceberg itself uses).
+    Returns the path of the written ``v1.metadata.json``."""
+    meta = table.metadata()
+    if meta.partition_spec:
+        raise ValueError("iceberg export currently supports unpartitioned tables")
+    if table.current_deletes():
+        raise ValueError(
+            "table has merge-on-read delete files; materialize_deletes() first"
+        )
+    files = table.current_files()
+    schema_json, last_col = spark_schema_to_iceberg(
+        meta.schema, meta.identifier_fields
+    )
+
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = int(meta.current_snapshot_id or 1)
+    now_ms = int(time.time() * 1000)
+    commit_uuid = uuidlib.uuid4().hex
+
+    # ---- manifest (one, listing every live data file as ADDED)
+    entry_schema = manifest_entry_schema()
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.abspath(f.path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": int(f.rows),
+                "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
+            },
+        }
+        for f in files
+    ]
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    manifest_len = write_container(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # ---- manifest list
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    write_container(
+        list_path,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,  # data
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(int(f.rows) for f in files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={"format-version": "2"},
+    )
+
+    # ---- table metadata (TableMetadataV2 required fields)
+    doc = {
+        "format-version": 2,
+        "table-uuid": meta.table_uuid or str(uuidlib.uuid4()),
+        "location": os.path.abspath(dest),
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(meta.properties),
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 1,
+                "timestamp-ms": now_ms,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(files)),
+                    "added-records": str(sum(int(f.rows) for f in files)),
+                    "total-records": str(sum(int(f.rows) for f in files)),
+                    "total-data-files": str(len(files)),
+                    "total-delete-files": "0",
+                },
+                "manifest-list": os.path.abspath(list_path),
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    with open(md_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return md_path
+
+
+# ------------------------------------------------------- independent read
+
+
+def read_iceberg_table(spark: SparkSession, location: str) -> DataFrame:
+    """Read an Iceberg table by walking ONLY its standard metadata —
+    version-hint → vN.metadata.json → current snapshot's manifest list →
+    manifests → live data files — the exact sequence any external Iceberg
+    reader performs (HadoopTables model).  No engine-native manifest is
+    touched, so a passing read proves the exported metadata is complete
+    and self-consistent."""
+    meta_dir = os.path.join(location, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        doc = json.load(fh)
+    if doc["format-version"] not in (1, 2):
+        raise ValueError(f"unsupported format-version {doc['format-version']}")
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    snap = next(
+        s
+        for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    _, manifests, _ = read_container(snap["manifest-list"])
+    paths: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise ValueError("delete manifests not supported by this reader")
+        _, entries, _ = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] in (0, 1):  # EXISTING / ADDED (2 = DELETED)
+                paths.append(e["data_file"]["file_path"])
+    spark_schema = iceberg_schema_to_spark(schema_json)
+    if not paths:
+        return spark.createDataFrame([], spark_schema)
+    return spark.read.schema(spark_schema).parquet(*paths)
+
+
+def java_avro_records(spark: SparkSession, path: str) -> list[str]:
+    """Decode an Avro container with the REAL Apache Avro Java library on
+    Spark's classpath (org.apache.avro 1.12 via py4j) — an independent,
+    spec-authoritative validation of files written by ``avro_io``.
+    Returns each record rendered as a JSON string by Avro itself."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    out = []
+    try:
+        while reader.hasNext():
+            out.append(str(reader.next()))
+    finally:
+        reader.close()
+    return out

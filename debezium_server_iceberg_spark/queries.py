@@ -838,6 +838,64 @@ _ORACLES["ann_ivf_index_topk"] = _ORACLES["ann_cosine_topk"]
 
 
 @_register(
+    "iceberg_export_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 50 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop fidelity end-to-end (the reference's 'any engine can read
+    the tables' contract, IcebergChangeConsumer.java:100-102 /
+    BaseSparkTest.java:170-178): write orders into a lakehouse table,
+    publish it as a REAL Iceberg v2 table (v1.metadata.json + Avro
+    manifest list + Avro manifest, written per the public spec by
+    lakehouse/iceberg_export.py), then read it back through the standard
+    Iceberg metadata chain ONLY — version-hint -> metadata.json ->
+    manifest list -> manifests -> parquet — and aggregate.  The oracle
+    computes the same aggregate from the source rows, so a wrong manifest
+    entry, a missing file, or a mis-encoded Avro field changes the result
+    and hash-mismatches.  (tests/test_iceberg_export.py additionally
+    validates the Avro bytes with the real Apache Avro Java library.)"""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.iceberg_export import (
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderstatus", _money(F.col("o_totalprice")).alias("price"))
+    )
+    wh = _tf.mkdtemp(prefix="ice_exp_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns", "orders_pub", sub.schema, identifier_fields=["o_orderkey"]
+        )
+        t.append(sub)
+        dest = _os.path.join(wh, "published")
+        export_iceberg_table(t, dest)
+        back = read_iceberg_table(spark, dest)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, count(*) AS order_count
@@ -3364,6 +3422,8 @@ _CHECK_PRIORITY = [
     "cdc_envelope_roundtrip",
     "cdc_struct_roundtrip",
     "cdc_schema_evolution",
+    # writer fidelity: real Iceberg v2 metadata readable by external engines
+    "iceberg_export_roundtrip",
     # TPC-H relational core (scan/filter/join/agg/semi/anti/having/subquery)
     "q1_pricing_summary",
     "q3_shipping_priority",

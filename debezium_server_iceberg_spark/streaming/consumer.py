@@ -270,6 +270,21 @@ class ChangeConsumer:
                 }
             )
 
+    def publish_iceberg(
+        self, spark: SparkSession, table_name: str, dest: str
+    ) -> str:
+        """Publish an engine-written table as a REAL Iceberg v2 table
+        (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
+        external engine can read — the reference's interop contract
+        (IcebergChangeConsumer.java:100-102).  Merge-on-read delete files
+        are materialized first so the exported snapshot is append-only."""
+        from ..lakehouse.iceberg_export import export_iceberg_table
+
+        table = self.catalog.load_table(self.config.iceberg.namespace, table_name)
+        if table.current_deletes():
+            table.materialize_deletes(spark)
+        return export_iceberg_table(table, dest)
+
     # -------------------------------------------------------- streaming path
 
     def run_stream(

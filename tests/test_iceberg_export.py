@@ -1,0 +1,204 @@
+"""Real Iceberg v2 metadata export: spec conformance + independent reads.
+
+Validation layers (strongest available in this jar-less environment):
+1. the Avro manifest/manifest-list files are decoded by the REAL Apache
+   Avro Java library (org.apache.avro 1.12 on Spark's classpath) — a
+   third-party, spec-authoritative byte-level check of our writer;
+2. the exported table is re-read through the standard metadata chain only
+   (version-hint -> metadata.json -> manifest list -> manifests -> parquet)
+   and must equal the engine-native read;
+3. metadata.json carries every TableMetadataV2 required field;
+4. when a full external reader (pyiceberg) is ever present, it runs too.
+"""
+
+import json
+import os
+
+import pytest
+
+from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+from debezium_server_iceberg_spark.lakehouse.avro_io import read_container
+from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+    export_iceberg_table,
+    iceberg_schema_to_spark,
+    java_avro_records,
+    read_iceberg_table,
+    spark_schema_to_iceberg,
+)
+
+
+def _make_table(spark, warehouse, rows=25):
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [
+            (i, f"name{i}", float(i) * 1.5, i % 2 == 0)
+            for i in range(rows)
+        ],
+        "id long, name string, score double, flag boolean",
+    )
+    t = cat.create_table("ice", "orders_mirror", df.schema, identifier_fields=["id"])
+    t.append(df.filter("id < 10"))
+    t.append(df.filter("id >= 10"))
+    return t, df
+
+
+def test_export_and_independent_metadata_chain_read(spark, warehouse, tmp_path):
+    t, df = _make_table(spark, warehouse)
+    dest = str(tmp_path / "iceberg_tbl")
+    md_path = export_iceberg_table(t, dest)
+    assert os.path.exists(md_path)
+
+    got = read_iceberg_table(spark, dest)
+    assert got.schema == df.schema
+    assert sorted(r["id"] for r in got.collect()) == list(range(25))
+    a = {r["id"]: (r["name"], r["score"], r["flag"]) for r in got.collect()}
+    b = {r["id"]: (r["name"], r["score"], r["flag"]) for r in t.to_df(spark).collect()}
+    assert a == b
+
+
+def test_manifests_decode_with_real_apache_avro(spark, warehouse, tmp_path):
+    """Layer 1: Apache Avro itself (Java, via py4j) parses our containers."""
+    t, _ = _make_table(spark, warehouse)
+    dest = str(tmp_path / "ice2")
+    export_iceberg_table(t, dest)
+    md = json.load(open(os.path.join(dest, "metadata", "v1.metadata.json")))
+    snap = md["snapshots"][0]
+
+    list_recs = java_avro_records(spark, snap["manifest-list"])
+    assert len(list_recs) == 1
+    parsed = json.loads(list_recs[0])
+    assert parsed["added_files_count"] == 2
+    assert parsed["added_rows_count"] == 25
+    assert parsed["content"] == 0 and parsed["sequence_number"] == 1
+
+    entry_recs = [json.loads(s) for s in java_avro_records(spark, parsed["manifest_path"])]
+    assert len(entry_recs) == 2
+    assert all(e["status"] == 1 for e in entry_recs)
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entry_recs)
+    assert sum(e["data_file"]["record_count"] for e in entry_recs) == 25
+    for e in entry_recs:
+        assert os.path.exists(e["data_file"]["file_path"])
+        assert e["data_file"]["file_size_in_bytes"] == os.path.getsize(
+            e["data_file"]["file_path"]
+        )
+
+    # and our own reader agrees with Apache Avro's decode
+    _, ours, meta = read_container(parsed["manifest_path"])
+    assert meta["format-version"] == "2" and meta["content"] == "data"
+    assert [e["data_file"]["file_path"] for e in ours] == [
+        e["data_file"]["file_path"] for e in entry_recs
+    ]
+
+
+def test_metadata_json_has_v2_required_fields(spark, warehouse, tmp_path):
+    t, _ = _make_table(spark, warehouse, rows=5)
+    dest = str(tmp_path / "ice3")
+    export_iceberg_table(t, dest)
+    md = json.load(open(os.path.join(dest, "metadata", "v1.metadata.json")))
+    for field in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "last-partition-id",
+        "sort-orders", "default-sort-order-id", "snapshots",
+        "current-snapshot-id", "refs",
+    ):
+        assert field in md, field
+    assert md["format-version"] == 2
+    schema = md["schemas"][0]
+    ids = [f["id"] for f in schema["fields"]]
+    assert ids == sorted(set(ids))  # unique, ordered pre-assignment
+    assert schema["identifier-field-ids"] == [1]  # id column
+    # identifier fields must be required
+    id_field = next(f for f in schema["fields"] if f["name"] == "id")
+    assert id_field["required"] is True
+    snap = md["snapshots"][0]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+    hint = open(os.path.join(dest, "metadata", "version-hint.text")).read()
+    assert hint == "1"
+
+
+def test_schema_conversion_roundtrip_nested():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("dec", T.DecimalType(18, 4), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType(), True),
+                        T.StructField("rank", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("arr", T.ArrayType(T.DoubleType(), True), True),
+            T.StructField("kv", T.MapType(T.StringType(), T.LongType(), True), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ]
+    )
+    ice, last_id = spark_schema_to_iceberg(schema, ["id"])
+    assert last_id >= 11  # nested ids allocated
+    back = iceberg_schema_to_spark(ice)
+    assert back == schema
+
+
+def test_export_refuses_deletes_and_partitions(spark, warehouse, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "mor_t", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame([(1, "u", "u")], "id long, v string, __op string")
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    with pytest.raises(ValueError, match="materialize"):
+        export_iceberg_table(t, str(tmp_path / "x"))
+    # after materialization the export succeeds
+    t.materialize_deletes(spark)
+    export_iceberg_table(t, str(tmp_path / "x"))
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, str(tmp_path / "x")).collect()}
+    assert got[1] == "u" and len(got) == 6
+
+
+def test_pyiceberg_reads_export_if_available(spark, warehouse, tmp_path):
+    """Full third-party reader — runs only when pyiceberg is installed
+    (absent in this container; the layer-1 Apache Avro check still runs)."""
+    pyiceberg = pytest.importorskip("pyiceberg.table")
+    t, _ = _make_table(spark, warehouse, rows=8)
+    dest = str(tmp_path / "ice4")
+    md_path = export_iceberg_table(t, dest)
+    from pyiceberg.io.pyarrow import PyArrowFileIO
+
+    tbl = pyiceberg.StaticTable.from_metadata(md_path, {"py-io-impl": PyArrowFileIO})
+    assert tbl.scan().to_arrow().num_rows == 8
+
+
+def test_consumer_publish_iceberg(spark, warehouse, tmp_path):
+    """Consumer-level publish: upserted (MoR) table is materialized and
+    exported; the metadata-chain read equals the engine-native read."""
+    from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from tests.fixtures import make_event
+    from debezium_server_iceberg_spark.sources.debezium_json import RAW_ENVELOPE_SCHEMA
+
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = warehouse
+    c = ChangeConsumer(cfg)
+    rows = [make_event("s.db.items", {"id": i, "v": f"v{i}"}, ["id"], "c", i) for i in range(8)]
+    c.handle_batch(spark.createDataFrame(rows, RAW_ENVELOPE_SCHEMA), epoch_id=0)
+    upd = [make_event("s.db.items", {"id": 3, "v": "updated"}, ["id"], "u", 99)]
+    c.handle_batch(spark.createDataFrame(upd, RAW_ENVELOPE_SCHEMA), epoch_id=1)
+
+    dest = str(tmp_path / "published")
+    md = c.publish_iceberg(spark, "s_db_items", dest)
+    assert md.endswith("v1.metadata.json")
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    native = {r["id"]: r["v"] for r in c.table_df(spark, "s_db_items").collect()}
+    assert got == native and got[3] == "updated" and len(got) == 8
