@@ -37,6 +37,92 @@ from ..lakehouse.table import LakeTable
 from .similarity import _l2_normalize, _vec_matrix
 
 
+def _hash_codebook(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic no-training codebook: the vectors whose ids hash
+    lowest (distributed top-k by hash — only n_cells rows reach the
+    driver)."""
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.crc32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return _l2_normalize(
+        np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    )
+
+
+def train_kmeans_codebook(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's on the unit sphere) trained distributed:
+
+    - init: the deterministic hash-lowest codebook (no RNG state — reruns
+      converge to the identical codebook);
+    - each iteration: one Arrow-batched ``mapInPandas`` pass GEMMs every
+      partition against the broadcast codebook and emits ONE partial
+      (cell, count, sum-vector) row per non-empty cell per batch, then a
+      per-cell ``applyInPandas`` reduce sums partials — driver traffic is
+      n_cells rows per iteration regardless of corpus size;
+    - update: centroid = L2-normalized member mean (max-cosine assignment
+      and the mean direction are the spherical k-means pair); empty cells
+      keep their previous centroid.
+
+    Cost: n_iters scans; assignment quality typically cuts probed-cell
+    imbalance vs the hash codebook, which is what recall@k per probed
+    cell buys (pytest asserts trained >= hash recall on fixture data)."""
+    cmat = _hash_codebook(df, n_cells, id_col, vec_col)
+    part_schema = "cell int, n long, s array<double>"
+
+    for _ in range(n_iters):
+        cm = cmat  # freeze for closure
+
+        def partials(batches, cm=cm):
+            sums = None
+            counts = np.zeros(len(cm), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = _l2_normalize(_vec_matrix(pdf[vec_col]))
+                if sums is None:
+                    sums = np.zeros((len(cm), vecs.shape[1]))
+                cells = np.argmax(vecs @ cm.T, axis=1)
+                np.add.at(sums, cells, vecs)
+                counts += np.bincount(cells, minlength=len(cm))
+            if sums is None:
+                return
+            live = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": live.astype("int32"),
+                    "n": counts[live],
+                    "s": [sums[c].tolist() for c in live],
+                }
+            )
+
+        part = df.select(vec_col).mapInPandas(partials, part_schema)
+
+        def reduce_cell(key, pdf):
+            s = np.sum(np.stack([np.asarray(v) for v in pdf["s"]]), axis=0)
+            return pd.DataFrame(
+                {"cell": [key[0]], "n": [int(pdf["n"].sum())], "s": [s.tolist()]}
+            )
+
+        agg = (
+            part.groupBy("cell").applyInPandas(reduce_cell, part_schema).collect()
+        )
+        new = cmat.copy()
+        for r in agg:
+            if r["n"]:
+                new[r["cell"]] = np.asarray(r["s"]) / r["n"]
+        cmat = _l2_normalize(new)
+    return cmat
+
+
 class IVFIndex:
     def __init__(self, table: LakeTable) -> None:
         self.table = table
@@ -54,16 +140,20 @@ class IVFIndex:
         n_cells: int = 16,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        train: str = "hash",
+        train_iters: int = 5,
     ) -> "IVFIndex":
-        cent_rows = (
-            df.select(id_col, vec_col)
-            .orderBy(F.crc32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-            .limit(n_cells)
-            .collect()
-        )
-        cmat = _l2_normalize(
-            np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
-        )
+        """``train='hash'`` uses the zero-pass deterministic codebook;
+        ``train='kmeans'`` runs ``train_iters`` spherical-k-means passes
+        first (better-balanced cells, higher recall per probed cell)."""
+        if train == "kmeans":
+            cmat = train_kmeans_codebook(
+                df, n_cells, n_iters=train_iters, id_col=id_col, vec_col=vec_col
+            )
+        elif train == "hash":
+            cmat = _hash_codebook(df, n_cells, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown trainer {train!r}")
         schema = T.StructType(
             [
                 T.StructField("vec_id", T.LongType()),

@@ -7,9 +7,14 @@ system.  Divergences, matching the survey's documented policy:
 - UUID        -> StringType (Spark has no UUID type)
 - TIME types  -> kept as long/string — the reference itself disables them
                  "not supported by spark" (JsonSchemaConverter.java:293-301)
-- Variant     -> StringType carrying JSON text (VariantType needs catalog
-                 support not present in a bare local session); the JSON is
-                 produced with ``to_json`` so it round-trips.
+- Variant     -> real Spark ``VariantType`` by default in variant mode
+                 (``nested-as-variant``, IcebergConfig.java:102-104 —
+                 reference v3 writes true Iceberg Variant,
+                 JsonSchemaConverter.java:87-94): values land via
+                 ``parse_json`` and are queried with ``variant_get``.
+                 ``variant_as_json_string=True`` selects the legacy
+                 JSON-text carrier (StringType) for engines that cannot
+                 read parquet Variant.
 
 The converter also extracts identifier (key) fields from the key schema
 (JsonSchemaConverter.java:240-258), applies column exclusion
@@ -91,6 +96,7 @@ class DebeziumSchemaConverter:
         ts_ms_columns: tuple[str, ...] = ("__ts_ms", "__source_ts_ms"),
         create_identifier_fields: bool = True,
         nested_as_variant: bool = False,
+        variant_as_json_string: bool = False,
     ) -> None:
         self.excluded = set(excluded_columns or [])
         self.preserve_required = preserve_required_property
@@ -98,6 +104,7 @@ class DebeziumSchemaConverter:
         self.ts_ms_columns = set(ts_ms_columns)
         self.create_identifier_fields = create_identifier_fields
         self.nested_as_variant = nested_as_variant
+        self.variant_as_json_string = variant_as_json_string
 
     # ------------------------------------------------------------------ api
 
@@ -141,13 +148,19 @@ class DebeziumSchemaConverter:
                 # column exclusion (JsonSchemaConverter.java:204-221)
                 continue
             if self.nested_as_variant and f.get("type") in ("struct", "map", "array"):
-                # variant mode: nested values become Spark VariantType
-                # (the reference maps them to Iceberg VariantType, format v3 —
-                # JsonSchemaConverter.java:87-94, value conversion
-                # JsonVariantObject.java:44-120); queried with
-                # variant_get / to_json, stored natively in parquet
-                semantics[name] = "variant"
-                out_fields.append(T.StructField(name, T.VariantType(), True))
+                # variant mode: nested values become Spark VariantType by
+                # default (the reference maps them to Iceberg VariantType,
+                # format v3 — JsonSchemaConverter.java:87-94, value
+                # conversion JsonVariantObject.java:44-120); queried with
+                # variant_get / to_json, stored natively in parquet.
+                # variant_as_json_string keeps the legacy JSON-text carrier
+                # for downstream engines without parquet-Variant support.
+                if self.variant_as_json_string:
+                    semantics[name] = "variant_json"
+                    out_fields.append(T.StructField(name, T.StringType(), True))
+                else:
+                    semantics[name] = "variant"
+                    out_fields.append(T.StructField(name, T.VariantType(), True))
                 continue
             dtype = self._field_type(f, top_level_name=name, semantics=semantics)
             is_key = name in key_fields

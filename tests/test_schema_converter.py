@@ -178,3 +178,35 @@ def test_preserve_required():
 def test_unknown_type_falls_to_string():
     s = conv().convert(struct(f("w", "weirdtype")))
     assert s.struct.fields[0].dataType == T.StringType()
+
+
+def test_variant_json_string_fallback_carrier():
+    """variant mode default is real VariantType; variant_as_json_string=True
+    selects the legacy JSON-text carrier (for engines without parquet
+    Variant support)."""
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.schema.converter import (
+        DebeziumSchemaConverter,
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"field": "id", "type": "int64"},
+            {
+                "field": "meta",
+                "type": "struct",
+                "fields": [{"field": "tag", "type": "string"}],
+            },
+        ],
+    }
+    native = DebeziumSchemaConverter(nested_as_variant=True).convert(schema)
+    assert isinstance(native.struct["meta"].dataType, T.VariantType)
+    assert native.semantics["meta"] == "variant"
+
+    legacy = DebeziumSchemaConverter(
+        nested_as_variant=True, variant_as_json_string=True
+    ).convert(schema)
+    assert isinstance(legacy.struct["meta"].dataType, T.StringType)
+    assert legacy.semantics["meta"] == "variant_json"
