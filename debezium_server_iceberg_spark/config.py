@@ -51,8 +51,9 @@ class IcebergSinkConfig:
     # upsert execution strategy: "" derives from format_version exactly like
     # the reference's useDv = formatVersion > 2
     # (IcebergTableWriterFactory.java:97-108): v3 tables take the
-    # merge-on-read equality-delete path, v2 copy-on-write. Explicit
-    # "merge-on-read" / "copy-on-write" overrides.
+    # merge-on-read path (with POSITION deletes — the deletion-vector
+    # semantics — per operators/merge.py:_merge_mor), v2 copy-on-write.
+    # Explicit "merge-on-read" / "copy-on-write" overrides.
     upsert_mode: str = ""
 
     # maintenance: auto-compact a table every N commits to it (0 = off).
@@ -68,6 +69,12 @@ class IcebergSinkConfig:
     # carries more than this many, keeping the newest N (0 = never expire —
     # full time-travel history retained)
     expire_keep_snapshots: int = 0
+    # reclaim unreferenced data-dir files (crashed writers' staged output)
+    # at the maintenance checkpoint, with this grace period in seconds so
+    # in-flight writes are never touched (0 = disabled; Iceberg's
+    # remove_orphan_files defaults to 3 days — CDC commits land in seconds,
+    # so hours are plenty)
+    remove_orphans_grace_seconds: float = 0.0
 
     # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
     # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;
@@ -104,15 +111,23 @@ class DebeziumFormatConfig:
 class BatchConfig:
     """Micro-batching knobs (reference: BatchConfig.java:11-40).
 
-    In Spark these translate to trigger interval + maxFilesPerTrigger /
-    maxOffsetsPerTrigger rather than the reference's sleep-poll
-    MaxBatchSizeWait (MaxBatchSizeWait.java:41-68).
+    In Spark these mostly translate to trigger interval +
+    maxFilesPerTrigger / maxOffsetsPerTrigger; the reference's sleep-poll
+    batch-growing strategy (MaxBatchSizeWait.java:41-68) is additionally
+    available as ``batch_size_wait="max"`` — between micro-batches the
+    consumer polls the source's pending estimate until a full batch has
+    accumulated or ``max_wait_ms`` elapses (streaming/batchwait.py).
     """
 
     max_batch_size: int = 2048
     trigger_processing_time: str | None = None  # e.g. "30 seconds"
     concurrent_uploads: int = 1                 # per-table parallel commit (:32-38)
     upload_timeout_minutes: int = 60
+    # batch-size wait strategy selection (IcebergChangeConsumer.java:103-105):
+    # "none" -> NoBatchSizeWait; "max" -> MaxBatchSizeWait sleep-poll
+    batch_size_wait: str = "none"
+    batch_size_wait_max_wait_ms: int = 300_000   # BatchConfig.java:20-22
+    batch_size_wait_interval_ms: int = 10_000    # BatchConfig.java:24-26
 
 
 @dataclass

@@ -822,6 +822,44 @@ class LakeTable:
             return len(dead_paths)
         return 0
 
+    def remove_orphan_files(self, older_than_seconds: float = 86400.0) -> list[str]:
+        """Delete data-dir files no retained snapshot references (Iceberg's
+        remove_orphan_files maintenance procedure; completes the W12 abort
+        story — a writer that died between staging and ``_abort_staged``
+        leaves files this pass reclaims).
+
+        Only files whose mtime is older than ``older_than_seconds`` are
+        deleted: anything younger may belong to a concurrent in-flight
+        write whose commit hasn't landed yet (the same grace-period rule
+        Iceberg's procedure applies, default 3 days — ours defaults to one
+        day since CDC commits land in seconds).  Returns deleted paths."""
+        meta = self.metadata()
+        referenced: set[str] = set()
+        for s in meta.snapshots:
+            e = self._manifest_entry(meta, s.snapshot_id)
+            referenced |= {os.path.realpath(f["path"]) for f in e["files"]}
+            referenced |= {os.path.realpath(d["path"]) for d in e["delete_files"]}
+        cutoff = time.time() - older_than_seconds
+        removed: list[str] = []
+        for root, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                try:
+                    if os.path.realpath(p) in referenced or os.path.getmtime(p) > cutoff:
+                        continue
+                    os.remove(p)
+                    removed.append(p)
+                except OSError:
+                    continue
+        # sweep now-empty staging directories
+        for root, dirs, names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not names:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return removed
+
     # ------------------------------------------------------------- read ops
 
     def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

@@ -244,6 +244,10 @@ class ChangeConsumer:
         ic = self.config.iceberg
         if len(table.current_deletes()) >= max(1, ic.rewrite_delete_files_min):
             table.materialize_deletes(spark)
+        if ic.remove_orphans_grace_seconds > 0:
+            # reclaim crashed writers' staged files (W12 completion) —
+            # grace-period-guarded so in-flight writes are never touched
+            table.remove_orphan_files(ic.remove_orphans_grace_seconds)
         keep = ic.expire_keep_snapshots
         if keep:
             # metadata-growth hygiene: retire history beyond the configured
@@ -307,6 +311,15 @@ class ChangeConsumer:
 
             store = OffsetStore(self.catalog, self.config.iceberg.namespace)
 
+        from .batchwait import FileQueuePending, NoBatchSizeWait, build_batch_size_wait
+
+        wait_strategy = build_batch_size_wait(self.config.batch)
+        queue = (
+            None
+            if isinstance(wait_strategy, NoBatchSizeWait)
+            else FileQueuePending(input_path)
+        )
+
         def process(df, epoch):
             result = self.handle_batch(df, epoch)
             if store is not None:
@@ -320,6 +333,15 @@ class ChangeConsumer:
                         },
                     },
                 )
+            if queue is not None:
+                # batch-size wait (T2): delay the next trigger until a full
+                # batch has accumulated (IcebergChangeConsumer.java:174)
+                from pyspark.sql import functions as F
+
+                queue.mark_processed(
+                    [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+                )
+                wait_strategy.wait(queue.pending)
 
         raw = read_events_stream(spark, input_path, max_files_per_trigger)
         writer = (

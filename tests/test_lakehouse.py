@@ -217,3 +217,42 @@ def test_register_views_sql_read_surface(spark, warehouse):
     t1.append(spark.createDataFrame([(3, "c", None)], SCHEMA))
     cat.register_views(spark, "ns", prefix="lk_")
     assert spark.sql("SELECT count(*) AS n FROM lk_orders_v").first()["n"] == 3
+
+
+def test_remove_orphan_files(spark, warehouse):
+    """W12 completion: files a crashed writer staged but never committed
+    are reclaimed; referenced files and young files survive."""
+    import os
+    import time
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    t = cat.create_table("ns", "orphans", df.schema, identifier_fields=["id"])
+    t.append(df)
+
+    # simulate a crashed writer: stray staged files in the data dir
+    stray_dir = os.path.join(t.data_dir, "crashed-uuid")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-000.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not really parquet")
+    young = os.path.join(t.data_dir, "young.parquet")
+    with open(young, "wb") as fh:
+        fh.write(b"fresh stage in flight")
+
+    old = time.time() - 7200
+    os.utime(stray, (old, old))
+
+    removed = t.remove_orphan_files(older_than_seconds=3600)
+    assert removed == [stray]
+    assert not os.path.exists(stray_dir)  # empty staging dir swept
+    assert os.path.exists(young)  # grace period protects in-flight writes
+    # committed data untouched
+    assert t.to_df(spark).count() == 10
+    # time travel across all retained snapshots still works
+    for s in t.metadata().snapshots:
+        t.to_df(spark, snapshot_id=s.snapshot_id).count()
+    # second pass: nothing left to reclaim (young still inside grace)
+    assert t.remove_orphan_files(older_than_seconds=3600) == []

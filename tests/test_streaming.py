@@ -401,3 +401,87 @@ def test_stream_exact_dedup_null_content_stays_distinct(spark):
     # identical texts collapse to one
     assert sorted(r.doc_id for r in out if r.text is None) == [1, 2]
     assert len([r for r in out if r.text == "x"]) == 1
+
+
+def test_max_batch_size_wait_contract():
+    """T2 sleep-poll contract (MaxBatchSizeWait.java:41-68): waits in
+    intervals until a full batch is pending or the ceiling elapses;
+    skipped during snapshot phase (:43-46)."""
+    from debezium_server_iceberg_spark.streaming.batchwait import (
+        MaxBatchSizeWait,
+        NoBatchSizeWait,
+        build_batch_size_wait,
+    )
+
+    sleeps = []
+    pending = {"n": 0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        pending["n"] += 800  # queue grows while we wait
+
+    w = MaxBatchSizeWait(
+        2000, max_wait_ms=999_000, wait_interval_ms=10_000, sleep_fn=fake_sleep
+    )
+    waited = w.wait(lambda: pending["n"])
+    # 0 -> 800 -> 1600 -> 2400: three sleeps until pending >= 2000
+    assert len(sleeps) == 3 and waited == 30_000
+    assert pending["n"] >= 2000
+
+    # ceiling: a queue that never fills waits exactly max_wait_ms
+    sleeps.clear()
+    w2 = MaxBatchSizeWait(99, max_wait_ms=25, wait_interval_ms=10, sleep_fn=lambda s: sleeps.append(s))
+    assert w2.wait(lambda: 0) == 25
+    assert sum(sleeps) * 1000 == 25  # interval clamped to the remaining budget
+
+    # snapshot phase skips waiting entirely
+    w3 = MaxBatchSizeWait(99, snapshot_running_fn=lambda: True, sleep_fn=lambda s: 1 / 0)
+    assert w3.wait(lambda: 0) == 0
+
+    assert isinstance(build_batch_size_wait(type("C", (), {"batch_size_wait": "none"})()), NoBatchSizeWait)
+
+
+def test_file_queue_pending_counts_unprocessed_events(tmp_path):
+    from debezium_server_iceberg_spark.streaming.batchwait import FileQueuePending
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"x":1}\n{"x":2}\n')
+    (d / "b.jsonl").write_text('{"x":3}\n')
+    q = FileQueuePending(str(d))
+    assert q.pending() == 3
+    q.mark_processed([str(d / "a.jsonl")])
+    assert q.pending() == 1
+    (d / "c.jsonl").write_text('{"x":4}\n{"x":5}\n')
+    assert q.pending() == 3  # new file counted, cache reused for b
+
+
+def test_stream_with_max_batch_size_wait(spark, tmp_path):
+    """End-to-end: run_stream with batch_size_wait='max' still processes
+    everything and commits correct results (the wait only affects timing)."""
+    import json as _json
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+    from tests.fixtures import make_event
+
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = str(tmp_path / "wh")
+    cfg.batch.batch_size_wait = "max"
+    cfg.batch.max_batch_size = 2
+    cfg.batch.batch_size_wait_max_wait_ms = 50
+    cfg.batch.batch_size_wait_interval_ms = 10
+    c = ChangeConsumer(cfg)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    events = [make_event("s.db.w", {"id": i, "v": f"v{i}"}, ["id"], "c", i) for i in range(4)]
+    (indir / "batch0.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in events) + "\n"
+    )
+    q = c.run_stream(spark, str(indir), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert c.table_df(spark, "s_db_w").count() == 4
