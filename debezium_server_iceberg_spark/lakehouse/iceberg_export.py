@@ -243,7 +243,15 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     """Publish ``table``'s current snapshot as an Iceberg v2 table rooted at
     ``dest`` (metadata-only: data file paths point at the engine's parquet
     files in place, the same absolute-path model Iceberg itself uses).
-    Returns the path of the written ``v1.metadata.json``."""
+
+    Re-publishing to the same ``dest`` is INCREMENTAL, mirroring Iceberg's
+    own commit history: the new metadata file (``v{N+1}.metadata.json``)
+    carries the previous snapshots (their manifest lists are immutable on
+    disk), appends one new snapshot at the next sequence number, records
+    the superseded metadata file in ``metadata-log``, and bumps
+    ``version-hint.text`` last — so an external reader mid-publish still
+    loads a complete table, and time travel across publishes works.
+    Returns the path of the written metadata file."""
     meta = table.metadata()
     if meta.partition_spec:
         raise ValueError("iceberg export currently supports unpartitioned tables")
@@ -258,29 +266,69 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    snapshot_id = int(meta.current_snapshot_id or 1)
+
+    # ---- incremental publish: load the previous export, if any
+    prev_doc, prev_version = None, 0
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            prev_version = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{prev_version}.metadata.json")) as fh:
+            prev_doc = json.load(fh)
+
     now_ms = int(time.time() * 1000)
     commit_uuid = uuidlib.uuid4().hex
+    prev_snapshots = list(prev_doc["snapshots"]) if prev_doc else []
+    seq = (prev_doc["last-sequence-number"] + 1) if prev_doc else 1
+    snapshot_id = max(
+        int(meta.current_snapshot_id or 1),
+        max((s["snapshot-id"] for s in prev_snapshots), default=0) + 1,
+    )
+    # append-only when every previously live file is still live; otherwise
+    # the snapshot logically replaces the table contents
+    prev_seq_by_path: dict[str, int] = {}
+    prev_snap_by_path: dict[str, int] = {}
+    if prev_snapshots:
+        _, prev_manifests, _ = read_container(prev_snapshots[-1]["manifest-list"])
+        for m in prev_manifests:
+            _, prev_entries, _ = read_container(m["manifest_path"])
+            for e in prev_entries:
+                if e["status"] != 2:  # not DELETED
+                    p = e["data_file"]["file_path"]
+                    prev_seq_by_path[p] = e.get("sequence_number") or 1
+                    prev_snap_by_path[p] = e.get("snapshot_id") or snapshot_id
+    cur_paths = {os.path.abspath(f.path) for f in files}
+    operation = (
+        "append" if set(prev_seq_by_path) <= cur_paths else "overwrite"
+    )
 
-    # ---- manifest (one, listing every live data file as ADDED)
+    # ---- manifest: carried-over files EXISTING with their original seq,
+    # new files ADDED at the new seq (Iceberg manifest-entry semantics)
     entry_schema = manifest_entry_schema()
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snapshot_id,
-            "sequence_number": 1,
-            "file_sequence_number": 1,
-            "data_file": {
-                "content": 0,
-                "file_path": os.path.abspath(f.path),
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": int(f.rows),
-                "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
-            },
-        }
-        for f in files
-    ]
+    entries = []
+    n_added = added_rows = 0
+    for f in files:
+        p = os.path.abspath(f.path)
+        carried = p in prev_seq_by_path
+        if not carried:
+            n_added += 1
+            added_rows += int(f.rows)
+        entries.append(
+            {
+                "status": 0 if carried else 1,  # EXISTING / ADDED
+                "snapshot_id": prev_snap_by_path.get(p, snapshot_id),
+                "sequence_number": prev_seq_by_path.get(p, seq),
+                "file_sequence_number": prev_seq_by_path.get(p, seq),
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(f.rows),
+                    "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
+                },
+            }
+        )
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     manifest_len = write_container(
         manifest_path,
@@ -300,6 +348,8 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
+    min_seq = min((e["sequence_number"] for e in entries), default=seq)
+    total_rows = sum(int(f.rows) for f in files)
     write_container(
         list_path,
         MANIFEST_LIST_SCHEMA,
@@ -309,14 +359,14 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
                 "manifest_length": manifest_len,
                 "partition_spec_id": 0,
                 "content": 0,  # data
-                "sequence_number": 1,
-                "min_sequence_number": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(files),
-                "existing_files_count": 0,
+                "added_files_count": n_added,
+                "existing_files_count": len(files) - n_added,
                 "deleted_files_count": 0,
-                "added_rows_count": sum(int(f.rows) for f in files),
-                "existing_rows_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": total_rows - added_rows,
                 "deleted_rows_count": 0,
             }
         ],
@@ -324,11 +374,43 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     )
 
     # ---- table metadata (TableMetadataV2 required fields)
+    new_snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(n_added),
+            "added-records": str(added_rows),
+            "total-records": str(total_rows),
+            "total-data-files": str(len(files)),
+            "total-delete-files": "0",
+        },
+        "manifest-list": os.path.abspath(list_path),
+        "schema-id": 0,
+    }
+    snapshot_log = (list(prev_doc["snapshot-log"]) if prev_doc else []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    metadata_log = list(prev_doc["metadata-log"]) if prev_doc else []
+    if prev_doc:
+        metadata_log.append(
+            {
+                "timestamp-ms": prev_doc["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{prev_version}.metadata.json"
+                ),
+            }
+        )
     doc = {
         "format-version": 2,
-        "table-uuid": meta.table_uuid or str(uuidlib.uuid4()),
+        "table-uuid": (
+            prev_doc["table-uuid"]
+            if prev_doc
+            else meta.table_uuid or str(uuidlib.uuid4())
+        ),
         "location": os.path.abspath(dest),
-        "last-sequence-number": 1,
+        "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col,
         "current-schema-id": 0,
@@ -341,44 +423,36 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         "properties": dict(meta.properties),
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
-        "snapshots": [
-            {
-                "snapshot-id": snapshot_id,
-                "sequence-number": 1,
-                "timestamp-ms": now_ms,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(files)),
-                    "added-records": str(sum(int(f.rows) for f in files)),
-                    "total-records": str(sum(int(f.rows) for f in files)),
-                    "total-data-files": str(len(files)),
-                    "total-delete-files": "0",
-                },
-                "manifest-list": os.path.abspath(list_path),
-                "schema-id": 0,
-            }
-        ],
-        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
-        "metadata-log": [],
+        "snapshots": prev_snapshots + [new_snapshot],
+        "snapshot-log": snapshot_log,
+        "metadata-log": metadata_log,
     }
-    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    version = prev_version + 1
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(md_path, "w") as fh:
         json.dump(doc, fh, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    # hint write is last: readers mid-publish load the previous complete
+    # version (Iceberg's version-hint protocol)
+    tmp = os.path.join(meta_dir, f".hint.{commit_uuid}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint_path)
     return md_path
 
 
 # ------------------------------------------------------- independent read
 
 
-def read_iceberg_table(spark: SparkSession, location: str) -> DataFrame:
+def read_iceberg_table(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Read an Iceberg table by walking ONLY its standard metadata —
-    version-hint → vN.metadata.json → current snapshot's manifest list →
+    version-hint → vN.metadata.json → snapshot's manifest list →
     manifests → live data files — the exact sequence any external Iceberg
     reader performs (HadoopTables model).  No engine-native manifest is
     touched, so a passing read proves the exported metadata is complete
-    and self-consistent."""
+    and self-consistent.  ``snapshot_id`` time-travels to a historical
+    publish."""
     meta_dir = os.path.join(location, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -389,11 +463,8 @@ def read_iceberg_table(spark: SparkSession, location: str) -> DataFrame:
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
     )
-    snap = next(
-        s
-        for s in doc["snapshots"]
-        if s["snapshot-id"] == doc["current-snapshot-id"]
-    )
+    want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
     _, manifests, _ = read_container(snap["manifest-list"])
     paths: list[str] = []
     for m in manifests:

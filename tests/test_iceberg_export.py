@@ -202,3 +202,66 @@ def test_consumer_publish_iceberg(spark, warehouse, tmp_path):
     got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
     native = {r["id"]: r["v"] for r in c.table_df(spark, "s_db_items").collect()}
     assert got == native and got[3] == "updated" and len(got) == 8
+
+
+def test_incremental_publish_appends_snapshots(spark, warehouse, tmp_path):
+    """Re-publishing to the same dest mirrors Iceberg commit history:
+    v2.metadata.json carries both snapshots, carried-over files are
+    EXISTING at their original sequence number, time travel works, and
+    the version hint flips only after the new metadata is complete."""
+    cat = LakeCatalog(warehouse)
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(10)], "id long, v string")
+    t = cat.create_table("ice", "inc", df1.schema, identifier_fields=["id"])
+    t.append(df1)
+    dest = str(tmp_path / "inc_tbl")
+    export_iceberg_table(t, dest)
+
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(10, 16)], "id long, v string")
+    t.append(df2)
+    md2 = export_iceberg_table(t, dest)
+    assert md2.endswith("v2.metadata.json")
+
+    md = json.load(open(md2))
+    assert len(md["snapshots"]) == 2
+    s1, s2 = md["snapshots"]
+    assert s2["sequence-number"] == 2 and md["last-sequence-number"] == 2
+    assert s2["summary"]["operation"] == "append"
+    assert int(s2["summary"]["added-records"]) == 6
+    assert int(s2["summary"]["total-records"]) == 16
+    assert md["table-uuid"] == json.load(
+        open(os.path.join(dest, "metadata", "v1.metadata.json"))
+    )["table-uuid"]
+    assert md["metadata-log"][0]["metadata-file"].endswith("v1.metadata.json")
+
+    # manifest-entry statuses: first publish's files EXISTING at seq 1
+    list_recs = [json.loads(s) for s in java_avro_records(spark, s2["manifest-list"])]
+    assert list_recs[0]["added_files_count"] >= 1
+    assert list_recs[0]["existing_files_count"] >= 1
+    entries = [
+        json.loads(s)
+        for s in java_avro_records(spark, list_recs[0]["manifest_path"])
+    ]
+    assert {e["status"] for e in entries} == {0, 1}
+    assert all(
+        e["sequence_number"] == 1 for e in entries if e["status"] == 0
+    )
+
+    # current read sees everything; time travel sees only publish 1
+    assert read_iceberg_table(spark, dest).count() == 16
+    assert read_iceberg_table(spark, dest, snapshot_id=s1["snapshot-id"]).count() == 10
+
+
+def test_incremental_publish_after_rewrite_is_overwrite(spark, warehouse, tmp_path):
+    """A compaction between publishes removes previously-live files; the
+    next published snapshot must say 'overwrite', not 'append'."""
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    t = cat.create_table("ice", "inc_ow", df.schema, identifier_fields=["id"])
+    t.append(df.filter("id < 10"))
+    t.append(df.filter("id >= 10"))
+    dest = str(tmp_path / "ow_tbl")
+    export_iceberg_table(t, dest)
+    assert t.compact(spark, min_input_files=2) >= 2
+    md = json.load(open(export_iceberg_table(t, dest)))
+    assert md["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    assert read_iceberg_table(spark, dest).count() == 20
