@@ -20,9 +20,13 @@ table through the metadata chain alone — version-hint → metadata.json →
 manifest list → manifests → parquet — exactly the walk an external engine
 performs.
 
-Scope: append-only snapshots of unpartitioned tables (no delete files —
-those use the engine-native manifest; export refuses rather than silently
-dropping semantics).  Variant columns are refused (v2 has no variant).
+Scope: append-only snapshots (no merge-on-read delete files — export asks
+for ``materialize_deletes`` first rather than silently dropping
+semantics) of unpartitioned or identity-partitioned tables (transform
+partitions are refused, not approximated).  Re-publishing to the same
+destination appends real snapshots — history, sequence numbers,
+metadata-log, time travel.  Variant columns are refused (v2 has no
+variant).
 """
 
 from __future__ import annotations
@@ -205,8 +209,9 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
-def manifest_entry_schema() -> dict:
-    """v2 manifest_entry Avro schema (unpartitioned spec: empty r102)."""
+def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    """v2 manifest_entry Avro schema.  ``partition_fields`` are the r102
+    fields for a partitioned spec (empty record when unpartitioned)."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -216,7 +221,7 @@ def manifest_entry_schema() -> dict:
             _field("file_format", "string", 101),
             _field(
                 "partition",
-                {"type": "record", "name": "r102", "fields": []},
+                {"type": "record", "name": "r102", "fields": partition_fields or []},
                 102,
             ),
             _field("record_count", "long", 103),
@@ -253,8 +258,6 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     loads a complete table, and time travel across publishes works.
     Returns the path of the written metadata file."""
     meta = table.metadata()
-    if meta.partition_spec:
-        raise ValueError("iceberg export currently supports unpartitioned tables")
     if table.current_deletes():
         raise ValueError(
             "table has merge-on-read delete files; materialize_deletes() first"
@@ -263,6 +266,38 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     schema_json, last_col = spark_schema_to_iceberg(
         meta.schema, meta.identifier_fields
     )
+
+    # identity partition specs export with typed per-file partition values
+    # (transforms would need typed transform-result reconstruction from the
+    # engine's path-encoded values — refused rather than approximated)
+    spec_fields_json: list[dict] = []
+    part_avro_fields: list[dict] = []
+    part_readers: list[tuple[str, str, type]] = []  # (engine key, name, conv)
+    for i, pf in enumerate(meta.partition_spec):
+        if pf.transform != "identity":
+            raise ValueError(
+                f"iceberg export supports identity partitions only, got "
+                f"{pf.transform!r} on {pf.source!r}"
+            )
+        src = next(f for f in schema_json["fields"] if f["name"] == pf.source)
+        if src["type"] not in ("int", "long", "string"):
+            raise ValueError(
+                f"identity partition on {src['type']!r} column not exportable"
+            )
+        spec_fields_json.append(
+            {
+                "name": pf.source,
+                "transform": "identity",
+                "source-id": src["id"],
+                "field-id": 1000 + i,
+            }
+        )
+        part_avro_fields.append(
+            _field(pf.source, _opt(src["type"]), 1000 + i, default_null=True)
+        )
+        part_readers.append(
+            (pf.name, pf.source, int if src["type"] in ("int", "long") else str)
+        )
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -304,7 +339,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
 
     # ---- manifest: carried-over files EXISTING with their original seq,
     # new files ADDED at the new seq (Iceberg manifest-entry semantics)
-    entry_schema = manifest_entry_schema()
+    entry_schema = manifest_entry_schema(part_avro_fields)
     entries = []
     n_added = added_rows = 0
     for f in files:
@@ -313,6 +348,10 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         if not carried:
             n_added += 1
             added_rows += int(f.rows)
+        part_values = {
+            name: (None if f.partition.get(key) is None else conv(f.partition[key]))
+            for key, name, conv in part_readers
+        }
         entries.append(
             {
                 "status": 0 if carried else 1,  # EXISTING / ADDED
@@ -323,7 +362,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_values,
                     "record_count": int(f.rows),
                     "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
                 },
@@ -337,7 +376,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         metadata={
             "schema": json.dumps(schema_json),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -416,8 +455,8 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         "current-schema-id": 0,
         "schemas": [schema_json],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
+        "last-partition-id": 999 + len(spec_fields_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": dict(meta.properties),

@@ -265,3 +265,42 @@ def test_incremental_publish_after_rewrite_is_overwrite(spark, warehouse, tmp_pa
     md = json.load(open(export_iceberg_table(t, dest)))
     assert md["snapshots"][-1]["summary"]["operation"] == "overwrite"
     assert read_iceberg_table(spark, dest).count() == 20
+
+
+def test_identity_partitioned_export(spark, warehouse, tmp_path):
+    """Identity-partitioned tables export with typed per-file partition
+    values in the manifests and a real partition-spec in the metadata;
+    non-identity transforms are refused, not approximated."""
+    from debezium_server_iceberg_spark.lakehouse import parse_partition_spec
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id long, grp string, score double",
+    )
+    t = cat.create_table(
+        "ice", "part_t", df.schema, identifier_fields=["id"],
+        partition_spec=parse_partition_spec("grp"),
+    )
+    t.append(df)
+    dest = str(tmp_path / "part_tbl")
+    md = json.load(open(export_iceberg_table(t, dest)))
+    spec = md["partition-specs"][0]["fields"]
+    assert spec == [
+        {"name": "grp", "transform": "identity",
+         "source-id": next(f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "grp"),
+         "field-id": 1000}
+    ]
+    # Apache Avro decodes typed partition values per file
+    list_recs = [json.loads(s) for s in java_avro_records(spark, md["snapshots"][0]["manifest-list"])]
+    entries = [json.loads(s) for s in java_avro_records(spark, list_recs[0]["manifest_path"])]
+    assert {e["data_file"]["partition"]["grp"] for e in entries} == {"g0", "g1", "g2"}
+    assert read_iceberg_table(spark, dest).count() == 30
+
+    t2 = cat.create_table(
+        "ice", "part_bad", df.schema, identifier_fields=["id"],
+        partition_spec=parse_partition_spec("bucket(4, id)"),
+    )
+    t2.append(df)
+    with pytest.raises(ValueError, match="identity"):
+        export_iceberg_table(t2, str(tmp_path / "bad"))

@@ -177,3 +177,92 @@ def test_near_dup_clusters_pointer_doubling_long_chain(spark):
         F.min("cluster_id").alias("root"),
     ).collect()[0]
     assert (agg["n"], agg["clusters"], agg["canon"], agg["root"]) == (n, 1, 1, 0)
+
+
+# --------------------------------------------------------------- avro codec
+
+
+_AVRO_PRIMS = st.sampled_from(["boolean", "int", "long", "string", "bytes", "double"])
+
+
+def _value_for(schema, draw):
+    if isinstance(schema, list):  # optional
+        inner = next(s for s in schema if s != "null")
+        return None if draw(st.booleans()) else _value_for(inner, draw)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "boolean":
+        return draw(st.booleans())
+    if t == "int":
+        return draw(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+    if t == "long":
+        return draw(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    if t == "double":
+        return draw(st.floats(allow_nan=False, allow_infinity=False))
+    if t == "string":
+        return draw(st.text(max_size=20))
+    if t == "bytes":
+        return draw(st.binary(max_size=20))
+    if t == "array":
+        return [_value_for(schema["items"], draw) for _ in range(draw(st.integers(0, 4)))]
+    if t == "map":
+        return {
+            draw(st.text(min_size=1, max_size=8)): _value_for(schema["values"], draw)
+            for _ in range(draw(st.integers(0, 3)))
+        }
+    if t == "record":
+        return {f["name"]: _value_for(f["type"], draw) for f in schema["fields"]}
+    raise AssertionError(t)
+
+
+@st.composite
+def _avro_case(draw):
+    n_fields = draw(st.integers(1, 5))
+    fields = []
+    for i in range(n_fields):
+        base = draw(
+            st.one_of(
+                _AVRO_PRIMS,
+                st.builds(
+                    lambda it: {"type": "array", "items": it}, _AVRO_PRIMS
+                ),
+                st.builds(
+                    lambda vt: {"type": "map", "values": vt}, _AVRO_PRIMS
+                ),
+            )
+        )
+        if draw(st.booleans()):
+            base = ["null", base]
+        fields.append({"name": f"f{i}", "type": base, "default": None} if isinstance(base, list) else {"name": f"f{i}", "type": base})
+    schema = {"type": "record", "name": "rec", "fields": fields}
+    records = [
+        {f["name"]: _value_for(f["type"], draw) for f in fields}
+        for _ in range(draw(st.integers(0, 5)))
+    ]
+    return schema, records
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=_avro_case())
+def test_avro_codec_roundtrips_arbitrary_schemas(case, tmp_path_factory):
+    """Property: for arbitrary record schemas (primitives, optionals,
+    arrays, maps), write_container -> read_container is the identity."""
+    import os
+    import uuid
+
+    from debezium_server_iceberg_spark.lakehouse.avro_io import (
+        read_container,
+        write_container,
+    )
+
+    schema, records = case
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("avro")), f"{uuid.uuid4().hex}.avro"
+    )
+    write_container(path, schema, records)
+    got_schema, got, _meta = read_container(path)
+    assert got_schema == schema
+    assert got == records
