@@ -146,3 +146,50 @@ def doc_fingerprint(
         F.concat_ws("", F.col("hs")).alias("fingerprint"),
         F.size("hs").alias("k_actual"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with a benchmark/eval set (the standard leakage filter a
+    training-data pipeline runs before every corpus release).
+
+    Plan shape for 100 TB: the benchmark side is tiny by construction —
+    its distinct gram hashes broadcast; the corpus side is one narrow
+    projection (id, md5(gram)) exploded in the scan stage, so the only
+    wide operation is a broadcast semi-ish inner join + per-doc count.
+    Grams are md5-hashed before the join so shuffle/broadcast rows carry
+    16 bytes, not n-word strings.
+
+    Returns (id_col, n_hits) for CONTAMINATED docs only — n_hits = number
+    of distinct shared n-grams."""
+
+    def grams(df: DataFrame, keep_id: bool):
+        with_toks = df.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            tokens_col(F.col(text_col)).alias("_tk"),
+        ).filter(F.size("_tk") >= n)
+        g = F.transform(
+            F.sequence(F.lit(0), F.size("_tk") - n),
+            lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, n)),
+        )
+        out = with_toks.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.explode(g).alias("_gram"),
+        )
+        return out.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.md5(F.col("_gram")).alias("_h"),
+        )
+
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    doc_grams = grams(docs, keep_id=True)
+    hits = doc_grams.join(F.broadcast(bench_grams), "_h")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct(F.col("_h")).alias("n_hits")
+    )

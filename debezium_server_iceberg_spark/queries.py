@@ -1630,6 +1630,64 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontaminate_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+      UNION ALL
+      -- leaked eval examples: benchmark docs re-enter the training corpus
+      -- under new ids (doc_id % 3 = 0 third of the benchmark)
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE doc_id % 97 = 0 AND doc_id % 3 = 0
+    ), btoks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 97 = 0
+    ), bench AS (
+      SELECT DISTINCT array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM btoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    ), ttoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM corpus
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM ttoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    )
+    SELECT grams.doc_id, count(DISTINCT g) AS n_hits
+    FROM grams JOIN bench USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data leakage filter): flag
+    training docs sharing any word 8-gram with the benchmark set.  Every
+    97th doc stands in for an eval set, and a third of it is planted back
+    into the training corpus under new ids — the leaked examples the
+    operator MUST flag (n_hits = their full distinct-gram count), so an
+    empty result can never pass vacuously.  The corpus side is one narrow
+    (id, md5(gram)) explode in the scan stage; the benchmark's distinct
+    gram hashes broadcast, so the plan is scan -> explode -> broadcast
+    join -> per-doc count at any corpus size."""
+    from .functions.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    return decontaminate(train, bench, n=8)
+
+
+@_register(
     "anti_customers_without_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers,
@@ -3464,6 +3522,7 @@ _CHECK_PRIORITY = [
     "doc_chunking",
     "stratified_sample_docs",
     "pii_redact_docs",
+    "decontaminate_docs",
     # dedup family (incremental_minhash_pairs subsumes the one-shot
     # minhash_near_dup: same machinery + the persistent lakehouse index,
     # checked against the same oracle; the one-shot stays in the local

@@ -160,3 +160,23 @@ def test_pack_sequences_fills_and_splits(spark):
         (1, 0): (0, 0), (1, 1): (0, 30), (1, 2): (0, 60),
         (2, 0): (0, 0), (2, 1): (1, 36),
     }
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    from debezium_server_iceberg_spark.functions.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta extra words"),
+            (11, "completely unrelated text with enough tokens to form grams here"),
+            (12, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, bench, n=8).collect()}
+    # doc 10 shares exactly one 8-gram (tokens 1-8 of the benchmark doc)
+    assert got == {10: 1}

@@ -153,3 +153,11 @@ def test_lsh_plan_size_independent_of_dim(spark):
     assert len(plan) < 20_000, f"plan ballooned to {len(plan)} chars"
     # and it still computes: every neighbor shares the query's bucket
     assert out.count() >= 0
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, fns):
+    """The benchmark gram side must broadcast — a shuffle join here would
+    move the full corpus gram explosion at 100 TB."""
+    plan = _plan(fns["decontaminate_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
