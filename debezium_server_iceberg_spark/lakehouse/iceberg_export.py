@@ -413,6 +413,19 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     )
 
     # ---- table metadata (TableMetadataV2 required fields)
+    # ascending identity sort order on the table's declared sort columns
+    # (the reference's key-ascending write order, JsonSchemaConverter.java:262-280)
+    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+    sort_fields = [
+        {
+            "transform": "identity",
+            "source-id": field_ids[c],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in meta.sort_order
+        if c in field_ids
+    ]
     new_snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
@@ -457,8 +470,12 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
         "last-partition-id": 999 + len(spec_fields_json),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 1 if sort_fields else 0,
+        "sort-orders": (
+            [{"order-id": 1, "fields": sort_fields}]
+            if sort_fields
+            else [{"order-id": 0, "fields": []}]
+        ),
         "properties": dict(meta.properties),
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},

@@ -304,3 +304,15 @@ def test_identity_partitioned_export(spark, warehouse, tmp_path):
     t2.append(df)
     with pytest.raises(ValueError, match="identity"):
         export_iceberg_table(t2, str(tmp_path / "bad"))
+
+
+def test_export_carries_sort_order(spark, warehouse, tmp_path):
+    t, _ = _make_table(spark, warehouse, rows=4)  # identifier_fields=["id"] -> sort order
+    md = json.load(open(export_iceberg_table(t, str(tmp_path / "so"))))
+    assert md["default-sort-order-id"] == 1
+    so = md["sort-orders"][0]["fields"]
+    id_fid = next(f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "id")
+    assert so == [
+        {"transform": "identity", "source-id": id_fid,
+         "direction": "asc", "null-order": "nulls-first"}
+    ]
