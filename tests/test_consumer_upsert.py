@@ -481,3 +481,31 @@ def test_mor_position_deletes_materialize_and_time_travel(spark, warehouse):
     assert t.current_deletes() == []
     assert {r["id"]: r["v"] for r in t.to_df(spark).collect()} == expect
     assert t.materialize_deletes(spark) == 0
+
+
+def test_compaction_with_position_deletes(spark, warehouse):
+    """Compaction over a table with position deletes applies them during
+    the rewrite (deleted rows never resurface) and leaves results
+    unchanged; carried-forward delete files reference only removed names,
+    so they are inert."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    schema = "id long, v string, __op string"
+    t = cat.create_table(
+        "ns", "pd_compact", spark.createDataFrame([], schema).schema,
+        identifier_fields=["id"], properties={"format-version": "3"},
+    )
+    for b in range(3):
+        rows = [(b * 10 + i, f"b{b}v{i}", "c") for i in range(10)]
+        # every batch also re-writes key 0 so position deletes accumulate
+        rows.append((0, f"upd{b}", "u"))
+        merge_into(t, spark.createDataFrame(rows, schema), mode="merge-on-read")
+    assert any(d.content == "position" for d in t.current_deletes())
+    before = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert before[0] == "upd2" and len(before) == 30
+
+    assert t.compact(spark, min_input_files=2) >= 2
+    after = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert after == before
