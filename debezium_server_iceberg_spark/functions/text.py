@@ -148,6 +148,106 @@ def doc_fingerprint(
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, public),
+    deterministic word-level variant:
+
+    - ``top{top_n}_frac``: occurrences of the single most frequent word
+      ``top_n``-gram divided by the total number of ``top_n``-grams;
+    - ``dup{dup_n}_frac``: fraction of ``dup_n``-gram occurrences whose gram
+      appears more than once in the doc;
+    - ``keep``: both fractions under their thresholds.
+
+    Plan shape: everything is computed IN-ROW from the doc's own sorted
+    gram array (max frequency == longest run in the sorted array; duplicate
+    occurrences == occurrences whose sorted neighbor matches), so the whole
+    operator is one codegen'd projection with ZERO shuffle — at 100 TB it is
+    a pure map over the corpus scan, unlike the naive explode + per-(doc,
+    gram) groupBy which shuffles one row per gram occurrence.  The SQL
+    oracle computes the same numbers the naive way, so the run-length
+    identity is verified, not assumed.
+    """
+
+    def _sorted_grams(n: int) -> Column:
+        g = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, n)),
+            )
+        )
+        return F.when(F.size("_tk") >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def _max_run(col: Column) -> Column:
+        # longest run of equal elements in a sorted array == max gram count.
+        # "" is never a gram (grams are non-empty token joins), so it is a
+        # safe initial sentinel.
+        run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.aggregate(
+            col,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc["best"], run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    def _dup_occurrences(col: Column) -> Column:
+        # occurrences whose sorted neighbor (either side) equals them.
+        # Sentinel-pad both ends so every element_at index is in bounds
+        # (ANSI mode: no speculative out-of-range evaluation).
+        m = F.size(col)
+        padded = F.concat(F.array(F.lit("")), col, F.array(F.lit("")))
+        singles = F.size(
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda j: (F.element_at(padded, j + 1) != F.element_at(padded, j))
+                & (F.element_at(padded, j + 1) != F.element_at(padded, j + 2)),
+            )
+        )
+        return F.when(m > 0, m - singles).otherwise(F.lit(0))
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        tokens_col(F.col(text_col)).alias("_tk"),
+    ).select(
+        F.col(id_col),
+        F.size("_tk").alias("n_tokens"),
+        _sorted_grams(top_n).alias("_gt"),
+        _sorted_grams(dup_n).alias("_gd"),
+    )
+    top_frac = _frac(_max_run(F.col("_gt")), F.size("_gt"))
+    dup_frac = _frac(_dup_occurrences(F.col("_gd")), F.size("_gd"))
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        top_frac.alias(f"top{top_n}_frac"),
+        dup_frac.alias(f"dup{dup_n}_frac"),
+        (
+            (top_frac <= F.lit(max_top_frac)) & (dup_frac <= F.lit(max_dup_frac))
+        ).alias("keep"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

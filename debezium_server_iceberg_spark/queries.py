@@ -3457,6 +3457,173 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with disjoint sets ((returnflag), (linestatus)) — not
+    expressible as ROLLUP/CUBE, so it exercises Catalyst's native Expand
+    operator directly (SURVEY.md §2.3 ⊘ row).  At scale Expand multiplies
+    rows by the number of sets BEFORE the shuffle, but partial aggregation
+    still combines map-side, so shuffle volume is one row per (set, group)
+    per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@_register(
+    "window_navigation_functions",
+    """
+    SELECT o_orderkey,
+           CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) AS prev_price,
+           CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) AS next_price,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_navigation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead/ntile/percent_rank/first_value)
+    over the per-customer order sequence — the §2.5 window surface beyond
+    rank/running sums.  One shuffle on o_custkey serves all five functions
+    (single Window operator; deterministic (date, key) sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.lag(_money(F.col("o_totalprice"))).over(w).cast("double").alias("prev_price"),
+        F.lead(_money(F.col("o_totalprice"))).over(w).cast("double").alias("next_price"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "first_order_date"
+        ),
+    )
+
+
+@_register(
+    "corpus_top_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKENS_SQL} AS tk FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+             AS gram
+      FROM toks WHERE len(tk) >= 3
+    )
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram ASC LIMIT 20
+    """,
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k word 3-grams — the vocabulary/contamination recon
+    pass a training-data pipeline runs per corpus release.  Grams are built
+    in-row inside the scan stage (sequence + transform, no Python), then one
+    partial-aggregated groupBy; the global top-20 is a TakeOrderedAndProject
+    (per-partition top-k, never a full sort) with a deterministic
+    (count desc, gram asc) tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens_col
+
+    with_toks = docs.select(tokens_col(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - 3),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, 3)),
+    )
+    return (
+        with_toks.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "repetition_filter_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS gram
+      FROM toks WHERE len(tk) >= 2
+    ), c2 AS (
+      SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram
+    ), a2 AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM c2 GROUP BY doc_id
+    ), g5 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) - 3),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                        || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+      FROM toks WHERE len(tk) >= 5
+    ), c5 AS (
+      SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY doc_id, gram
+    ), a5 AS (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+             sum(c) AS total FROM c5 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.tk) AS n_tokens,
+           round(coalesce(CAST(a2.maxc AS DOUBLE) / a2.total, 0.0), 4) AS top2_frac,
+           round(coalesce(CAST(a5.dup_occ AS DOUBLE) / a5.total, 0.0), 4) AS dup5_frac,
+           (round(coalesce(CAST(a2.maxc AS DOUBLE) / a2.total, 0.0), 4) <= 0.05
+            AND round(coalesce(CAST(a5.dup_occ AS DOUBLE) / a5.total, 0.0), 4) <= 0.30)
+           AS keep
+    FROM toks t
+    LEFT JOIN a2 ON t.doc_id = a2.doc_id
+    LEFT JOIN a5 ON t.doc_id = a5.doc_id
+    """,
+)
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (top-2-gram dominance +
+    duplicate-5-gram fraction).  The engine computes both metrics IN-ROW
+    from each doc's sorted gram array (max count == longest sorted run) —
+    zero shuffle, one codegen'd projection over the corpus scan — while the
+    oracle computes them the naive explode + groupBy way, so the run-length
+    identity is cross-verified."""
+    from .functions.text import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(
+        docs, top_n=2, dup_n=5, max_top_frac=0.05, max_dup_frac=0.30
+    )
+
+
 # =====================================================================
 # public surface
 # =====================================================================

@@ -180,3 +180,91 @@ def test_decontaminate_flags_planted_leak(spark):
     got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, bench, n=8).collect()}
     # doc 10 shares exactly one 8-gram (tokens 1-8 of the benchmark doc)
     assert got == {10: 1}
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from debezium_server_iceberg_spark.functions.text import repetition_metrics
+
+    # doc 1: "a b a b a b" -> 2-grams: [a b, b a, a b, b a, a b]
+    #   max count = 3 ("a b"), total 5 -> top2_frac = 0.6
+    #   5-grams: [a b a b a, b a b a b] both unique -> dup5_frac = 0.0
+    # doc 2: "x x x x x x" -> 2-grams: 5x "x x" -> top2_frac = 1.0
+    #   5-grams: "x x x x x" twice -> dup5_frac = 1.0
+    # doc 3: all-distinct tokens -> top2_frac = 1/6 (every gram count 1,
+    #   max run 1), dup5_frac = 0.0
+    # doc 4: too short for any gram -> both 0.0, keep = true
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x x x x x x"),
+        (3, "q w e r t y u"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.top2_frac, r.dup5_frac, r.keep)
+        for r in repetition_metrics(
+            df, max_top_frac=0.5, max_dup_frac=0.5
+        ).collect()
+    }
+    assert out[1] == (6, 0.6, 0.0, False)
+    assert out[2] == (6, 1.0, 1.0, False)
+    assert out[3] == (7, round(1 / 6, 4), 0.0, True)
+    assert out[4] == (1, 0.0, 0.0, True)
+
+
+def test_repetition_metrics_matches_naive_groupby(spark):
+    """The in-row sorted-run implementation must equal the naive
+    explode + per-(doc, gram) groupBy definition on arbitrary word-soup."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.functions.text import (
+        repetition_metrics,
+        tokens_col,
+    )
+
+    rng = random.Random(7)
+    vocab = ["ab", "cd", "ef", "gh"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.top2_frac, r.dup5_frac)
+        for r in repetition_metrics(df).collect()
+    }
+
+    def naive(n, agg_fn):
+        toks = df.select("doc_id", tokens_col(F.col("text")).alias("tk")).filter(
+            F.size("tk") >= n
+        )
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - n),
+                    lambda i: F.concat_ws(" ", F.slice("tk", i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "gram").count()
+        return {
+            r.doc_id: r.frac
+            for r in counts.groupBy("doc_id")
+            .agg(F.round(agg_fn, 4).alias("frac"))
+            .collect()
+        }
+
+    top_naive = naive(
+        2, F.max("count").cast("double") / F.sum("count").cast("double")
+    )
+    dup_naive = naive(
+        5,
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
+        / F.sum("count").cast("double"),
+    )
+    for doc_id, (top, dup) in got.items():
+        assert top == top_naive.get(doc_id, 0.0), doc_id
+        assert dup == dup_naive.get(doc_id, 0.0), doc_id

@@ -161,3 +161,23 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, fns):
     plan = _plan(fns["decontaminate_docs"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_is_shuffle_free(spark, fns):
+    # both Gopher metrics come from in-row sorted-run arithmetic: the whole
+    # operator must stay a scan→project map (no explode+groupBy shuffle)
+    plan = _plan(fns["repetition_filter_docs"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_corpus_top_ngrams_is_partial_topk(spark, fns):
+    # global top-20 must be TakeOrderedAndProject (per-partition top-k),
+    # never a full Sort of the gram counts
+    plan = _plan(fns["corpus_top_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan  # partial map-side combine of gram counts
+
+
+def test_grouping_sets_uses_expand(spark, fns):
+    plan = _plan(fns["grouping_sets_revenue"](spark, SF))
+    assert "Expand" in plan
