@@ -129,6 +129,7 @@ class Snapshot:
     operation: str                 # append | delta | overwrite
     manifest: str                  # manifest file name (relative to metadata/)
     summary: dict[str, Any] = dc_field(default_factory=dict)
+    parent_id: int | None = None   # lineage pointer (None = first snapshot)
 
 
 @dataclass
@@ -143,6 +144,10 @@ class TableMetadata:
     snapshots: list[Snapshot]
     current_snapshot_id: int | None
     version: int
+    # named refs (Iceberg table-metadata ``refs`` map): name ->
+    # {"snapshot_id": int, "type": "tag" | "branch"}.  "main" is implicit
+    # (= current_snapshot_id) and never stored here.
+    refs: dict[str, dict] = dc_field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -207,7 +212,10 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{version:05d}.metadata.json")) as fh:
             d = json.load(fh)
         snaps = [
-            Snapshot(s["snapshot_id"], s["timestamp_ms"], s["operation"], s["manifest"], s.get("summary", {}))
+            Snapshot(
+                s["snapshot_id"], s["timestamp_ms"], s["operation"], s["manifest"],
+                s.get("summary", {}), s.get("parent_id"),
+            )
             for s in d["snapshots"]
         ]
         return TableMetadata(
@@ -221,6 +229,7 @@ class LakeTable:
             snapshots=snaps,
             current_snapshot_id=d["current_snapshot_id"],
             version=version,
+            refs=d.get("refs", {}),
         )
 
     def _write_metadata(self, meta: TableMetadata, expected_version: int | None) -> None:
@@ -241,10 +250,12 @@ class LakeTable:
                     "operation": s.operation,
                     "manifest": s.manifest,
                     "summary": s.summary,
+                    "parent_id": s.parent_id,
                 }
                 for s in meta.snapshots
             ],
             "current_snapshot_id": meta.current_snapshot_id,
+            "refs": meta.refs,
         }
         path = os.path.join(self.meta_dir, f"v{new_version:05d}.metadata.json")
         # O_EXCL: optimistic-concurrency loser gets FileExistsError
@@ -309,23 +320,38 @@ class LakeTable:
         retries: int = 5,
         add_deletes: list[DeleteFile] | None = None,
         drop_deletes: bool = False,
+        branch: str = "main",
     ) -> None:
         """Generic commit: new manifest = (current - removed) + added.
 
         Delete-file lifecycle: equality-delete files are carried forward
         snapshot to snapshot (unless ``drop_deletes`` or overwrite), new ones
         get seq = the new snapshot id, and any delete file that no longer has
-        a live data file older than itself is pruned (it can never match)."""
+        a live data file older than itself is pruned (it can never match).
+
+        ``branch``: commit on a named branch ref instead of main (Iceberg's
+        branch writes / WAP pattern) — the new snapshot's base is the branch
+        head and only that ref advances; main is untouched."""
         for attempt in range(retries):
             meta = self.metadata()
-            current = self._manifest_files(meta)
-            cur_deletes = self._manifest_deletes(meta)
+            if branch == "main":
+                base_sid = meta.current_snapshot_id
+            else:
+                ref = meta.refs.get(branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise ValueError(f"no branch named {branch!r}")
+                base_sid = ref["snapshot_id"]
+            current = self._manifest_files(meta, base_sid)
+            cur_deletes = self._manifest_deletes(meta, base_sid)
             files = (
                 add
                 if operation == "overwrite"
                 else [f for f in current if f.path not in remove_paths] + add
             )
-            sid = (meta.current_snapshot_id or 0) + 1
+            # max-based, not head+1: branch snapshots share one id space, and
+            # seq ordering (delete-file applicability) only needs ids to be
+            # monotone along each lineage — which max+1 preserves everywhere
+            sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
             # freshly added files get this snapshot's sequence number
             for f in add:
                 f.seq = sid
@@ -359,9 +385,13 @@ class LakeTable:
                     total_delete_files=len(deletes),
                     total_delete_rows=sum(d.rows for d in deletes),
                 ),
+                parent_id=base_sid,
             )
             meta.snapshots.append(snap)
-            meta.current_snapshot_id = sid
+            if branch == "main":
+                meta.current_snapshot_id = sid
+            else:
+                meta.refs[branch] = {"snapshot_id": sid, "type": "branch"}
             if new_schema is not None:
                 meta.schema_json = new_schema.jsonValue()
             try:
@@ -539,15 +569,18 @@ class LakeTable:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, summary: dict | None = None, branch: str = "main"
+    ) -> int:
         """Append commit (reference AppendFiles, IcebergTableOperator.java:224-228).
 
         Returns the number of rows committed — read from the staged files'
-        own stats, so no extra Spark action runs."""
+        own stats, so no extra Spark action runs.  ``branch`` appends onto a
+        named branch ref (write-audit-publish staging) instead of main."""
         meta = self.metadata()
         add = self._stage_write(df, meta)
         try:
-            self._commit_snapshot("append", add, set(), summary)
+            self._commit_snapshot("append", add, set(), summary, branch=branch)
         except Exception:
             self._abort_staged(add)
             raise
@@ -595,6 +628,7 @@ class LakeTable:
         summary: dict | None = None,
         delete_target_files: int = 1,
         delete_positions_df: DataFrame | None = None,
+        branch: str = "main",
     ) -> tuple[int, int]:
         """Merge-on-read upsert commit: append new data files AND delete
         files in ONE atomic snapshot — no existing data file is rewritten.
@@ -676,7 +710,8 @@ class LakeTable:
                 raise
         try:
             self._commit_snapshot(
-                "rowdelta", add, set(), summary, add_deletes=add_deletes
+                "rowdelta", add, set(), summary, add_deletes=add_deletes,
+                branch=branch,
             )
         except Exception:
             self._abort_staged(add, add_deletes)
@@ -687,6 +722,100 @@ class LakeTable:
         """Schema-evolution commit; no data movement (ALTER TABLE ADD COLUMNS
         equivalent of IcebergTableOperator.java:136-151)."""
         self._commit_snapshot("evolve", [], set(), None, new_schema=new_schema)
+
+    # ------------------------------------------------- refs (tags/branches)
+
+    def _set_ref(self, name: str, ref_type: str, snapshot_id: int | None) -> None:
+        if name == "main":
+            raise ValueError("'main' is the implicit current-snapshot ref")
+        for attempt in range(5):
+            meta = self.metadata()
+            sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+            if sid is None or all(s.snapshot_id != sid for s in meta.snapshots):
+                raise ValueError(f"no snapshot {sid} to reference")
+            meta.refs[name] = {"snapshot_id": sid, "type": ref_type}
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named pointer at a snapshot (Iceberg CREATE TAG):
+        reproducible reads — ``to_df(spark, ref=name)`` pins the exact
+        table state a training run / report was built from."""
+        self._set_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Writable named lineage (Iceberg CREATE BRANCH): commits with
+        ``branch=name`` advance only this ref — the write-audit-publish
+        staging area."""
+        self._set_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        for attempt in range(5):
+            meta = self.metadata()
+            if name not in meta.refs:
+                raise ValueError(f"no ref named {name!r}")
+            del meta.refs[name]
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def refs(self) -> dict[str, dict]:
+        """All named refs, including the implicit main branch."""
+        meta = self.metadata()
+        out = dict(meta.refs)
+        if meta.current_snapshot_id is not None:
+            out["main"] = {"snapshot_id": meta.current_snapshot_id, "type": "branch"}
+        return out
+
+    def resolve_ref(self, name: str) -> int | None:
+        meta = self.metadata()
+        if name == "main":
+            return meta.current_snapshot_id
+        ref = meta.refs.get(name)
+        if ref is None:
+            raise ValueError(f"no ref named {name!r}")
+        return ref["snapshot_id"]
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: fast-forward main to the branch head (the
+        Iceberg ``fast_forward`` procedure — the atomic "publish" step of
+        write-audit-publish).  Requires main's head to be an ancestor of the
+        branch head (walks ``parent_id`` lineage), so nothing committed to
+        main since the branch diverged can be silently dropped.  Returns the
+        new current snapshot id."""
+        for attempt in range(5):
+            meta = self.metadata()
+            ref = meta.refs.get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"no branch named {branch!r}")
+            head = ref["snapshot_id"]
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            anc = head
+            while anc is not None and anc != meta.current_snapshot_id:
+                anc = by_id[anc].parent_id if anc in by_id else None
+            if meta.current_snapshot_id is not None and anc != meta.current_snapshot_id:
+                raise ValueError(
+                    f"main ({meta.current_snapshot_id}) is not an ancestor of "
+                    f"branch {branch!r} head ({head}); cannot fast-forward"
+                )
+            meta.current_snapshot_id = head
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return head
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return head
 
     # --------------------------------------------------------- maintenance
 
@@ -788,8 +917,17 @@ class LakeTable:
             meta = self.metadata()
             if len(meta.snapshots) <= keep_last:
                 return 0
-            keep = meta.snapshots[-keep_last:]
-            expired = meta.snapshots[:-keep_last]
+            # snapshots pinned by named refs (tags/branch heads) are never
+            # expired — same protection Iceberg's procedure applies
+            pinned = {r["snapshot_id"] for r in meta.refs.values()}
+            keep = [
+                s
+                for i, s in enumerate(meta.snapshots)
+                if i >= len(meta.snapshots) - keep_last or s.snapshot_id in pinned
+            ]
+            expired = [s for s in meta.snapshots if s not in keep]
+            if not expired:
+                return 0
             def _all_paths(sid: int) -> set[str]:
                 e = self._manifest_entry(meta, sid)
                 return {f["path"] for f in e["files"]} | {
@@ -862,13 +1000,23 @@ class LakeTable:
 
     # ------------------------------------------------------------- read ops
 
-    def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        """Current (or time-travel) table contents as a DataFrame.
+    def to_df(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel / ref) table contents as a DataFrame.
 
         Reads with the table's logical schema: files written before a column
         was added yield nulls for it (schema evolution on read). Equality
         deletes recorded in the (possibly historical) manifest are applied
-        at scan time — the merge-on-read half of the format."""
+        at scan time — the merge-on-read half of the format.  ``ref`` reads
+        at a named tag or branch head (Iceberg's VERSION AS OF 'ref')."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         meta = self.metadata()
         files = self._manifest_files(meta, snapshot_id)
         deletes = self._manifest_deletes(meta, snapshot_id)

@@ -896,6 +896,63 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "wap_branch_publish",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 400 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end-to-end (Iceberg branch workflow; the
+    reference inherits refs/branches from the Iceberg library): load orders
+    into a lakehouse table, stage a merge-on-read upsert on an ``audit``
+    BRANCH (main is provably untouched — asserted mid-query), then publish
+    with an atomic ``fast_forward`` and read main.  The oracle recomputes
+    the post-publish state from the source rows, so a branch commit that
+    leaked onto main early, a lost upsert, or a bad publish all
+    hash-mismatch."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="wap_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns", "orders_wap", sub.schema, identifier_fields=["o_orderkey"]
+        )
+        n_before = t.append(sub)
+        t.create_branch("audit")
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        )
+        t.commit_row_delta(upd, upd, branch="audit")
+        # audit step: staging must not have leaked onto main
+        assert t.to_df(spark).filter(F.col("o_orderstatus") == "X").count() == 0
+        assert t.row_count() == n_before
+        t.fast_forward("audit")
+        return (
+            t.to_df(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, count(*) AS order_count
