@@ -171,10 +171,16 @@ class LakeTable:
         location: str,
         schema: T.StructType,
         identifier_fields: list[str] | None = None,
-        partition_spec: list[PartitionField] | None = None,
+        partition_spec: "list[PartitionField] | str | None" = None,
         sort_order: list[str] | None = None,
         properties: dict[str, str] | None = None,
     ) -> "LakeTable":
+        if isinstance(partition_spec, str):
+            from .transforms import parse_partition_spec
+
+            partition_spec = parse_partition_spec(
+                partition_spec, {f.name for f in schema.fields}
+            )
         t = LakeTable(location)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -722,6 +728,38 @@ class LakeTable:
         """Schema-evolution commit; no data movement (ALTER TABLE ADD COLUMNS
         equivalent of IcebergTableOperator.java:136-151)."""
         self._commit_snapshot("evolve", [], set(), None, new_schema=new_schema)
+
+    def update_partition_spec(self, spec: "list[PartitionField] | str") -> None:
+        """Partition-spec evolution (Iceberg ALTER TABLE ADD/REPLACE
+        PARTITION FIELD — spec change is metadata-only): existing data files
+        keep the layout and manifest partition values they were written
+        with and stay fully scannable (planners treat old-spec files as
+        unprunable by the new spec); only NEW writes use the new spec.
+        ``compact()`` migrates old files to the current spec as a side
+        effect, like Iceberg's rewrite_data_files."""
+        from .transforms import parse_partition_spec
+
+        for attempt in range(5):
+            meta = self.metadata()
+            names = {f.name for f in meta.schema.fields}
+            new = (
+                parse_partition_spec(spec, names)
+                if isinstance(spec, str)
+                else list(spec)
+            )
+            for pf in new:
+                if pf.source not in names:
+                    raise ValueError(
+                        f"partition source column {pf.source!r} not in schema"
+                    )
+            meta.partition_spec = new
+            try:
+                self._write_metadata(meta, expected_version=meta.version)
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     # ------------------------------------------------- refs (tags/branches)
 

@@ -146,7 +146,11 @@ def merge_into(
                 candidates = [
                     f
                     for f in candidates
+                    # files written under an OLDER partition spec (spec
+                    # evolution) record different field names — they are
+                    # unprunable here, never prunable-to-zero
                     if not f.partition
+                    or any(pf.name not in f.partition for pf in meta.partition_spec)
                     or tuple(
                         str(f.partition.get(pf.name)) for pf in meta.partition_spec
                     )
