@@ -92,8 +92,10 @@ class LakeCatalog:
             if os.path.isdir(os.path.join(self.warehouse, d))
         )
 
+    METADATA_KINDS = ("snapshots", "files", "delete_files", "partitions", "refs")
+
     def register_views(
-        self, spark, namespace: str, prefix: str = ""
+        self, spark, namespace: str, prefix: str = "", with_metadata: bool = False
     ) -> list[str]:
         """Expose every table in a namespace as a Spark temp view named
         ``{prefix}{table}`` so users query replicated tables by name with
@@ -106,6 +108,14 @@ class LakeCatalog:
         names = []
         for t in self.list_tables(namespace):
             view = f"{prefix}{t}"
-            self.load_table(namespace, t).to_df(spark).createOrReplaceTempView(view)
+            tbl = self.load_table(namespace, t)
+            tbl.to_df(spark).createOrReplaceTempView(view)
             names.append(view)
+            if with_metadata:
+                # Iceberg's tbl.snapshots / tbl.files inspection tables,
+                # named {view}__{kind} (temp views cannot contain dots)
+                for kind in self.METADATA_KINDS:
+                    mview = f"{view}__{kind}"
+                    tbl.metadata_df(spark, kind).createOrReplaceTempView(mview)
+                    names.append(mview)
         return names

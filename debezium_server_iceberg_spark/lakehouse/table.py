@@ -1172,6 +1172,93 @@ class LakeTable:
         Exact whenever the table has no delete files."""
         return sum(f.rows for f in self.current_files())
 
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Metadata tables (Iceberg's ``tbl.snapshots`` / ``tbl.files`` /
+        ``tbl.partitions`` / ``tbl.refs`` inspection surface, which the
+        reference gets for free from the Iceberg library).  Row counts are
+        bounded by file/snapshot counts (planning-scale, not data-scale), so
+        driver-side construction is the same cost class as Iceberg's own
+        manifest-reading metadata scans."""
+        meta = self.metadata()
+        if kind == "snapshots":
+            rows = [
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.timestamp_ms,
+                    s.operation,
+                    s.manifest,
+                    json.dumps(s.summary, sort_keys=True),
+                    s.snapshot_id == meta.current_snapshot_id,
+                )
+                for s in meta.snapshots
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, timestamp_ms long, "
+                "operation string, manifest string, summary string, "
+                "is_current boolean",
+            )
+        if kind == "files":
+            rows = [
+                (
+                    f.path, f.rows, f.bytes, f.seq,
+                    json.dumps(f.partition, sort_keys=True),
+                    json.dumps(f.bounds, sort_keys=True),
+                )
+                for f in self._manifest_files(meta)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "file_path string, record_count long, file_size_bytes long, "
+                "sequence_number long, partition string, bounds string",
+            )
+        if kind == "delete_files":
+            rows = [
+                (
+                    d.path, d.rows, d.bytes, d.seq, d.content,
+                    ",".join(d.equality_cols),
+                )
+                for d in self._manifest_deletes(meta)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "file_path string, record_count long, file_size_bytes long, "
+                "sequence_number long, content string, equality_columns string",
+            )
+        if kind == "partitions":
+            agg: dict[str, list[int]] = {}
+            for f in self._manifest_files(meta):
+                key = json.dumps(f.partition, sort_keys=True)
+                cur = agg.setdefault(key, [0, 0, 0])
+                cur[0] += 1
+                cur[1] += f.rows
+                cur[2] += f.bytes
+            rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+            return spark.createDataFrame(
+                rows,
+                "partition string, file_count long, record_count long, "
+                "total_size_bytes long",
+            )
+        if kind == "refs":
+            refs = dict(meta.refs)
+            if meta.current_snapshot_id is not None:
+                refs["main"] = {
+                    "snapshot_id": meta.current_snapshot_id, "type": "branch"
+                }
+            rows = [
+                (name, r["type"], r["snapshot_id"]) for name, r in sorted(refs.items())
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
+        if kind == "history":
+            return self.history(spark)
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(snapshots|files|delete_files|partitions|refs|history)"
+        )
+
     def history(self, spark: SparkSession) -> DataFrame:
         """Snapshot history as a DataFrame (the SQL-visible operational
         surface the reference gets from its Iceberg state tables): one row

@@ -104,3 +104,48 @@ def test_ref_validation(spark, warehouse):
     t.drop_ref("v1")
     with pytest.raises(ValueError, match="no ref"):
         t.drop_ref("v1")
+
+
+def test_metadata_tables(spark, warehouse):
+    t = LakeCatalog(warehouse).create_table("ns", "md", SCHEMA, identifier_fields=["id"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    t.create_tag("v1")
+    t.commit_row_delta(
+        spark.createDataFrame([(2, "B")], SCHEMA),
+        spark.createDataFrame([(2, "B")], SCHEMA),
+    )
+
+    snaps = t.metadata_df(spark, "snapshots").collect()
+    assert [s.operation for s in snaps] == ["append", "rowdelta"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert [s.is_current for s in snaps] == [False, True]
+
+    files = t.metadata_df(spark, "files").collect()
+    assert sum(f.record_count for f in files) == 3  # 2 original + 1 upsert
+    assert all(f.file_size_bytes > 0 for f in files)
+
+    dels = t.metadata_df(spark, "delete_files").collect()
+    assert len(dels) == 1 and dels[0].equality_columns == "id"
+
+    parts = t.metadata_df(spark, "partitions").collect()
+    assert len(parts) == 1 and parts[0].record_count == 3
+
+    refs = {r.name: r for r in t.metadata_df(spark, "refs").collect()}
+    assert refs["v1"].type == "tag"
+    assert refs["main"].snapshot_id == t.metadata().current_snapshot_id
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_df(spark, "nope")
+
+
+def test_register_views_with_metadata(spark, warehouse):
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns2", "orders_md", SCHEMA, identifier_fields=["id"])
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    names = cat.register_views(spark, "ns2", prefix="lk_", with_metadata=True)
+    assert "lk_orders_md" in names and "lk_orders_md__snapshots" in names
+    row = spark.sql(
+        "SELECT operation, is_current FROM lk_orders_md__snapshots"
+    ).collect()[0]
+    assert (row.operation, row.is_current) == ("append", True)
+    assert spark.sql("SELECT count(*) n FROM lk_orders_md__files").collect()[0].n == 1
