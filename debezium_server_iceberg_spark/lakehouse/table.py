@@ -416,6 +416,7 @@ class LakeTable:
         df: DataFrame,
         meta: TableMetadata,
         target_partitions: int | None = None,
+        preserve_layout: bool = False,
     ) -> list[DataFile]:
         """Write df's rows as new data files (not yet committed); return stats.
 
@@ -434,7 +435,10 @@ class LakeTable:
             pcols.append(pf.name)
         key_cols = [c for c in meta.identifier_fields if c in out.columns]
         cached = None
-        if pcols:
+        if preserve_layout:
+            # caller (clustered rewrite) already shaped partitioning + order
+            pass
+        elif pcols:
             out = out.repartition(*[F.col(c) for c in pcols])
         elif key_cols:
             # range-cluster unpartitioned keyed tables by identifier fields:
@@ -451,7 +455,7 @@ class LakeTable:
                 out = out.repartitionByRange(*key_cols)
         elif target_partitions:
             out = out.repartition(target_partitions)
-        sort_cols = meta.sort_order or key_cols
+        sort_cols = [] if preserve_layout else (meta.sort_order or key_cols)
         if sort_cols:
             present = [c for c in sort_cols if c in out.columns]
             if present:
@@ -485,8 +489,24 @@ class LakeTable:
         FOOTERS driver-side (row counts + key min/max live in the metadata
         already — no data is re-read and no Spark job runs; this is how
         manifest writers work in real table formats). Falls back to a
-        column-pruned Spark aggregation if a footer lacks statistics."""
-        key_cols = [c for c in meta.identifier_fields if c in {f.name for f in meta.schema.fields}]
+        column-pruned Spark aggregation if a footer lacks statistics.
+
+        Bounds are recorded for identifier fields, sort-order columns, and
+        any columns named in the ``write.stats-columns`` table property
+        (comma-separated) — the knob a clustered rewrite sets so its sort
+        keys become prunable."""
+        names = {f.name for f in meta.schema.fields}
+        extra = [
+            c.strip()
+            for c in meta.properties.get("write.stats-columns", "").split(",")
+            if c.strip()
+        ]
+        seen: set[str] = set()
+        key_cols = [
+            c
+            for c in [*meta.identifier_fields, *meta.sort_order, *extra]
+            if c in names and not (c in seen or seen.add(c))
+        ]
         paths = []
         for root, _dirs, names in os.walk(staging):
             for n in names:
@@ -610,12 +630,13 @@ class LakeTable:
         summary: dict | None = None,
         target_partitions: int | None = None,
         drop_deletes: bool = False,
+        preserve_layout: bool = False,
     ) -> None:
         """RowDelta-style commit: atomically swap rewritten files
         (IcebergTableOperator.java:218-224). Used by the MERGE operator."""
         meta = self.metadata()
         add = (
-            self._stage_write(add_df, meta, target_partitions)
+            self._stage_write(add_df, meta, target_partitions, preserve_layout)
             if add_df is not None
             else []
         )
@@ -893,6 +914,72 @@ class LakeTable:
         )
         return len(small)
 
+    def rewrite_sorted(
+        self,
+        spark: SparkSession,
+        sort_by: list[str],
+        zorder: bool = False,
+        target_file_bytes: int | None = None,
+        zorder_bits: int = 16,
+    ) -> int:
+        """Clustered rewrite (Iceberg's rewrite_data_files sort / zorder
+        strategies): rewrite ALL current data with rows range-clustered on
+        ``sort_by`` — or, with ``zorder=True``, on an interleaved-bit Morton
+        code over the columns — so each file covers a narrow range of the
+        cluster key(s) and min/max file bounds actually prune scans.
+
+        Why this matters at 100 TB: bounds pruning is only as good as the
+        correlation between files and key ranges.  A lexicographic sort
+        prunes the leading column only; a z-order curve gives every listed
+        column partial locality, so multi-dimensional point/range lookups
+        skip most files.  The z-code is computed IN-PLAN from per-column
+        min/max (one tiny aggregate job) — no window functions, no global
+        rank, so the shuffle is an ordinary range partition on the code.
+
+        Also materializes outstanding merge-on-read deletes (the rewrite
+        reads through them) and records file bounds for ``sort_by`` via the
+        ``write.stats-columns`` property.  Returns files rewritten."""
+        meta = self.metadata()
+        names = {f.name for f in meta.schema.fields}
+        missing = [c for c in sort_by if c not in names]
+        if missing:
+            raise ValueError(f"sort columns not in schema: {missing}")
+        files = self._manifest_files(meta)
+        if not files:
+            return 0
+        # make the cluster keys prunable in future stats BEFORE staging
+        self.update_properties(**{"write.stats-columns": ",".join(sort_by)})
+        data = self.to_df(spark)
+        target = target_file_bytes or int(
+            meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+        )
+        total = sum(f.bytes for f in files)
+        n_out = max(1, -(-total // target))
+        if zorder:
+            cluster = _zvalue_col(data, sort_by, meta.schema, zorder_bits)
+            shaped = (
+                data.withColumn("_zv", cluster)
+                .repartitionByRange(int(n_out), F.col("_zv"))
+                .sortWithinPartitions("_zv")
+                .drop("_zv")
+            )
+        else:
+            shaped = data.repartitionByRange(
+                int(n_out), *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        self.commit_delta(
+            shaped,
+            [f.path for f in files],
+            summary={
+                "operation_detail": "rewrite_sorted",
+                "zorder": bool(zorder),
+                "sort_by": ",".join(sort_by),
+            },
+            drop_deletes=True,
+            preserve_layout=True,
+        )
+        return len(files)
+
     def materialize_deletes(self, spark: SparkSession) -> int:
         """Rewrite-the-deletes maintenance (Iceberg's rewrite_position_deletes
         / the reference's documented upsert compaction hygiene, docs/faq.md:5-7):
@@ -1058,6 +1145,51 @@ class LakeTable:
         meta = self.metadata()
         files = self._manifest_files(meta, snapshot_id)
         deletes = self._manifest_deletes(meta, snapshot_id)
+        return self._read(spark, meta, files, deletes)
+
+    def incremental_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's appendsBetween / Spark
+        ``start-snapshot-id`` incremental read): rows in data files committed
+        AFTER ``from_snapshot_id`` up to and including ``to_snapshot_id``
+        (default: current head).  This is the changelog feed a downstream
+        pipeline tails instead of re-reading the table: cost is proportional
+        to the NEW data only — file selection is a manifest filter on
+        sequence numbers, no scan of pre-existing files.
+
+        Only append/rowdelta-added rows are surfaced (like Iceberg, which
+        rejects incremental scans across overwrite/compaction snapshots —
+        here files whose seq is in range but that were produced by a
+        rewrite of older data raise the same way)."""
+        meta = self.metadata()
+        to_sid = to_snapshot_id if to_snapshot_id is not None else meta.current_snapshot_id
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        for sid in (from_snapshot_id, to_sid):
+            if sid is not None and sid not in by_id:
+                raise ValueError(f"no snapshot {sid} in table history")
+        if to_sid is None or from_snapshot_id >= to_sid:
+            return spark.createDataFrame([], meta.schema)
+        for s in meta.snapshots:
+            if from_snapshot_id < s.snapshot_id <= to_sid and s.operation in (
+                "overwrite", "delta",
+            ):
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} is a {s.operation} (rewrite); "
+                    "incremental append scan is not defined across it"
+                )
+        files = [
+            f
+            for f in self._manifest_files(meta, to_sid)
+            if from_snapshot_id < f.seq <= to_sid
+        ]
+        # deletes committed inside the range still apply to the new rows
+        deletes = [
+            d for d in self._manifest_deletes(meta, to_sid) if d.seq <= to_sid
+        ]
         return self._read(spark, meta, files, deletes)
 
     def scan_files(
@@ -1314,6 +1446,57 @@ def _uniquify_staged(staging: str) -> None:
                 # drop Hadoop _SUCCESS markers and .crc sidecars (stale after
                 # rename; LocalFileSystem skips verification when absent)
                 os.remove(os.path.join(root, n))
+
+
+def _zvalue_col(
+    df: DataFrame, cols: list[str], schema: T.StructType, bits: int = 16
+) -> "F.Column":
+    """Morton (z-order) code over ``cols`` as a single LONG column.
+
+    Each column is normalized to a ``bits``-wide integer using its global
+    min/max (ONE tiny aggregate job — no windows, no global sort), then the
+    bit planes are interleaved: bit b of column i lands at position
+    ``b * n_cols + i``.  Supported types: numerics, date, timestamp —
+    the same families Iceberg's zorder transform handles natively (strings
+    need an order-preserving byte prefix, deliberately out of scope)."""
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    types = {f.name: f.dataType.typeName() for f in schema.fields}
+
+    def as_num(c: str):
+        t = types.get(c, "")
+        col = F.col(c)
+        if t == "date":
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if t.startswith("timestamp"):
+            return F.unix_timestamp(col).cast("double")
+        if t in ("byte", "short", "integer", "long", "float", "double") or t.startswith(
+            "decimal"
+        ):
+            return col.cast("double")
+        raise ValueError(f"z-order does not support column {c!r} of type {t!r}")
+
+    nums = {c: as_num(c) for c in cols}
+    row = df.agg(
+        *[F.min(nums[c]).alias(f"_mn_{c}") for c in cols],
+        *[F.max(nums[c]).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is None:
+            mn, mx = 0.0, 1.0
+        rng = (mx - mn) or 1.0
+        code = F.coalesce(
+            ((nums[c] - F.lit(float(mn))) / F.lit(float(rng)) * F.lit(top)).cast("long"),
+            F.lit(0),
+        )
+        code = F.least(F.greatest(code, F.lit(0)), F.lit(top))
+        for b in range(bits):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
 
 
 def _est_row_width(schema: T.StructType) -> int:

@@ -953,6 +953,57 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_append_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 30 = 0 AND o_orderkey % 60 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog tailing (Iceberg appendsBetween / Spark incremental read):
+    commit two append batches, then incrementally scan ONLY what landed
+    after the first snapshot.  The oracle computes the second batch's
+    aggregate from the source, so an incremental scan that leaks batch-1
+    rows (or drops batch-2 files) hash-mismatches.  File selection is a
+    manifest sequence-number filter — cost ∝ new data, the property that
+    makes downstream pipelines tail a 100 TB table cheaply."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _money(F.col("o_totalprice")).alias("price")
+    )
+    batch1 = orders.filter(F.col("o_orderkey") % 60 == 0)
+    batch2 = orders.filter(
+        (F.col("o_orderkey") % 30 == 0) & (F.col("o_orderkey") % 60 != 0)
+    )
+    wh = _tf.mkdtemp(prefix="incr_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns", "orders_incr", batch1.schema, identifier_fields=["o_orderkey"]
+        )
+        t.append(batch1)
+        first = t.metadata().current_snapshot_id
+        t.append(batch2)
+        inc = t.incremental_scan(spark, from_snapshot_id=first)
+        return (
+            inc.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, count(*) AS order_count

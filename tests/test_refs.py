@@ -149,3 +149,27 @@ def test_register_views_with_metadata(spark, warehouse):
     ).collect()[0]
     assert (row.operation, row.is_current) == ("append", True)
     assert spark.sql("SELECT count(*) n FROM lk_orders_md__files").collect()[0].n == 1
+
+
+def test_incremental_scan_semantics(spark, warehouse):
+    t = LakeCatalog(warehouse).create_table("ns", "inc", SCHEMA, identifier_fields=["id"])
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    s1 = t.metadata().current_snapshot_id
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+    s2 = t.metadata().current_snapshot_id
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))
+    assert _rows(t.incremental_scan(spark, s1)) == [(2, "b"), (3, "c")]
+    assert _rows(t.incremental_scan(spark, s1, s2)) == [(2, "b")]
+    assert _rows(t.incremental_scan(spark, t.metadata().current_snapshot_id)) == []
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.incremental_scan(spark, 999)
+    # an upsert's delete applies to rows added within the range
+    t.commit_row_delta(
+        spark.createDataFrame([(3, "C")], SCHEMA),
+        spark.createDataFrame([(3, "C")], SCHEMA),
+    )
+    assert _rows(t.incremental_scan(spark, s2)) == [(3, "C")]
+    # rewrites invalidate incremental append semantics
+    t.compact(spark, min_input_files=2)
+    with pytest.raises(ValueError, match="rewrite"):
+        t.incremental_scan(spark, s1)
