@@ -171,6 +171,77 @@ def cosine_pairs_blocked(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings, then within each cluster drop every vector that has
+    a near-duplicate (cosine >= threshold) with a smaller id — the greedy
+    keep-one-per-epsilon-ball rule, made deterministic.
+
+    Deterministic + oracle-reproducible design: centroids are the
+    embeddings of the ``n_clusters`` rows with the smallest
+    ``md5(cast(id))`` (no RNG), assignment is argmax cosine with ties to
+    the lowest centroid index — both expressible in plain SQL, so the
+    whole operator is verifiable against a DuckDB oracle.
+
+    Scale shape: the centroid matrix is K x dim (broadcast); assignment is
+    one Arrow-batched GEMM map over the scan — no shuffle; the only wide op
+    is the per-cluster grouping, and clustering bounds the quadratic
+    pairwise term to (N/K)^2 per task, with K grown ~ N at 100 TB (and the
+    per-cell GEMM swappable for cosine_pairs_blocked inside huge cells).
+
+    Returns (id, cell, keep)."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    seeds = (
+        base.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(n_clusters)
+        .collect()
+    )  # K rows on the driver — planning-scale, like a codebook fetch
+    cmat = _l2_normalize(
+        np.array([np.asarray(r["vec"], dtype=np.float64) for r in seeds])
+    )
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        for pdf in batches:
+            m = _l2_normalize(_vec_matrix(pdf["vec"]))
+            # argmax keeps the FIRST max on ties -> lowest centroid index,
+            # matching the SQL oracle's (cos DESC, cell ASC) tie-break
+            cell = (m @ bc.value.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({"vid": pdf["vid"], "cell": cell, "vec": pdf["vec"]})
+
+    assigned = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).mapInPandas(assign, schema="vid long, cell int, vec array<double>")
+
+    def cell_pairs(key, pdf):
+        ids = pdf["vid"].to_numpy()
+        m = _l2_normalize(_vec_matrix(pdf["vec"]))
+        scores = m @ m.T
+        a, b = np.nonzero(scores >= threshold)
+        keep = ids[a] < ids[b]
+        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long"
+    )
+    removed = pairs.select(F.col("id_b").alias("vid")).distinct().withColumn(
+        "_rm", F.lit(True)
+    )
+    return assigned.join(removed, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cell",
+        F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids: list[int],

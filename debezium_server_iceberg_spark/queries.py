@@ -1402,6 +1402,55 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
 
+@_register(
+    "semantic_dedup_embeddings",
+    """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell
+      FROM (SELECT vec_id, v FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+    ), scored AS (
+      SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS cos
+      FROM emb e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+    )
+    SELECT s.vec_id, s.cell, (r.id_b IS NULL) AS keep
+    FROM assigned s
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) r ON s.vec_id = r.id_b
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster, then drop in-cluster cosine
+    near-dups keeping the lowest id).  Centroids are hash-picked
+    deterministically, so the DuckDB oracle replays the full pipeline —
+    centroid pick, argmax assignment (ties to lowest cell), in-cluster
+    pairing, greedy keep — in plain SQL.  The engine runs it as one
+    broadcast-GEMM assignment map + a per-cluster pairwise pass
+    (functions/similarity.py:semantic_dedup)."""
+    from .functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
+    )
+
+
 # =====================================================================
 # Wave 3: remaining §2 engine branches (soft delete, envelope parse,
 # schema evolution) + deeper read-path coverage

@@ -82,3 +82,24 @@ def test_lsh_topk_shape(emb_df):
     assert {r["query_id"] for r in out} <= {0, 1}
     for r in out:
         assert 1 <= r["rank"] <= 3
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    from debezium_server_iceberg_spark.functions.similarity import semantic_dedup
+
+    # two tight groups on orthogonal axes + one isolated vector; within each
+    # group every vector is a near-duplicate of the lowest id
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # dup of 1
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.01]),  # dup of 10
+        (50, [0.0, 0.0, 1.0]),     # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep for r in semantic_dedup(df, n_clusters=3, threshold=0.95).collect()}
+    assert out[1] and out[10] and out[50]
+    assert not out[2] and not out[11]
+    # determinism: same input -> same cells and keeps
+    again = {r.vec_id: r.keep for r in semantic_dedup(df, n_clusters=3, threshold=0.95).collect()}
+    assert again == out
