@@ -56,6 +56,17 @@ class IcebergSinkConfig:
     # Explicit "merge-on-read" / "copy-on-write" overrides.
     upsert_mode: str = ""
 
+    # write-audit-publish staging (Iceberg's spark.wap.branch): commit every
+    # batch onto this branch instead of main ("" = write to main).  The
+    # branch auto-creates at the main head on first write.  Audit main vs
+    # branch, then publish with table.fast_forward(branch) — or set
+    # write_branch_autopublish to fast-forward right after each successful
+    # batch (staging machinery exercised, zero audit gap).  Requires the
+    # merge-on-read upsert path (copy-on-write rewrites are main-lineage
+    # planners).
+    write_branch: str = ""
+    write_branch_autopublish: bool = False
+
     # maintenance: auto-compact a table every N commits to it (0 = off).
     # The reference only documents compaction as required upsert hygiene
     # (docs/faq.md:5-7); here it is part of the consumer loop.

@@ -313,6 +313,17 @@ class LakeTable:
     def current_files(self) -> list[DataFile]:
         return self._manifest_files(self.metadata())
 
+    def files_at(self, ref: str = "main") -> list[DataFile]:
+        """Data files at a ref head; an unknown ref falls back to main's
+        head (the base a branch auto-created on write would start from)."""
+        meta = self.metadata()
+        if ref == "main":
+            sid = meta.current_snapshot_id
+        else:
+            r = meta.refs.get(ref)
+            sid = r["snapshot_id"] if r else meta.current_snapshot_id
+        return self._manifest_files(meta, sid)
+
     def current_deletes(self) -> list[DeleteFile]:
         return self._manifest_deletes(self.metadata())
 
@@ -344,9 +355,14 @@ class LakeTable:
                 base_sid = meta.current_snapshot_id
             else:
                 ref = meta.refs.get(branch)
-                if ref is None or ref.get("type") != "branch":
-                    raise ValueError(f"no branch named {branch!r}")
-                base_sid = ref["snapshot_id"]
+                if ref is None:
+                    # auto-create at the main head on first write (the
+                    # spark.wap.branch behavior)
+                    base_sid = meta.current_snapshot_id
+                elif ref.get("type") != "branch":
+                    raise ValueError(f"{branch!r} is a tag; no branch with that name")
+                else:
+                    base_sid = ref["snapshot_id"]
             current = self._manifest_files(meta, base_sid)
             cur_deletes = self._manifest_deletes(meta, base_sid)
             files = (

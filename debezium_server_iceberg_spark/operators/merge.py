@@ -91,12 +91,15 @@ def merge_into(
     summary: dict | None = None,
     mode: str | None = None,
     delete_style: str | None = None,
+    branch: str = "main",
 ) -> MergeStats:
     """Upsert a deduped source batch into the table (one row per key).
 
     ``delete_style`` ('equality' | 'position') overrides the
     format-version-derived merge-on-read delete format (v2 -> equality,
-    v3 -> position; see ``_merge_mor``)."""
+    v3 -> position; see ``_merge_mor``).  ``branch`` stages the commit on a
+    named branch (write-audit-publish) — merge-on-read only: the
+    copy-on-write planner rewrites against the main lineage."""
     spark = source.sparkSession
     meta = table.metadata()
     key_cols = meta.identifier_fields
@@ -105,6 +108,8 @@ def merge_into(
     mode = mode or meta.properties.get("write.upsert.mode", "merge-on-read")
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"unknown upsert mode {mode!r}")
+    if branch != "main" and mode != "merge-on-read":
+        raise ValueError("branch merges require merge-on-read upsert mode")
 
     schema = meta.schema
     source = conform_to_schema(source, schema, keep_extra=[op_col]).cache()
@@ -112,7 +117,7 @@ def merge_into(
         if mode == "merge-on-read":
             return _merge_mor(
                 table, source, keep_deletes, op_col, summary, key_cols, schema,
-                delete_style,
+                delete_style, branch,
             )
 
         # --- copy-on-write: source key range (one tiny agg) + row count
@@ -224,6 +229,7 @@ def _merge_mor(
     key_cols: list[str],
     schema,
     delete_style: str | None = None,
+    branch: str = "main",
 ) -> MergeStats:
     """Merge-on-read upsert: delete the batch's keys + append the surviving
     rows, one atomic commit, zero files rewritten.
@@ -258,12 +264,15 @@ def _merge_mor(
     # skip the delete file entirely on a first write into an empty table
     # (nothing older to delete from) — the commit would prune it anyway,
     # but this also skips staging the extra parquet write
-    current = table.current_files()
+    # branch merge plans against the BRANCH head's files (an unknown branch
+    # auto-creates from main's head on this write)
+    current = table.files_at(branch)
     if not current:
         added, deleted = table.commit_row_delta(
             surviving.select(*table_cols),
             None,
             summary=dict(summary or {}, operation_detail="merge-mor"),
+            branch=branch,
         )
         return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
 
@@ -273,6 +282,7 @@ def _merge_mor(
             surviving.select(*table_cols),
             src_keys,
             summary=dict(summary or {}, operation_detail="merge-mor"),
+            branch=branch,
         )
         return MergeStats(0, 0, max(added, deleted), "merge-on-read", deleted)
 
@@ -310,6 +320,7 @@ def _merge_mor(
         None,
         summary=dict(summary or {}, operation_detail="merge-mor-pos"),
         delete_positions_df=positions,
+        branch=branch,
     )
     return MergeStats(
         len(candidates), 0, max(added, deleted), "merge-on-read", deleted

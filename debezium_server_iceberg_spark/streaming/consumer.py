@@ -215,6 +215,11 @@ class ChangeConsumer:
             mode = ic.upsert_mode or (
                 "merge-on-read" if int(ic.format_version) > 2 else "copy-on-write"
             )
+            if ic.write_branch and mode != "merge-on-read":
+                raise ValueError(
+                    "write_branch staging requires the merge-on-read upsert "
+                    "path (format-version 3 or upsert_mode='merge-on-read')"
+                )
             stats = merge_into(
                 table,
                 deduped,
@@ -222,19 +227,37 @@ class ChangeConsumer:
                 op_col=ic.upsert_op_column,
                 summary={"epoch_id": epoch_id} if epoch_id is not None else None,
                 mode=mode,
+                branch=ic.write_branch or "main",
             )
+            self._maybe_publish_branch(table)
             self._maybe_compact(raw.sparkSession, table)
             return stats.source_rows
         conformed = conform_to_schema(events, meta.schema)
         n_rows = table.append(
             conformed,
             summary={"epoch_id": epoch_id} if epoch_id is not None else None,
+            branch=ic.write_branch or "main",
         )
+        self._maybe_publish_branch(table)
         self._maybe_compact(raw.sparkSession, table)
         # row count from the commit's own file stats (manifest already has
         # it) — no extra action, and no -1 sentinel leaking into lineage
         # or the offsets mirror
         return n_rows
+
+    def _maybe_publish_branch(self, table) -> None:
+        """Auto-publish after a successful branch-staged batch (the
+        zero-audit-gap variant of write-audit-publish): fast-forward main to
+        the staging branch head.  With autopublish off, main only moves when
+        the operator audits and calls ``table.fast_forward`` themselves."""
+        ic = self.config.iceberg
+        if ic.write_branch and ic.write_branch_autopublish:
+            table.fast_forward(ic.write_branch)
+            # retire the published branch: maintenance commits (compaction,
+            # delete materialization) advance MAIN next, and a stale branch
+            # ref would diverge from them — the next batch re-creates the
+            # branch from the then-current main head
+            table.drop_ref(ic.write_branch)
 
     def _maybe_compact(self, spark: SparkSession, table) -> None:
         """Scheduled compaction (upsert read-amplification hygiene the
@@ -242,6 +265,11 @@ class ChangeConsumer:
         and, once enough equality-delete files accumulate, materialize the
         deletes so merge-on-read scan overhead stays bounded."""
         ic = self.config.iceberg
+        if ic.write_branch and not ic.write_branch_autopublish:
+            # unpublished staged commits outstanding: maintenance rewrites
+            # would advance main and block the operator's fast_forward —
+            # defer until after publish
+            return
         if len(table.current_deletes()) >= max(1, ic.rewrite_delete_files_min):
             table.materialize_deletes(spark)
         if ic.remove_orphans_grace_seconds > 0:

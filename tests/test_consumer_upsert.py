@@ -509,3 +509,49 @@ def test_compaction_with_position_deletes(spark, warehouse):
     assert t.compact(spark, min_input_files=2) >= 2
     after = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
     assert after == before
+
+
+def test_write_branch_staging_and_manual_publish(spark, warehouse):
+    c = build_consumer(warehouse, write_branch="audit")
+    c.handle_batch(to_df(spark, [customer_event(1, "a", op="c", ts_ms=1)]))
+    t = c.catalog.load_table("debeziumevents", TABLE)
+    # staged on the branch, main still empty
+    assert t.metadata().current_snapshot_id is None
+    assert {r["id"] for r in t.to_df(spark, ref="audit").collect()} == {1}
+    # second batch keeps stacking on the branch (upsert + insert)
+    c.handle_batch(
+        to_df(
+            spark,
+            [
+                customer_event(1, "a2", op="u", ts_ms=2),
+                customer_event(2, "b", op="c", ts_ms=2),
+            ],
+        )
+    )
+    assert t.metadata().current_snapshot_id is None
+    got = {r["id"]: r["first_name"] for r in t.to_df(spark, ref="audit").collect()}
+    assert got == {1: "a2", 2: "b"}
+    # operator audits, then publishes
+    t.fast_forward("audit")
+    got = {r["id"]: r["first_name"] for r in read_table(c, spark).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_write_branch_autopublish(spark, warehouse):
+    c = build_consumer(
+        warehouse, write_branch="audit", write_branch_autopublish=True
+    )
+    c.handle_batch(to_df(spark, [customer_event(1, "a", op="c", ts_ms=1)]))
+    c.handle_batch(to_df(spark, [customer_event(1, "a2", op="u", ts_ms=2)]))
+    got = {r["id"]: r["first_name"] for r in read_table(c, spark).collect()}
+    assert got == {1: "a2"}
+    t = c.catalog.load_table("debeziumevents", TABLE)
+    assert "audit" not in t.metadata().refs  # branch retired after publish
+
+
+def test_write_branch_rejects_copy_on_write(spark, warehouse):
+    c = build_consumer(
+        warehouse, write_branch="audit", upsert_mode="copy-on-write"
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        c.handle_batch(to_df(spark, [customer_event(1, "a", op="c", ts_ms=1)]))
