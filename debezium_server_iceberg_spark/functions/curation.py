@@ -1,0 +1,287 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+segment-level exact dedup, Gopher-style quality rules, temperature-based
+mixture sampling, equi-width length histograms, and a Lloyd k-means step
+over embeddings.
+
+These extend the reference's data-processing surface (the reference stops
+at CDC ingest; a training pipeline consumes those tables downstream —
+SURVEY.md §2.8). Like functions/text.py and functions/pipeline.py, every
+operator is a pure built-in-function transform (JVM-side, codegen'd, no
+Python in the row path) designed so an ANSI-SQL oracle reproduces it
+exactly:
+
+- segment_dedup: the C4/RefinedWeb "remove repeated boilerplate" pass —
+  documents are split into fixed-size token segments, a segment is kept
+  only at its globally-first occurrence (ordered by doc, then position),
+  and surviving segments are re-joined into the deduplicated text.
+- gopher_rules: Gopher-style (Rae et al. 2021, public) document quality
+  rules as deterministic integer/ratio features + a composite boolean.
+- temperature_mixture: UniMax-style source re-balancing with temperature
+  alpha = 1/2. The keep decision `bucket < 1000·sqrt(min_w/w_s)` is
+  evaluated as the INTEGER predicate `bucket²·w_s < 10⁶·min_w` in
+  decimal/hugeint arithmetic, so it is exact, overflow-safe at corpus
+  scale, and bit-identical across engines — no float boundary cases.
+- length_histogram: equi-width binning with pure integer bucket math
+  (no percentile machinery, no global sort).
+- kmeans_lloyd_step: one assignment+update round of Lloyd's algorithm
+  with deterministic seeding (lowest ids) and deterministic argmin
+  (row_number over (dist, centroid_id)).
+
+100 TB notes: segment_dedup is the only multi-shuffle operator (one
+shuffle keyed on segment hash for the keep-first window, one keyed on doc
+id for reassembly — both the minimum the semantics allow; the segment
+hash shuffle is the same shape as exact doc dedup and scales the same
+way). gopher_rules and length_histogram are single-pass projections (the
+histogram's min/max pre-pass is a 1-row broadcast). temperature_mixture
+aggregates one row per source (broadcast back, then a codegen'd filter).
+kmeans_lloyd_step broadcasts k centroid rows and shuffles once per
+groupBy — the canonical distributed Lloyd round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens_col
+
+# Gopher-style bounds (public: Rae et al., "Scaling Language Models", §A1.1)
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 32,
+) -> DataFrame:
+    """Segment-level exact deduplication: split each document into
+    non-overlapping ``seg_tokens``-token segments, keep each distinct
+    segment text only at its first occurrence in (doc_id, seg_id) order,
+    and reassemble the surviving segments per document.
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_kept, deduped_text)`` — a fully-duplicated
+    document survives with ``n_kept = 0`` and empty text, which is what a
+    downstream length filter expects to remove.
+
+    Scale: the keep-first decision is a row_number window partitioned by
+    the segment hash — a single hash shuffle whose key space is the
+    distinct-segment set (same shape as exact document dedup); reassembly
+    is one groupBy on the doc id. No sort spans more rows than one
+    segment-hash group (bounded by the duplication factor).
+    """
+    if seg_tokens <= 0:
+        raise ValueError("seg_tokens must be positive")
+    with_toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(seg_tokens))
+    segs = with_toks.select(
+        F.col(id_col),
+        F.explode(starts).alias("_start"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        (F.col("_start") / seg_tokens).cast("long").alias("_seg_id"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(seg_tokens)), " "
+        ).alias("_seg_text"),
+    )
+    w = Window.partitionBy(F.md5("_seg_text")).orderBy(id_col, "_seg_id")
+    flagged = segs.withColumn("_rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                # sort_array over (seg_id, text) structs keeps document order
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("_seg_id"), F.col("_seg_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s._seg_text,
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+    )
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality rules as deterministic features + verdict.
+
+    - ``n_tokens``: token count (shared tokenizer, functions/text.py);
+    - ``mean_token_len``: total token characters / n_tokens, rounded to 4
+      (total characters computed as ``length(concat_ws('', tokens))`` —
+      pure integer inputs, so the division is the only float op);
+    - ``stopword_hits``: tokens (with multiplicity) in the English
+      stopword list;
+    - ``passes``: all bounds hold.
+    """
+    toks = tokens_col(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    tok_chars = F.length(F.concat_ws("", F.col("_toks")))
+    mean_len = F.round(tok_chars.cast("double") / n.cast("double"), 4)
+    stop_lit = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    hits = F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(stop_lit, x)))
+    return d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        hits.alias("stopword_hits"),
+        (
+            (n >= GOPHER_MIN_TOKENS)
+            & (n <= GOPHER_MAX_TOKENS)
+            & (mean_len >= GOPHER_MIN_MEAN_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_LEN)
+            & (hits >= GOPHER_MIN_STOPWORD_HITS)
+        ).alias("passes"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax-style temperature (alpha = 1/2) source re-balancing: the
+    smallest source keeps everything; a source with total weight ``w_s``
+    keeps a ``sqrt(min_w / w_s)`` fraction, flattening the source
+    distribution toward uniform without starving the tail.
+
+    The keep decision is the md5 bucket filter from
+    :func:`..pipeline.stratified_sample`, but the rate comparison
+    ``bucket < 1000·sqrt(min_w/w_s)`` is evaluated as
+    ``bucket²·w_s < 10⁶·min_w`` in decimal(38,0) arithmetic — exact
+    integer math (no sqrt, no float rounding at the keep boundary), and
+    overflow-safe: with per-source weights up to 10¹⁴ (a 100 TB corpus)
+    the product is ≤ 10²⁰, far inside decimal(38).
+
+    One tiny aggregate (one row per source) broadcast back onto the fact
+    scan; the filter itself is codegen'd — no shuffle of the corpus.
+    """
+    dec = "decimal(38,0)"
+    weights = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col)).cast(dec).alias("_w")
+    )
+    min_w = weights.agg(F.min("_w").cast(dec).alias("_min_w"))
+    rates = weights.crossJoin(F.broadcast(min_w))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    docs = df.select(F.col(id_col), F.col(source_col), bucket.alias("bucket"))
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .filter(
+            F.col("bucket").cast(dec) * F.col("bucket").cast(dec) * F.col("_w")
+            < F.lit(1_000_000).cast(dec) * F.col("_min_w")
+        )
+        .select(id_col, source_col, "bucket")
+    )
+
+
+def length_histogram(
+    df: DataFrame, value_col: str = "n_chars", bins: int = 8
+) -> DataFrame:
+    """Equi-width histogram over an integer column with pure integer
+    bucket math: ``bucket = (v - min) * bins / (max - min + 1)`` (integer
+    division) — every value lands in 0..bins-1 with no float boundary
+    ambiguity, unlike width_bucket's double arithmetic.
+
+    The min/max pre-pass is a 1-row aggregate broadcast back onto the
+    scan; the binning groupBy shuffles ≤ ``bins`` rows per partition
+    (partial aggregation). No global sort, no percentile state — the
+    100 TB-friendly way to bucket by length.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    v = F.col(value_col).cast("long")
+    # explicit floor(): Spark's cast-to-long truncates but DuckDB's cast
+    # rounds half-even; floor of the identical IEEE quotient agrees
+    bucket = F.floor(
+        (v - F.col("_mn")) * bins / (F.col("_mx") - F.col("_mn") + 1)
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), v.alias("_v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.sum("_v").alias("sum_value"),
+        )
+    )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column, fully
+    deterministic so an independent engine reproduces it bit-for-bit:
+
+    - seed centroids = the ``k`` vectors with the lowest ids (no RNG);
+    - distances are sequential-fold double sums over ``zip_with`` squared
+      differences — the element order fixes the summation order;
+    - assignment ties break toward the lower centroid id
+      (``row_number over (dist², centroid_id)``).
+
+    Returns per-cluster ``(cluster_id, n_members, avg_dist2,
+    centroid_c1)`` with float outputs rounded to 4 decimals (cross-engine
+    sum-order noise in the *aggregates* is ~1e-12 relative; rounding
+    absorbs it).
+
+    Scale: the k seed rows are broadcast (one small crossJoin — k·N
+    distance rows never materialize wider than the projection), the
+    argmin is a per-vector window over k rows, and the update is one
+    groupBy with map-side partial aggregation. This is the canonical
+    distributed Lloyd round; iterate by feeding the new centroids back
+    in. The full iterative loop (driver-side convergence check over this
+    step) is `semantic_dedup`'s clustering path — here one step is
+    exposed as its own operator because one step is what an SQL oracle
+    can replay exactly.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col), vec.alias("_v"))
+    cents = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cluster_id"), F.col("_v").alias("_c"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cluster_id"), dist2.alias("_d2"), F.col("_v")
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", "cluster_id")
+    assigned = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("_d2"), 4).alias("avg_dist2"),
+        F.round(F.avg(F.element_at("_v", 1)), 4).alias("centroid_c1"),
+    )

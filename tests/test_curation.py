@@ -1,0 +1,133 @@
+"""functions/curation.py: segment dedup, Gopher rules, temperature mixing,
+length histogram, Lloyd k-means step."""
+
+import pytest
+
+from debezium_server_iceberg_spark.functions.curation import (
+    gopher_rules,
+    kmeans_lloyd_step,
+    length_histogram,
+    segment_dedup,
+    temperature_mixture,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _d(i, text, source="web"):
+    return (i, text, "en", source, len(text))
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq1 = " ".join(f"u{i}" for i in range(4))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    # doc 1: boiler + uniq1 ; doc 2: boiler + uniq2 — doc 2 loses the boiler
+    df = _docs(spark, [_d(1, f"{boiler} {uniq1}"), _d(2, f"{boiler} {uniq2}")])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=4).collect()}
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[1].deduped_text == f"{boiler} {uniq1}"
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[2].deduped_text == uniq2
+
+
+def test_segment_dedup_fully_duplicated_doc_survives_empty(spark):
+    text = " ".join(f"w{i}" for i in range(8))
+    df = _docs(spark, [_d(1, text), _d(2, text)])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=4).collect()}
+    assert out[2].n_kept == 0
+    assert out[2].deduped_text == ""
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    seg = " ".join(f"r{i}" for i in range(4))
+    df = _docs(spark, [_d(1, f"{seg} {seg}")])
+    out = segment_dedup(df, seg_tokens=4).collect()[0]
+    assert out.n_segments == 2 and out.n_kept == 1
+    assert out.deduped_text == seg
+
+
+def test_segment_dedup_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        segment_dedup(_docs(spark, [_d(1, "a")]), seg_tokens=0)
+
+
+def test_gopher_rules_bounds(spark):
+    good = "the cat sat of the mat and it is a fine mat indeed today"
+    short = "too short"
+    weird = "zzzzzzzzzzzzzzzzzzzzzz " * 20  # mean token len 22, no stopwords
+    df = _docs(spark, [_d(1, good), _d(2, short), _d(3, weird.strip())])
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].passes is True
+    assert out[2].passes is False          # n_tokens < 10
+    assert out[3].passes is False          # mean_token_len > 10, no stopwords
+    assert out[1].stopword_hits >= 2
+    assert out[2].n_tokens == 2
+
+
+def test_temperature_mixture_small_source_keeps_everything(spark):
+    rows = [_d(i, "x" * 100, "big") for i in range(500)]
+    rows += [_d(1000 + i, "x" * 100, "small") for i in range(5)]
+    out = temperature_mixture(_docs(spark, rows)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # min_w == small's weight -> bucket^2*w_small < 10^6*w_small for every
+    # bucket <= 999 -> the smallest source is kept in full
+    assert len(by_src["small"]) == 5
+    # big keeps ~sqrt(5/500)=10% -> bucket < 100
+    frac = len(by_src.get("big", [])) / 500
+    assert 0.04 < frac < 0.2
+
+
+def test_temperature_mixture_deterministic(spark):
+    rows = [_d(i, "y" * (10 + i % 50), ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = _docs(spark, rows)
+    a = sorted(r.doc_id for r in temperature_mixture(df).collect())
+    b = sorted(r.doc_id for r in temperature_mixture(df).collect())
+    assert a == b
+
+
+def test_length_histogram_integer_binning(spark):
+    # values 0..79 with bins=8 -> exact deciles of width 10
+    rows = [_d(i, "t" * i) for i in range(80)]
+    out = {r.bucket: r for r in length_histogram(_docs(spark, rows), bins=8).collect()}
+    assert sorted(out) == list(range(8))
+    for b, r in out.items():
+        assert r.n_docs == 10
+        assert r.min_value == b * 10 and r.max_value == b * 10 + 9
+
+
+def test_length_histogram_constant_column_single_bucket(spark):
+    rows = [_d(i, "tttt") for i in range(10)]
+    out = length_histogram(_docs(spark, rows), bins=8).collect()
+    assert len(out) == 1 and out[0].bucket == 0 and out[0].n_docs == 10
+
+
+def test_kmeans_step_separable_clusters(spark):
+    # two tight blobs; k=2 seeds = vec_ids 0 (blob A) and 1 (blob B)
+    rows = [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 1)]
+    rows += [(i, [0.0 + i * 1e-3, 0.0], 0) for i in range(2, 12)]
+    rows += [(i, [10.0, 10.0 + i * 1e-3], 1) for i in range(12, 22)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.cluster_id: r for r in kmeans_lloyd_step(df, k=2).collect()}
+    assert out[0].n_members == 11
+    assert out[1].n_members == 11
+    assert out[0].avg_dist2 < 1.0 and out[1].avg_dist2 < 1.0
+    assert abs(out[0].centroid_c1 - 0.006) < 0.01
+    assert abs(out[1].centroid_c1 - 10.0) < 0.01
+
+
+def test_kmeans_step_tie_breaks_to_lower_centroid(spark):
+    # a point equidistant from both seeds joins the lower cluster_id
+    rows = [(0, [0.0, 0.0], 0), (1, [2.0, 0.0], 0), (2, [1.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.cluster_id: r for r in kmeans_lloyd_step(df, k=2).collect()}
+    assert out[0].n_members == 2  # seeds 0 and the tied point 2
+    assert out[1].n_members == 1
