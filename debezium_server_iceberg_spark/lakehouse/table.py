@@ -46,6 +46,10 @@ from .transforms import PartitionField
 
 _HINT = "version-hint.text"
 
+# Iceberg v3 row-lineage reserved column names (spec: Row Lineage)
+ROW_ID_COL = "_row_id"
+LAST_SEQ_COL = "_last_updated_sequence_number"
+
 
 class CommitConflict(RuntimeError):
     pass
@@ -59,9 +63,13 @@ class DataFile:
     bounds: dict[str, list] = dc_field(default_factory=dict)  # col -> [min,max]
     bytes: int = 0                 # on-disk size (0 = unknown, pre-stat manifests)
     seq: int = 0                   # data sequence number (snapshot id at add time)
+    # Iceberg v3 row lineage: the table-wide row id of this file's first row
+    # (manifest-inherited `first_row_id`); rows materialize
+    # `_row_id = first_row_id + position`. None on pre-v3 files.
+    first_row_id: int | None = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "partition": self.partition,
@@ -69,12 +77,15 @@ class DataFile:
             "bytes": self.bytes,
             "seq": self.seq,
         }
+        if self.first_row_id is not None:
+            d["first_row_id"] = self.first_row_id
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "DataFile":
         return DataFile(
             d["path"], d["rows"], d.get("partition", {}), d.get("bounds", {}),
-            d.get("bytes", 0), d.get("seq", 0)
+            d.get("bytes", 0), d.get("seq", 0), d.get("first_row_id")
         )
 
 
@@ -148,6 +159,9 @@ class TableMetadata:
     # {"snapshot_id": int, "type": "tag" | "branch"}.  "main" is implicit
     # (= current_snapshot_id) and never stored here.
     refs: dict[str, dict] = dc_field(default_factory=dict)
+    # Iceberg v3 row lineage: the next unassigned table-wide row id
+    # (table-metadata `next-row-id`); bumped by each commit's added rows.
+    next_row_id: int = 0
 
     @property
     def schema(self) -> T.StructType:
@@ -236,6 +250,7 @@ class LakeTable:
             current_snapshot_id=d["current_snapshot_id"],
             version=version,
             refs=d.get("refs", {}),
+            next_row_id=d.get("next_row_id", 0),
         )
 
     def _write_metadata(self, meta: TableMetadata, expected_version: int | None) -> None:
@@ -262,6 +277,7 @@ class LakeTable:
             ],
             "current_snapshot_id": meta.current_snapshot_id,
             "refs": meta.refs,
+            "next_row_id": meta.next_row_id,
         }
         path = os.path.join(self.meta_dir, f"v{new_version:05d}.metadata.json")
         # O_EXCL: optimistic-concurrency loser gets FileExistsError
@@ -275,6 +291,10 @@ class LakeTable:
         with open(tmp, "w") as fh:
             fh.write(str(new_version))
         os.replace(tmp, os.path.join(self.meta_dir, _HINT))  # ATOMIC POINT
+
+    def _lineage_on(self) -> bool:
+        """v3 tables track row lineage (spec: mandatory from format v3)."""
+        return int(self.metadata().properties.get("format-version", "2")) >= 3
 
     def update_properties(self, retries: int = 5, **props) -> None:
         """Metadata-only property update (Iceberg's UpdateProperties): CAS
@@ -377,6 +397,16 @@ class LakeTable:
             # freshly added files get this snapshot's sequence number
             for f in add:
                 f.seq = sid
+            # v3 row lineage: assign each added file its first_row_id from
+            # the table's next-row-id counter (Iceberg v3 manifest
+            # inheritance).  Assigned inside the retry loop so a conflicting
+            # concurrent commit can't hand out overlapping id ranges.
+            if int(meta.properties.get("format-version", "2")) >= 3:
+                rid = meta.next_row_id
+                for f in add:
+                    f.first_row_id = rid
+                    rid += f.rows
+                meta.next_row_id = rid
             deletes = [] if (drop_deletes or operation == "overwrite") else list(cur_deletes)
             for d in add_deletes or []:
                 d.seq = sid
@@ -477,8 +507,13 @@ class LakeTable:
             if present:
                 out = out.sortWithinPartitions(*present)
         staging = os.path.join(self.data_dir, uuidlib.uuid4().hex)
+        # rewrites carry the v3 lineage columns physically (materialization:
+        # a compacted row keeps its original _row_id even though the new
+        # file gets a fresh first_row_id) — reserved names, so they can only
+        # be present deliberately
+        lineage_cols = [c for c in (ROW_ID_COL, LAST_SEQ_COL) if c in out.columns]
         try:
-            writer = out.select(*table_cols, *pcols).write.mode("error")
+            writer = out.select(*table_cols, *lineage_cols, *pcols).write.mode("error")
             # rolling files (reference write.target-file-size-bytes,
             # IcebergTableWriterFactory.java:42-46): row-count cap per file
             max_recs = meta.properties.get("write.max-records-per-file")
@@ -921,7 +956,7 @@ class LakeTable:
             return 0
         total = sum(f.bytes for f in small)
         n_out = max(1, -(-total // target))  # ceil
-        data = self.scan_files(spark, small)
+        data = self.scan_files(spark, small, lineage=self._lineage_on())
         self.commit_delta(
             data,
             [f.path for f in small],
@@ -965,7 +1000,7 @@ class LakeTable:
             return 0
         # make the cluster keys prunable in future stats BEFORE staging
         self.update_properties(**{"write.stats-columns": ",".join(sort_by)})
-        data = self.to_df(spark)
+        data = self.to_df(spark, lineage=self._lineage_on())
         target = target_file_bytes or int(
             meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
         )
@@ -1039,7 +1074,11 @@ class LakeTable:
             return False
 
         affected = [f for f in files if hit(f)]
-        clean = self._read(spark, meta, affected, deletes) if affected else None
+        clean = (
+            self._read(spark, meta, affected, deletes, lineage=self._lineage_on())
+            if affected
+            else None
+        )
         self.commit_delta(
             clean,
             [f.path for f in affected],
@@ -1146,6 +1185,7 @@ class LakeTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         ref: str | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Current (or time-travel / ref) table contents as a DataFrame.
 
@@ -1153,7 +1193,14 @@ class LakeTable:
         was added yield nulls for it (schema evolution on read). Equality
         deletes recorded in the (possibly historical) manifest are applied
         at scan time — the merge-on-read half of the format.  ``ref`` reads
-        at a named tag or branch head (Iceberg's VERSION AS OF 'ref')."""
+        at a named tag or branch head (Iceberg's VERSION AS OF 'ref').
+
+        ``lineage=True`` appends the Iceberg v3 row-lineage columns
+        ``_row_id`` and ``_last_updated_sequence_number``: materialized
+        values written by a rewrite win, else they are derived in-plan as
+        ``first_row_id + parquet row position`` / the file's data sequence
+        number (the v3 inheritance rule).  Rows from files committed before
+        the table carried ``format-version>=3`` surface null ids."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -1161,7 +1208,7 @@ class LakeTable:
         meta = self.metadata()
         files = self._manifest_files(meta, snapshot_id)
         deletes = self._manifest_deletes(meta, snapshot_id)
-        return self._read(spark, meta, files, deletes)
+        return self._read(spark, meta, files, deletes, lineage=lineage)
 
     def incremental_scan(
         self,
@@ -1214,15 +1261,19 @@ class LakeTable:
         files: list[DataFile],
         file_col: str | None = None,
         apply_deletes: bool = True,
+        lineage: bool = False,
     ) -> DataFrame:
         """Read a subset of data files (with current-snapshot equality
         deletes applied unless opted out). ``file_col`` attaches each row's
         originating manifest path as a column — resolved via a tiny
         broadcast filename->path map so it stays correct even after the
-        delete anti-join (plain input_file_name() would not survive it)."""
+        delete anti-join (plain input_file_name() would not survive it).
+        ``lineage`` as in :meth:`to_df`."""
         meta = self.metadata()
         deletes = self._manifest_deletes(meta) if apply_deletes else []
-        return self._read(spark, meta, files, deletes, file_col=file_col)
+        return self._read(
+            spark, meta, files, deletes, file_col=file_col, lineage=lineage
+        )
 
     def _read(
         self,
@@ -1231,6 +1282,7 @@ class LakeTable:
         files: list[DataFile],
         deletes: list[DeleteFile],
         file_col: str | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Scan plan: ONE multi-file parquet read; per-file sequence numbers
         attached via a broadcast (filename -> seq) map; equality-delete rows
@@ -1240,8 +1292,20 @@ class LakeTable:
         merge-on-read scan is scan + broadcast-anti-join, no shuffle of the
         data side (Iceberg's read-path model for equality deletes)."""
         schema = meta.schema
+        read_schema = schema
+        if lineage:
+            # rewritten files materialize the lineage columns physically;
+            # schema-evolution read yields nulls for files that did not —
+            # the in-plan inheritance expression fills those below
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField(ROW_ID_COL, T.LongType()),
+                    T.StructField(LAST_SEQ_COL, T.LongType()),
+                ]
+            )
         if not files:
-            df = spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], read_schema)
             return df.withColumn(file_col, F.lit(None).cast("string")) if file_col else df
 
         key_cols = [c for c in meta.identifier_fields if c in {f.name for f in schema.fields}]
@@ -1256,15 +1320,19 @@ class LakeTable:
             else []
         )
 
-        df = spark.read.schema(schema).parquet(*[f.path for f in files])
-        if not relevant and not pos_relevant and not file_col:
+        df = spark.read.schema(read_schema).parquet(*[f.path for f in files])
+        if not relevant and not pos_relevant and not file_col and not lineage:
             return df
 
         fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        if lineage:
+            # parquet row position, captured before any anti-join drops rows
+            df = df.withColumn("_pos", F.col("_metadata.row_index"))
         if pos_relevant:
             # positional skipping: anti-join on (file name, parquet row
             # index) — integer compare per row, no key-tuple comparison
-            df = df.withColumn("_pos", F.col("_metadata.row_index"))
+            if "_pos" not in df.columns:
+                df = df.withColumn("_pos", F.col("_metadata.row_index"))
             pdels = spark.read.schema("file_name string, pos long").parquet(
                 *[d.path for d in pos_relevant]
             )
@@ -1279,8 +1347,11 @@ class LakeTable:
         else:
             df = df.withColumn("_fname", fname)
         fmap = spark.createDataFrame(
-            [(os.path.basename(f.path), f.seq, f.path) for f in files],
-            "_fname string, _seq long, _fpath string",
+            [
+                (os.path.basename(f.path), f.seq, f.path, f.first_row_id)
+                for f in files
+            ],
+            "_fname string, _seq long, _fpath string, _frid long",
         )
         df = df.join(F.broadcast(fmap), "_fname")
 
@@ -1308,6 +1379,16 @@ class LakeTable:
             df = df.join(dels, cond, "left_anti")
 
         keep = [f.name for f in schema.fields]
+        if lineage:
+            # v3 inheritance: a materialized value (rewritten file) wins;
+            # otherwise first_row_id + position / the file's sequence number
+            df = df.withColumn(
+                ROW_ID_COL,
+                F.coalesce(F.col(ROW_ID_COL), F.col("_frid") + F.col("_pos")),
+            ).withColumn(
+                LAST_SEQ_COL, F.coalesce(F.col(LAST_SEQ_COL), F.col("_seq"))
+            )
+            keep = keep + [ROW_ID_COL, LAST_SEQ_COL]
         if file_col:
             df = df.withColumn(file_col, F.col("_fpath"))
             keep = keep + [file_col]

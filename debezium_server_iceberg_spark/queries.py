@@ -953,6 +953,74 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "row_lineage_upsert",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, (o_orderkey % 400 = 0) AS updated
+      FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderstatus, updated,
+           count(*) AS n_rows,
+           count(*) AS n_distinct_ids,
+           CAST(CASE WHEN updated THEN count(*) ELSE 0 END AS BIGINT) AS n_fresh_ids
+    FROM t GROUP BY o_orderstatus, updated
+    """,
+)
+def row_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 row lineage end-to-end (spec: Row Lineage; the reference
+    defaults to v3, IcebergConfig.java:106-108): append a batch into a
+    format-version=3 table, upsert a subset (merge-on-read position
+    deletes), then read with ``lineage=True`` and aggregate the lineage
+    invariants the spec guarantees — every row has a unique ``_row_id``
+    (n_distinct_ids == n_rows), untouched rows keep ids from the first
+    commit's range with ``_last_updated_sequence_number`` = 1, and
+    upserted rows carry fresh ids >= the first batch's count with
+    sequence = 2.  Physical file enumeration (which ids land in which
+    file) is non-deterministic, so the gate checks exactly the invariant
+    set; the oracle restates it from the source rows."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.table import LAST_SEQ_COL, ROW_ID_COL
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="lineage_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_lineage",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            properties={"format-version": "3"},
+        )
+        n_before = t.append(sub)
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "__op", F.lit("u")
+        )
+        merge_into(t, upd)
+        out = t.to_df(spark, lineage=True)
+        updated = (F.col(LAST_SEQ_COL) == 2).alias("updated")
+        fresh = F.col(ROW_ID_COL) >= n_before
+        return (
+            out.groupBy("o_orderstatus", updated)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(ROW_ID_COL).alias("n_distinct_ids"),
+                F.sum(F.when(fresh, 1).otherwise(0)).alias("n_fresh_ids"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "incremental_append_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders,
@@ -3779,6 +3847,173 @@ def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(
         docs, top_n=2, dup_n=5, max_top_frac=0.05, max_dup_frac=0.30
     )
+
+
+# =====================================================================
+# Wave 7b: corpus curation (segment dedup, Gopher rules, temperature
+# mixing, length histogram, Lloyd k-means step) — functions/curation.py
+# =====================================================================
+
+
+@_register(
+    "segment_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             CAST(start / 32 AS BIGINT) AS seg_id,
+             array_to_string(list_slice(t, start + 1, start + 32), ' ') AS seg_text
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(0, greatest(len(t) - 1, 0), 32)) AS start
+            FROM toks)
+    ), flagged AS (
+      SELECT doc_id, seg_id, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, seg_id) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                               ORDER BY seg_id), '') AS deduped_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style segment-level exact dedup: 32-token segments,
+    globally keep-first by (doc_id, seg_id), reassembled per doc. One
+    shuffle on the segment hash + one on the doc id."""
+    from .functions.curation import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_tokens=32)
+
+
+@_register(
+    "gopher_rules_filter",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE), 4)
+             END AS mean_token_len,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it'], x))) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_token_len, stopword_hits,
+           coalesce(n_tokens >= 10 AND n_tokens <= 100000
+                    AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+                    AND stopword_hits >= 2, FALSE) AS passes
+    FROM m
+    """,
+)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (token-count bounds, mean token length,
+    stopword presence) as a single codegen'd projection — no shuffle."""
+    from .functions.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "temperature_mixture_sample",
+    """
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS HUGEINT) AS w
+      FROM documents GROUP BY source
+    ), m AS (SELECT MIN(w) AS min_w FROM w),
+    d AS (
+      SELECT doc_id, source,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 1000 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, d.bucket
+    FROM d JOIN w USING (source) CROSS JOIN m
+    WHERE CAST(d.bucket AS HUGEINT) * CAST(d.bucket AS HUGEINT) * w.w
+          < CAST(1000000 AS HUGEINT) * m.min_w
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style alpha=1/2 source re-balancing; the sqrt keep-rate is
+    evaluated as an exact integer predicate (bucket^2*w < 10^6*min_w) so
+    both engines agree at every boundary. One per-source aggregate
+    broadcast onto the scan; the corpus itself never shuffles."""
+    from .functions.curation import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "length_histogram_docs",
+    """
+    WITH b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents)
+    SELECT CAST(floor(((n_chars - mn) * 8) / (mx - mn + 1)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_value,
+           MAX(n_chars) AS max_value,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_value
+    FROM documents CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def length_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 8-bin histogram over n_chars with integer bucket math —
+    1-row min/max broadcast, then a partial-aggregated groupBy; no global
+    sort and no percentile state."""
+    from .functions.curation import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"), bins=8)
+
+
+@_register(
+    "kmeans_lloyd_step",
+    """
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cluster_id, v AS c FROM pts ORDER BY vec_id LIMIT 8
+    ), scored AS (
+      SELECT p.vec_id, c.cluster_id,
+             list_sum(list_transform(range(1, len(p.v) + 1),
+                                     i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])))
+               AS d2,
+             p.v[1] AS c1
+      FROM pts p CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cluster_id, d2, c1,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+      FROM scored
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           round(AVG(d2), 4) AS avg_dist2,
+           round(AVG(c1), 4) AS centroid_c1
+    FROM assigned WHERE rn = 1
+    GROUP BY cluster_id
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd round over the embeddings table: lowest-id
+    seeds, broadcast k-row centroid crossJoin, tie-stable argmin, one
+    groupBy update. The SQL oracle replays the identical fold order."""
+    from .functions.curation import kmeans_lloyd_step as _kmeans
+
+    return _kmeans(_t(spark, sf_dir, "embeddings"), k=8)
 
 
 # =====================================================================

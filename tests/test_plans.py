@@ -181,3 +181,41 @@ def test_corpus_top_ngrams_is_partial_topk(spark, fns):
 def test_grouping_sets_uses_expand(spark, fns):
     plan = _plan(fns["grouping_sets_revenue"](spark, SF))
     assert "Expand" in plan
+
+
+def test_gopher_rules_is_shuffle_free(spark, fns):
+    # pure codegen'd projection: quality rules must never shuffle the corpus
+    plan = _plan(fns["gopher_rules_filter"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_segment_dedup_two_shuffles_no_join(spark, fns):
+    # keep-first window (segment-hash shuffle) + reassembly (doc-id shuffle)
+    # is the semantic minimum — a third shuffle or any join is a regression
+    plan = _plan(fns["segment_dedup_docs"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_temperature_mixture_corpus_never_shuffles(spark, fns):
+    # per-source rates broadcast back onto the scan; the doc rows themselves
+    # must flow scan->filter without ever hash-partitioning
+    plan = _plan(fns["temperature_mixture_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_histogram_broadcasts_bounds(spark, fns):
+    # 1-row min/max bounds broadcast + partial-aggregated bucket groupBy
+    plan = _plan(fns["length_histogram_docs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_kmeans_step_broadcasts_centroids(spark, fns):
+    # k centroid rows broadcast into the crossJoin; the N-row side must not
+    # shuffle for scoring (only the argmin window and update groupBy do)
+    plan = _plan(fns["kmeans_lloyd_step"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -1,0 +1,129 @@
+"""Iceberg v3 row lineage: first_row_id inheritance, _row_id /
+_last_updated_sequence_number derivation on read, and preservation through
+compaction (spec: Row Lineage; reference enables v3 by default,
+IcebergConfig.java:106-108)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from debezium_server_iceberg_spark.lakehouse.table import (
+    LAST_SEQ_COL,
+    ROW_ID_COL,
+    LakeTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _mk(tmp_path, fv="3", **kw):
+    return LakeTable.create(
+        str(tmp_path / "t"),
+        SCHEMA,
+        identifier_fields=["id"],
+        properties={"format-version": fv},
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_append_assigns_contiguous_row_ids(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.append(_df(spark, [(4, "d"), (5, "e")]))
+    out = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    ids = sorted(r[ROW_ID_COL] for r in out.values())
+    assert ids == [0, 1, 2, 3, 4]          # contiguous from next_row_id=0
+    assert t.metadata().next_row_id == 5
+    # files of the second append start after the first's range
+    frids = sorted(
+        (f.first_row_id, f.rows) for f in t.current_files()
+    )
+    total = 0
+    for frid, rows in frids:
+        assert frid == total
+        total += rows
+
+
+def test_last_updated_sequence_tracks_commit(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    out = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    assert out[1][LAST_SEQ_COL] < out[2][LAST_SEQ_COL]
+
+
+def test_upserted_rows_get_fresh_ids(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    before = {r.id: r[ROW_ID_COL] for r in t.to_df(spark, lineage=True).collect()}
+    src = spark.createDataFrame([(2, "B", "u")], "id long, val string, __op string")
+    merge_into(t, src)
+    after = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    assert after[1][ROW_ID_COL] == before[1]          # untouched row keeps its id
+    assert after[2][ROW_ID_COL] >= 2                  # rewritten row: fresh id
+    assert after[2].val == "B"
+    # ids never collide
+    assert len({r[ROW_ID_COL] for r in after.values()}) == 2
+
+
+def test_compaction_preserves_row_ids(spark, tmp_path):
+    t = _mk(tmp_path)
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    before = {r.id: (r[ROW_ID_COL], r[LAST_SEQ_COL])
+              for r in t.to_df(spark, lineage=True).collect()}
+    removed = t.compact(spark, target_file_bytes=512 * 1024 * 1024)
+    assert removed == 4
+    after = {r.id: (r[ROW_ID_COL], r[LAST_SEQ_COL])
+             for r in t.to_df(spark, lineage=True).collect()}
+    # materialized lineage survives the rewrite bit-for-bit
+    assert after == before
+    # and the compacted file physically contains the lineage columns
+    dfile = t.current_files()[0]
+    import pyarrow.parquet as pq
+
+    cols = pq.read_schema(dfile.path).names
+    assert ROW_ID_COL in cols and LAST_SEQ_COL in cols
+
+
+def test_clustered_rewrite_preserves_row_ids(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    before = {r.id: r[ROW_ID_COL] for r in t.to_df(spark, lineage=True).collect()}
+    t.rewrite_sorted(spark, ["val"])
+    after = {r.id: r[ROW_ID_COL] for r in t.to_df(spark, lineage=True).collect()}
+    assert after == before
+
+
+def test_v2_table_reads_null_lineage(spark, tmp_path):
+    t = _mk(tmp_path, fv="2")
+    t.append(_df(spark, [(1, "a")]))
+    row = t.to_df(spark, lineage=True).collect()[0]
+    assert row[ROW_ID_COL] is None           # v2: no lineage assigned
+    assert row[LAST_SEQ_COL] is not None     # seq still known from manifest
+    assert t.metadata().next_row_id == 0
+
+
+def test_lineage_off_keeps_schema_clean(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a")]))
+    assert t.to_df(spark).columns == ["id", "val"]
+
+
+def test_empty_table_lineage_schema(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = t.to_df(spark, lineage=True)
+    assert df.columns == ["id", "val", ROW_ID_COL, LAST_SEQ_COL]
+    assert df.count() == 0
