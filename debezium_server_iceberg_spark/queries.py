@@ -1225,6 +1225,45 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_register(
+    "interval_join_attribution",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_event_id, {_TS_US} AS cts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_event_id, {_TS_US} AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_event_id, purchase_event_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.pts >= c.cts
+     AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (attribution) join: every (click, purchase) pair of the
+    same user within 30 minutes — the BATCH face of the stream-stream
+    watermarked join (streaming/windows.interval_join): the identical
+    operator backfills history as a range join and runs live with bounded
+    state.  The oracle restates the range join directly."""
+    from .streaming.windows import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(clicks, purchases, max_gap="30 minutes").select(
+        F.col("l.user_id"), "click_event_id", "purchase_event_id"
+    )
+
+
+@_register(
     "asof_join_purchases_clicks",
     f"""
     WITH ev AS (

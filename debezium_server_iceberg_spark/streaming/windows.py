@@ -154,3 +154,45 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "click_ts",
+    right_ts: str = "purchase_ts",
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (Structured Streaming's watermarked
+    join): pair each right-side event with left-side events of the same
+    key that happened within ``max_gap`` BEFORE it — the attribution-join
+    shape (click -> purchase within N minutes).
+
+    Both sides get a watermark so the join state is bounded: a buffered
+    left row can be dropped once the right watermark passes
+    ``left_ts + max_gap`` (Spark derives the state-cleanup horizon from
+    the inequality bounds — an unbounded-time-condition stream join
+    would accumulate state forever and is the canonical streaming OOM).
+    ``how='left_outer'`` emits unmatched left rows null-extended once
+    their watermark expires — same semantics as the batch left join, just
+    latency-deferred.  On batch inputs the identical expression runs as a
+    plain range join, so backfills reuse this exact operator.
+
+    At 100 TB/day the state size is (events per key within the gap
+    horizon), not stream volume: keys partition the state store, and the
+    watermark bounds the per-key buffer."""
+    gap = F.expr(f"INTERVAL {max_gap}")
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + gap)
+    )
+    return l.join(r, cond, how)

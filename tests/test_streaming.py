@@ -485,3 +485,75 @@ def test_stream_with_max_batch_size_wait(spark, tmp_path):
     finally:
         q.stop()
     assert c.table_df(spark, "s_db_w").count() == 4
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join produces exactly the rows
+    the identical batch join produces."""
+    import os
+
+    from debezium_server_iceberg_spark.streaming.windows import interval_join
+
+    clicks = [
+        (1, _ts("2026-01-01T10:00:00")),
+        (1, _ts("2026-01-01T10:20:00")),
+        (2, _ts("2026-01-01T10:05:00")),
+        (3, _ts("2026-01-01T09:00:00")),   # too early for the purchase
+    ]
+    purchases = [
+        (1, _ts("2026-01-01T10:25:00")),   # matches both clicks of user 1
+        (2, _ts("2026-01-01T11:00:00")),   # outside 30-minute gap
+        (3, _ts("2026-01-01T10:00:00")),   # click was 60 min before
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cdf = spark.createDataFrame(clicks, "user_id long, click_ts timestamp")
+    pdf = spark.createDataFrame(purchases, "user_id long, purchase_ts timestamp")
+    cdf.write.json(cdir)
+    pdf.write.json(pdir)
+
+    expected = sorted(
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in interval_join(cdf, pdf).collect()
+    )
+    assert [u for u, *_ in expected] == [1, 1]   # only user 1's pair survives
+
+    cs = spark.readStream.schema(cdf.schema).json(cdir)
+    ps = spark.readStream.schema(pdf.schema).json(pdir)
+    joined = interval_join(cs, ps).select("l.user_id", "click_ts", "purchase_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in spark.sql("select * from ij_out").collect()
+    )
+    assert got == expected
+
+
+def test_interval_join_is_stateful_streaming_plan(spark, tmp_path):
+    """The streaming plan must be a symmetric-hash stream join with a
+    state-cleanup horizon (watermarks on both sides), not an unbounded
+    buffer."""
+    import os
+
+    from debezium_server_iceberg_spark.streaming.windows import interval_join
+
+    cdir, pdir = str(tmp_path / "c2"), str(tmp_path / "p2")
+    os.makedirs(cdir), os.makedirs(pdir)
+    cs = spark.readStream.schema("user_id long, click_ts timestamp").json(cdir)
+    ps = spark.readStream.schema("user_id long, purchase_ts timestamp").json(pdir)
+    j = interval_join(cs, ps)
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    assert j.isStreaming
