@@ -1,3 +1,10 @@
+from .curation import (
+    gopher_rules,
+    kmeans_lloyd_step,
+    length_histogram,
+    segment_dedup,
+    temperature_mixture,
+)
 from .dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -45,4 +52,9 @@ __all__ = [
     "resize_images",
     "audio_features",
     "frame_sample",
+    "segment_dedup",
+    "gopher_rules",
+    "temperature_mixture",
+    "length_histogram",
+    "kmeans_lloyd_step",
 ]
