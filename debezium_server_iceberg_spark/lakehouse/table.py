@@ -1210,6 +1210,41 @@ class LakeTable:
         deletes = self._manifest_deletes(meta, snapshot_id)
         return self._read(spark, meta, files, deletes, lineage=lineage)
 
+    def changed_rows_since(
+        self, spark: SparkSession, snapshot_id: int
+    ) -> DataFrame:
+        """Changed-row scan on v3 row lineage: the CURRENT post-image of
+        every row created or updated after ``snapshot_id``, exactly once,
+        with the lineage columns attached.
+
+        Complements :meth:`incremental_scan` (append-only file feed, errors
+        across rewrites): this one reads through merge-on-read deletes and
+        survives compaction, because identity comes from the row-level
+        ``_last_updated_sequence_number``, not from which file a row sits
+        in.  Rows deleted since ``snapshot_id`` do not surface (no delete
+        images — downstream MERGEs key on ``_row_id`` for upserts and need
+        a full-outer pass for hard deletes, as with Iceberg's
+        changed-rows-only changelog granularity).
+
+        Scale: manifest pruning does the heavy lifting — a data file whose
+        sequence number is ≤ ``snapshot_id`` can only hold rows last
+        updated at or before it (inheritance assigns the file's own
+        sequence; materialized values from rewrites are always older than
+        the rewrite's sequence), so only files committed after the
+        snapshot are scanned: cost ∝ new + rewritten data, not table
+        size.  The residual filter drops pre-existing rows that rewrites
+        carried into new files."""
+        meta = self.metadata()
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        if snapshot_id not in by_id:
+            raise ValueError(f"no snapshot {snapshot_id} in table history")
+        files = [
+            f for f in self._manifest_files(meta) if f.seq > snapshot_id
+        ]
+        deletes = self._manifest_deletes(meta)
+        df = self._read(spark, meta, files, deletes, lineage=True)
+        return df.filter(F.col(LAST_SEQ_COL) > snapshot_id)
+
     def incremental_scan(
         self,
         spark: SparkSession,

@@ -1021,6 +1021,58 @@ def row_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "changed_rows_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_changed
+    FROM orders
+    WHERE o_orderkey % 40 = 0 AND o_orderkey % 400 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def changed_rows_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 changed-row scan: after an upsert into a lineage-tracking table,
+    ``changed_rows_since(first_snapshot)`` must surface EXACTLY the
+    upserted rows' post-images, once each — manifest pruning skips every
+    pre-existing file (seq <= snapshot), so the scan cost is ∝ the new
+    data.  The oracle restates the changed set from the source rows; a
+    scan that leaks unchanged rows, misses an update, or double-counts a
+    twice-written key hash-mismatches."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="chg_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_chg",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            properties={"format-version": "3"},
+        )
+        t.append(sub)                                     # snapshot 1
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "__op", F.lit("u")
+        )
+        merge_into(t, upd)                                # snapshot 2
+        return (
+            t.changed_rows_since(spark, 1)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_changed"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "incremental_append_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders,

@@ -127,3 +127,65 @@ def test_empty_table_lineage_schema(spark, tmp_path):
     df = t.to_df(spark, lineage=True)
     assert df.columns == ["id", "val", ROW_ID_COL, LAST_SEQ_COL]
     assert df.count() == 0
+
+
+def test_changed_rows_since_sees_updates_once(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))       # sid 1
+    src = spark.createDataFrame(
+        [(3, "X", "u"), (7, "Y", "u"), (99, "new", "c")],
+        "id long, val string, __op string",
+    )
+    merge_into(t, src)                                            # sid 2
+    out = t.changed_rows_since(spark, 1).collect()
+    assert sorted((r.id, r.val) for r in out) == [(3, "X"), (7, "Y"), (99, "new")]
+    assert all(r[LAST_SEQ_COL] == 2 for r in out)
+
+
+def test_changed_rows_survives_compaction(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    for i in range(3):
+        t.append(_df(spark, [(i, f"v{i}")]))                      # sids 1..3
+    src = spark.createDataFrame([(1, "B", "u")], "id long, val string, __op string")
+    merge_into(t, src)                                            # sid 4
+    t.compact(spark, target_file_bytes=512 * 1024 * 1024)         # sid 5 rewrite
+    # rewritten files have NEW sequence numbers, but materialized lineage
+    # keeps old rows out of the changed-set
+    out = t.changed_rows_since(spark, 3).collect()
+    assert sorted((r.id, r.val) for r in out) == [(1, "B")]
+
+
+def test_changed_rows_double_update_emits_final_version(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                    # sid 1
+    merge_into(t, spark.createDataFrame([(1, "mid", "u")], "id long, val string, __op string"))
+    merge_into(t, spark.createDataFrame([(1, "final", "u")], "id long, val string, __op string"))
+    out = t.changed_rows_since(spark, 1).collect()
+    assert [(r.id, r.val) for r in out] == [(1, "final")]
+
+
+def test_changed_rows_rejects_unknown_snapshot(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        t.changed_rows_since(spark, 99)
+
+
+def test_changed_rows_prunes_old_files(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a")]))                              # sid 1
+    t.append(_df(spark, [(2, "b")]))                              # sid 2
+    df = t.changed_rows_since(spark, 1)
+    # only the sid-2 file may appear in the scan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    old_file = [f.path for f in t.current_files() if f.seq == 1][0]
+    import os as _os
+
+    assert _os.path.basename(old_file) not in plan
+    assert [(r.id, r.val) for r in df.collect()] == [(2, "b")]
