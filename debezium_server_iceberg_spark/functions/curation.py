@@ -42,7 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .text import tokens_col
+from .pipeline import _hash_bucket
+from .text import STOPWORDS, tokens_col
 
 # Gopher-style bounds (public: Rae et al., "Scaling Language Models", §A1.1)
 GOPHER_MIN_TOKENS = 10
@@ -50,7 +51,9 @@ GOPHER_MAX_TOKENS = 100_000
 GOPHER_MIN_MEAN_LEN = 2.0
 GOPHER_MAX_MEAN_LEN = 10.0
 GOPHER_MIN_STOPWORD_HITS = 2
-GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+# the shared English lexicon (text.py documents it as oracle-shared);
+# one definition keeps gopher_rules and lang_id from drifting apart
+GOPHER_STOPWORDS = STOPWORDS["en"]
 
 
 def segment_dedup(
@@ -180,12 +183,10 @@ def temperature_mixture(
     )
     min_w = weights.agg(F.min("_w").cast(dec).alias("_min_w"))
     rates = weights.crossJoin(F.broadcast(min_w))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
+    # the cross-engine md5 bucket contract lives in ONE place (pipeline.py)
+    docs = df.select(
+        F.col(id_col), F.col(source_col), _hash_bucket(id_col).alias("bucket")
     )
-    docs = df.select(F.col(id_col), F.col(source_col), bucket.alias("bucket"))
     return (
         docs.join(F.broadcast(rates), source_col)
         .filter(

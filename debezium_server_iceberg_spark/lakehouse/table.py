@@ -292,9 +292,11 @@ class LakeTable:
             fh.write(str(new_version))
         os.replace(tmp, os.path.join(self.meta_dir, _HINT))  # ATOMIC POINT
 
-    def _lineage_on(self) -> bool:
-        """v3 tables track row lineage (spec: mandatory from format v3)."""
-        return int(self.metadata().properties.get("format-version", "2")) >= 3
+    def _lineage_on(self, meta: TableMetadata | None = None) -> bool:
+        """v3 tables track row lineage (spec: mandatory from format v3).
+        Pass an already-loaded ``meta`` to skip the metadata re-read."""
+        meta = meta if meta is not None else self.metadata()
+        return int(meta.properties.get("format-version", "2")) >= 3
 
     def update_properties(self, retries: int = 5, **props) -> None:
         """Metadata-only property update (Iceberg's UpdateProperties): CAS
@@ -463,6 +465,7 @@ class LakeTable:
         meta: TableMetadata,
         target_partitions: int | None = None,
         preserve_layout: bool = False,
+        preserve_lineage: bool = False,
     ) -> list[DataFile]:
         """Write df's rows as new data files (not yet committed); return stats.
 
@@ -507,11 +510,18 @@ class LakeTable:
             if present:
                 out = out.sortWithinPartitions(*present)
         staging = os.path.join(self.data_dir, uuidlib.uuid4().hex)
-        # rewrites carry the v3 lineage columns physically (materialization:
-        # a compacted row keeps its original _row_id even though the new
-        # file gets a fresh first_row_id) — reserved names, so they can only
-        # be present deliberately
-        lineage_cols = [c for c in (ROW_ID_COL, LAST_SEQ_COL) if c in out.columns]
+        # rewrites opt in (preserve_lineage) to carrying the v3 lineage
+        # columns physically — materialization: a compacted row keeps its
+        # original _row_id even though the new file gets a fresh
+        # first_row_id.  Without the flag, lineage-named columns are
+        # DROPPED like any other extra column: an append of another
+        # table's lineage read must not smuggle foreign row ids into this
+        # table's id space (they would collide with commit-assigned ones).
+        lineage_cols = (
+            [c for c in (ROW_ID_COL, LAST_SEQ_COL) if c in out.columns]
+            if preserve_lineage
+            else []
+        )
         try:
             writer = out.select(*table_cols, *lineage_cols, *pcols).write.mode("error")
             # rolling files (reference write.target-file-size-bytes,
@@ -682,12 +692,19 @@ class LakeTable:
         target_partitions: int | None = None,
         drop_deletes: bool = False,
         preserve_layout: bool = False,
+        preserve_lineage: bool = False,
     ) -> None:
         """RowDelta-style commit: atomically swap rewritten files
-        (IcebergTableOperator.java:218-224). Used by the MERGE operator."""
+        (IcebergTableOperator.java:218-224). Used by the MERGE operator.
+        ``preserve_lineage``: physically materialize ``_row_id`` /
+        ``_last_updated_sequence_number`` columns present on ``add_df``
+        (rewrite paths only — see ``_stage_write``)."""
         meta = self.metadata()
         add = (
-            self._stage_write(add_df, meta, target_partitions, preserve_layout)
+            self._stage_write(
+                add_df, meta, target_partitions, preserve_layout,
+                preserve_lineage,
+            )
             if add_df is not None
             else []
         )
@@ -956,12 +973,14 @@ class LakeTable:
             return 0
         total = sum(f.bytes for f in small)
         n_out = max(1, -(-total // target))  # ceil
-        data = self.scan_files(spark, small, lineage=self._lineage_on())
+        ln = self._lineage_on()
+        data = self.scan_files(spark, small, lineage=ln)
         self.commit_delta(
             data,
             [f.path for f in small],
             summary={"operation_detail": "compact", "input_files": len(small)},
             target_partitions=int(n_out),
+            preserve_lineage=ln,
         )
         return len(small)
 
@@ -1000,7 +1019,8 @@ class LakeTable:
             return 0
         # make the cluster keys prunable in future stats BEFORE staging
         self.update_properties(**{"write.stats-columns": ",".join(sort_by)})
-        data = self.to_df(spark, lineage=self._lineage_on())
+        ln = self._lineage_on(meta)
+        data = self.to_df(spark, lineage=ln)
         target = target_file_bytes or int(
             meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
         )
@@ -1028,6 +1048,7 @@ class LakeTable:
             },
             drop_deletes=True,
             preserve_layout=True,
+            preserve_lineage=ln,
         )
         return len(files)
 
@@ -1074,8 +1095,9 @@ class LakeTable:
             return False
 
         affected = [f for f in files if hit(f)]
+        ln = self._lineage_on(meta)
         clean = (
-            self._read(spark, meta, affected, deletes, lineage=self._lineage_on())
+            self._read(spark, meta, affected, deletes, lineage=ln)
             if affected
             else None
         )
@@ -1084,6 +1106,7 @@ class LakeTable:
             [f.path for f in affected],
             summary={"operation_detail": "materialize-deletes", "input_files": len(affected)},
             drop_deletes=True,
+            preserve_lineage=ln,
         )
         return len(affected)
 
@@ -1235,6 +1258,12 @@ class LakeTable:
         size.  The residual filter drops pre-existing rows that rewrites
         carried into new files."""
         meta = self.metadata()
+        if not self._lineage_on(meta):
+            # without per-row lineage a rewrite re-sequences every carried
+            # row — silently reporting them all as changed; fail loudly
+            raise ValueError(
+                "changed_rows_since requires format-version>=3 (row lineage)"
+            )
         by_id = {s.snapshot_id: s for s in meta.snapshots}
         if snapshot_id not in by_id:
             raise ValueError(f"no snapshot {snapshot_id} in table history")

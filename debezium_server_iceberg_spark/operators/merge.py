@@ -194,11 +194,15 @@ def merge_into(
         table_cols = [f.name for f in schema.fields]
         upserts = surviving_source.select(*table_cols)
 
+        # v3: carry row lineage through the rewrite — untouched rows in
+        # affected files must keep their _row_id (upserted rows union in
+        # with nulls and inherit fresh ids from the new file's range)
+        lineage = int(meta.properties.get("format-version", "2")) >= 3
         if affected:
-            target_rows = table.scan_files(spark, affected)
+            target_rows = table.scan_files(spark, affected, lineage=lineage)
             anti_probe = F.broadcast(src_keys) if broadcast_source else src_keys
             kept = target_rows.join(anti_probe, on=key_cols, how="left_anti")
-            new_data = kept.unionByName(upserts)
+            new_data = kept.unionByName(upserts, allowMissingColumns=lineage)
         else:
             new_data = upserts
 
@@ -208,6 +212,7 @@ def merge_into(
             summary=dict(
                 summary or {}, operation_detail="merge", source_rows=n_src
             ),
+            preserve_lineage=lineage,
         )
         return MergeStats(len(candidates), len(affected), n_src, "copy-on-write")
     finally:

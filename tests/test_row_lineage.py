@@ -189,3 +189,52 @@ def test_changed_rows_prunes_old_files(spark, tmp_path):
 
     assert _os.path.basename(old_file) not in plan
     assert [(r.id, r.val) for r in df.collect()] == [(2, "b")]
+
+
+def test_cow_merge_preserves_untouched_row_ids(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    before = {r.id: r[ROW_ID_COL] for r in t.to_df(spark, lineage=True).collect()}
+    src = spark.createDataFrame([(4, "B", "u")], "id long, val string, __op string")
+    merge_into(t, src, mode="copy-on-write")
+    after = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    # every untouched row keeps its id even though its file was rewritten
+    for i in range(10):
+        if i != 4:
+            assert after[i][ROW_ID_COL] == before[i]
+    assert after[4].val == "B"
+    assert len({r[ROW_ID_COL] for r in after.values()}) == 10
+    # and changed_rows_since reports ONLY the upserted key
+    chg = t.changed_rows_since(spark, 1).collect()
+    assert [(r.id, r.val) for r in chg] == [(4, "B")]
+
+
+def test_append_drops_foreign_lineage_columns(spark, tmp_path):
+    t1 = LakeTable.create(
+        str(tmp_path / "src"), SCHEMA, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    t1.append(_df(spark, [(1, "a"), (2, "b")]))
+    t2 = LakeTable.create(
+        str(tmp_path / "dst"), SCHEMA, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    # copying via a lineage read must NOT smuggle t1's row ids into t2
+    t2.append(t1.to_df(spark, lineage=True))
+    t2.append(_df(spark, [(3, "c")]))
+    rows = t2.to_df(spark, lineage=True).collect()
+    ids = sorted(r[ROW_ID_COL] for r in rows)
+    assert ids == [0, 1, 2]            # t2's own contiguous id space
+    import pyarrow.parquet as pq
+
+    for f in t2.current_files():
+        assert ROW_ID_COL not in pq.read_schema(f.path).names
+
+
+def test_changed_rows_requires_v3(spark, tmp_path):
+    t = _mk(tmp_path, fv="2")
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="format-version"):
+        t.changed_rows_since(spark, 1)
