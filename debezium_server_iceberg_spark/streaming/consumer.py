@@ -411,5 +411,12 @@ class ChangeConsumer:
 
     # ------------------------------------------------------------- read side
 
-    def table_df(self, spark: SparkSession, table_name: str):
-        return self.catalog.load_table(self.config.iceberg.namespace, table_name).to_df(spark)
+    def table_df(
+        self, spark: SparkSession, table_name: str, lineage: bool = False
+    ):
+        """Read a consumer-managed table; ``lineage=True`` adds the v3
+        ``_row_id`` / ``_last_updated_sequence_number`` columns (see
+        ``LakeTable.to_df``)."""
+        return self.catalog.load_table(
+            self.config.iceberg.namespace, table_name
+        ).to_df(spark, lineage=lineage)

@@ -238,3 +238,25 @@ def test_changed_rows_requires_v3(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="format-version"):
         t.changed_rows_since(spark, 1)
+
+
+def test_concurrent_appends_never_overlap_id_ranges(spark, tmp_path):
+    """Optimistic-concurrency race: parallel appends must serialize through
+    the CAS metadata commit, each retry re-reading next_row_id — so the
+    assigned ranges are disjoint and every row id is unique."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk(tmp_path)
+    dfs = [
+        _df(spark, [(w * 10 + i, f"w{w}r{i}") for i in range(5)])
+        for w in range(4)
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rows_written = list(pool.map(lambda d: t.append(d), dfs))
+    assert rows_written == [5, 5, 5, 5]
+    out = t.to_df(spark, lineage=True).collect()
+    assert len(out) == 20
+    ids = sorted(r[ROW_ID_COL] for r in out)
+    assert ids == list(range(20))          # disjoint contiguous ranges
+    assert t.metadata().next_row_id == 20
+    assert len(t.metadata().snapshots) == 4
