@@ -1021,6 +1021,62 @@ def row_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_read_surface",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 400 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def sql_read_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own verification surface: after CDC writes land,
+    users read replicated tables with plain ``spark.sql`` over registered
+    views (BaseSparkTest.java:170-178 — spark.sql("SELECT * FROM <table>")).
+    Load + upsert a lakehouse table, ``register_views``, and aggregate
+    through SQL text — the view resolves to the current-snapshot
+    merge-on-read scan, so a stale view, a missed delete file, or broken
+    name registration all hash-mismatch."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="sqlv_")
+    try:
+        cat = LakeCatalog(wh)
+        t = cat.create_table(
+            "ns", "orders_sql", sub.schema, identifier_fields=["o_orderkey"]
+        )
+        t.append(sub)
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        ).withColumn("__op", F.lit("u"))
+        merge_into(t, upd)
+        cat.register_views(spark, "ns", prefix="gate_")
+        return spark.sql(
+            """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   min(o_orderkey) AS min_key
+            FROM gate_orders_sql GROUP BY o_orderstatus
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "changed_rows_scan",
     """
     SELECT o_orderstatus, count(*) AS n_changed
