@@ -20,23 +20,28 @@ table through the metadata chain alone — version-hint → metadata.json →
 manifest list → manifests → parquet — exactly the walk an external engine
 performs.
 
-Scope: append-only snapshots (no merge-on-read delete files — export asks
-for ``materialize_deletes`` first rather than silently dropping
-semantics) of unpartitioned or identity-partitioned tables (transform
-partitions are refused, not approximated).  Re-publishing to the same
-destination appends real snapshots — history, sequence numbers,
-metadata-log, time travel.  Variant columns are refused (v2 has no
-variant).
+Scope: unpartitioned or identity-partitioned tables (transform partitions
+are refused, not approximated); variant columns are refused (v2 has no
+variant).  Merge-on-read delete files EXPORT with the data: engine
+position-delete parquet is rewritten into spec form (reserved field ids
+2147483546/2147483545, absolute paths, (path, pos) sort) and equality
+deletes get schema field ids + ``equality_ids`` manifest entries, in a
+content=1 delete manifest; engine sequence ordering is preserved by
+mapping distinct engine sequence numbers to consecutive Iceberg sequence
+numbers, so "delete applies to strictly-older data" survives the
+translation.  Re-publishing to the same destination appends real
+snapshots — history, sequence numbers, metadata-log, time travel.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 import uuid as uuidlib
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .avro_io import read_container, write_container
 from .table import LakeTable
@@ -226,6 +231,13 @@ def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
             ),
             _field("record_count", "long", 103),
             _field("file_size_in_bytes", "long", 104),
+            # equality-delete files name their key columns by schema field id
+            _field(
+                "equality_ids",
+                _opt({"type": "array", "items": "int", "element-id": 136}),
+                135,
+                default_null=True,
+            ),
         ],
     }
     return {
@@ -239,6 +251,67 @@ def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
             _field("data_file", data_file, 2),
         ],
     }
+
+
+# Iceberg-reserved field ids for position-delete files (spec: Position
+# Delete Files)
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def _pa_field(name: str, pa_type, field_id: int):
+    import pyarrow as pa
+
+    return pa.field(
+        name, pa_type, metadata={b"PARQUET:field_id": str(field_id).encode()}
+    )
+
+
+def _rewrite_position_delete(src_path: str, name_to_abs: dict, out_path: str) -> int:
+    """Engine position-delete parquet (file_name basename, pos) → Iceberg
+    position-delete parquet (file_path abs, pos) with the spec's reserved
+    field ids, sorted by (file_path, pos) as the spec requires.  Returns
+    the row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_path)
+    names = t.column("file_name").to_pylist()
+    pos = t.column("pos").to_pylist()
+    rows = sorted(
+        (name_to_abs[n], p) for n, p in zip(names, pos) if n in name_to_abs
+    )
+    schema = pa.schema(
+        [
+            _pa_field("file_path", pa.string(), _POS_DELETE_PATH_ID),
+            _pa_field("pos", pa.int64(), _POS_DELETE_POS_ID),
+        ]
+    )
+    out = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows]), pa.array([r[1] for r in rows])],
+        schema=schema,
+    )
+    pq.write_table(out, out_path)
+    return len(rows)
+
+
+def _rewrite_equality_delete(
+    src_path: str, out_path: str, schema_json: dict, cols: list[str]
+) -> int:
+    """Engine equality-delete parquet (key tuples) → the same rows with
+    Iceberg schema field ids attached, so an external reader can resolve
+    ``equality_ids`` against the table schema.  Returns the row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+    t = pq.read_table(src_path, columns=cols)
+    schema = pa.schema(
+        [_pa_field(c, t.schema.field(c).type, ids[c]) for c in t.column_names]
+    )
+    out = pa.Table.from_arrays([t.column(c) for c in t.column_names], schema=schema)
+    pq.write_table(out, out_path)
+    return t.num_rows
 
 
 # ------------------------------------------------------------------ export
@@ -258,10 +331,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     loads a complete table, and time travel across publishes works.
     Returns the path of the written metadata file."""
     meta = table.metadata()
-    if table.current_deletes():
-        raise ValueError(
-            "table has merge-on-read delete files; materialize_deletes() first"
-        )
+    deletes = table.current_deletes()
     files = table.current_files()
     schema_json, last_col = spark_schema_to_iceberg(
         meta.schema, meta.identifier_fields
@@ -314,7 +384,6 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     now_ms = int(time.time() * 1000)
     commit_uuid = uuidlib.uuid4().hex
     prev_snapshots = list(prev_doc["snapshots"]) if prev_doc else []
-    seq = (prev_doc["last-sequence-number"] + 1) if prev_doc else 1
     snapshot_id = max(
         int(meta.current_snapshot_id or 1),
         max((s["snapshot-id"] for s in prev_snapshots), default=0) + 1,
@@ -323,18 +392,71 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     # the snapshot logically replaces the table contents
     prev_seq_by_path: dict[str, int] = {}
     prev_snap_by_path: dict[str, int] = {}
+    prev_delete_by_path: dict[str, dict] = {}
     if prev_snapshots:
         _, prev_manifests, _ = read_container(prev_snapshots[-1]["manifest-list"])
         for m in prev_manifests:
             _, prev_entries, _ = read_container(m["manifest_path"])
             for e in prev_entries:
-                if e["status"] != 2:  # not DELETED
-                    p = e["data_file"]["file_path"]
+                if e["status"] == 2:  # DELETED
+                    continue
+                p = e["data_file"]["file_path"]
+                if m.get("content", 0) == 0:
                     prev_seq_by_path[p] = e.get("sequence_number") or 1
                     prev_snap_by_path[p] = e.get("snapshot_id") or snapshot_id
+                else:
+                    prev_delete_by_path[p] = e
+
+    # ---- merge-on-read delete files export with the data: the engine's
+    # sequence ordering (delete applies to strictly-older data) must be
+    # preserved, so DISTINCT engine sequence numbers of everything exported
+    # for the first time map to consecutive Iceberg sequence numbers after
+    # the previous publish's last one.  Rewritten delete parquet names are
+    # content-addressed (md5 of the engine file name) so a re-publish
+    # detects carried delete files by path, like data files.
+    data_dir = os.path.join(dest, "data")
     cur_paths = {os.path.abspath(f.path) for f in files}
+    new_deletes = []
+    for d in deletes:
+        out_path = os.path.abspath(
+            os.path.join(
+                data_dir,
+                "deletes-"
+                + hashlib.md5(
+                    os.path.basename(d.path).encode()
+                ).hexdigest()
+                + ".parquet",
+            )
+        )
+        if out_path not in prev_delete_by_path:
+            new_deletes.append((d, out_path))
+    prev_last_seq = prev_doc["last-sequence-number"] if prev_doc else 0
+    new_engine_seqs = sorted(
+        {f.seq for f in files if os.path.abspath(f.path) not in prev_seq_by_path}
+        | {d.seq for d, _ in new_deletes}
+    )
+    seqmap = {
+        es: prev_last_seq + i + 1 for i, es in enumerate(new_engine_seqs)
+    }
+    seq = prev_last_seq + max(1, len(new_engine_seqs))
+    delete_paths = {
+        os.path.abspath(
+            os.path.join(
+                data_dir,
+                "deletes-"
+                + hashlib.md5(
+                    os.path.basename(d.path).encode()
+                ).hexdigest()
+                + ".parquet",
+            )
+        )
+        for d in deletes
+    }
     operation = (
-        "append" if set(prev_seq_by_path) <= cur_paths else "overwrite"
+        "append"
+        if set(prev_seq_by_path) <= cur_paths
+        and set(prev_delete_by_path) <= delete_paths
+        else "overwrite"
     )
 
     # ---- manifest: carried-over files EXISTING with their original seq,
@@ -356,8 +478,8 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             {
                 "status": 0 if carried else 1,  # EXISTING / ADDED
                 "snapshot_id": prev_snap_by_path.get(p, snapshot_id),
-                "sequence_number": prev_seq_by_path.get(p, seq),
-                "file_sequence_number": prev_seq_by_path.get(p, seq),
+                "sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
+                "file_sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
                 "data_file": {
                     "content": 0,
                     "file_path": p,
@@ -365,6 +487,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
                     "partition": part_values,
                     "record_count": int(f.rows),
                     "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
+                    "equality_ids": None,
                 },
             }
         )
@@ -382,6 +505,108 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             "content": "data",
         },
     )
+
+    # ---- delete manifest: rewrite engine delete parquet into spec form
+    # (position: reserved field ids + abs paths + (path,pos) sort;
+    # equality: schema field ids attached, equality_ids recorded)
+    field_id_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+    name_to_abs = {os.path.basename(f.path): os.path.abspath(f.path) for f in files}
+    delete_entries = []
+    if deletes:
+        os.makedirs(data_dir, exist_ok=True)
+    new_delete_paths = {out for _, out in new_deletes}
+    for d in deletes:
+        out_path = os.path.abspath(
+            os.path.join(
+                data_dir,
+                "deletes-"
+                + hashlib.md5(os.path.basename(d.path).encode()).hexdigest()
+                + ".parquet",
+            )
+        )
+        carried = out_path not in new_delete_paths
+        if not carried:
+            if d.content == "position":
+                rows = _rewrite_position_delete(d.path, name_to_abs, out_path)
+            else:
+                rows = _rewrite_equality_delete(
+                    d.path, out_path, schema_json, list(d.equality_cols)
+                )
+        else:
+            rows = prev_delete_by_path[out_path]["data_file"]["record_count"]
+        prev_e = prev_delete_by_path.get(out_path)
+        dseq = (
+            (prev_e.get("sequence_number") or 1)
+            if prev_e
+            else seqmap.get(d.seq, seq)
+        )
+        delete_entries.append(
+            {
+                "status": 0 if carried else 1,
+                "snapshot_id": (
+                    (prev_e.get("snapshot_id") or snapshot_id)
+                    if prev_e
+                    else snapshot_id
+                ),
+                "sequence_number": dseq,
+                "file_sequence_number": dseq,
+                "data_file": {
+                    "content": 1 if d.content == "position" else 2,
+                    "file_path": out_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(rows),
+                    "file_size_in_bytes": int(os.path.getsize(out_path)),
+                    "equality_ids": (
+                        None
+                        if d.content == "position"
+                        else [field_id_by_name[c] for c in d.equality_cols]
+                    ),
+                },
+            }
+        )
+    delete_manifest_row = None
+    if delete_entries:
+        dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        dm_len = write_container(
+            dm_path,
+            entry_schema,
+            delete_entries,
+            metadata={
+                "schema": json.dumps(schema_json),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_fields_json),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        n_del_added = sum(1 for e in delete_entries if e["status"] == 1)
+        del_rows_added = sum(
+            e["data_file"]["record_count"]
+            for e in delete_entries
+            if e["status"] == 1
+        )
+        del_rows_total = sum(
+            e["data_file"]["record_count"] for e in delete_entries
+        )
+        delete_manifest_row = {
+            "manifest_path": os.path.abspath(dm_path),
+            "manifest_length": dm_len,
+            "partition_spec_id": 0,
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                e["sequence_number"] for e in delete_entries
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_del_added,
+            "existing_files_count": len(delete_entries) - n_del_added,
+            "deleted_files_count": 0,
+            "added_rows_count": del_rows_added,
+            "existing_rows_count": del_rows_total - del_rows_added,
+            "deleted_rows_count": 0,
+        }
 
     # ---- manifest list
     list_path = os.path.join(
@@ -408,7 +633,8 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
                 "existing_rows_count": total_rows - added_rows,
                 "deleted_rows_count": 0,
             }
-        ],
+        ]
+        + ([delete_manifest_row] if delete_manifest_row else []),
         metadata={"format-version": "2"},
     )
 
@@ -436,7 +662,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             "added-records": str(added_rows),
             "total-records": str(total_rows),
             "total-data-files": str(len(files)),
-            "total-delete-files": "0",
+            "total-delete-files": str(len(delete_entries)),
         },
         "manifest-list": os.path.abspath(list_path),
         "schema-id": 0,
@@ -522,18 +748,75 @@ def read_iceberg_table(
     want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
     _, manifests, _ = read_container(snap["manifest-list"])
-    paths: list[str] = []
+    data_files: list[tuple[str, int]] = []      # (path, data sequence)
+    pos_deletes: list[tuple[str, int]] = []     # (path, delete sequence)
+    eq_deletes: list[tuple[str, int, list[int]]] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
-            raise ValueError("delete manifests not supported by this reader")
         _, entries, _ = read_container(m["manifest_path"])
         for e in entries:
-            if e["status"] in (0, 1):  # EXISTING / ADDED (2 = DELETED)
-                paths.append(e["data_file"]["file_path"])
+            if e["status"] not in (0, 1):  # 2 = DELETED
+                continue
+            df_rec = e["data_file"]
+            eseq = e.get("sequence_number") or m.get("sequence_number") or 1
+            content = df_rec.get("content", 0)
+            if content == 0:
+                data_files.append((df_rec["file_path"], eseq))
+            elif content == 1:
+                pos_deletes.append((df_rec["file_path"], eseq))
+            elif content == 2:
+                eq_deletes.append(
+                    (df_rec["file_path"], eseq, df_rec.get("equality_ids") or [])
+                )
     spark_schema = iceberg_schema_to_spark(schema_json)
-    if not paths:
+    if not data_files:
         return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(*paths)
+    df = spark.read.schema(spark_schema).parquet(*[p for p, _ in data_files])
+    if not pos_deletes and not eq_deletes:
+        return df
+
+    # delete application, spec semantics: position deletes name exact
+    # (file_path, pos) rows; equality deletes remove key matches in data
+    # files with a STRICTLY lower data sequence number
+    # _metadata.file_path is a URI ("file:/a/b" locally, "file:///a/b" or
+    # "s3://bucket/a/b" elsewhere); manifests record plain absolute paths —
+    # normalize both to "/"-rooted form
+    norm_path = F.concat(
+        F.lit("/"),
+        F.regexp_replace(F.col("_metadata.file_path"), "^([a-zA-Z]+:)?/+", ""),
+    )
+    df = df.withColumn("_fpath", norm_path).withColumn(
+        "_pos", F.col("_metadata.row_index")
+    )
+    if pos_deletes:
+        pd = spark.read.schema("file_path string, pos long").parquet(
+            *[p for p, _ in pos_deletes]
+        )
+        df = df.join(
+            F.broadcast(pd),
+            (F.col("_fpath") == F.col("file_path")) & (F.col("_pos") == F.col("pos")),
+            "left_anti",
+        )
+    if eq_deletes:
+        id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        smap = spark.createDataFrame(data_files, "_fpath2 string, _dataseq long")
+        df = df.join(
+            F.broadcast(smap), F.col("_fpath") == F.col("_fpath2")
+        ).drop("_fpath2")
+        for path, dseq, ids in eq_deletes:
+            cols = [id_to_name[i] for i in ids]
+            key_schema = T.StructType(
+                [f for f in iceberg_schema_to_spark(schema_json).fields if f.name in cols]
+            )
+            dels = (
+                spark.read.schema(key_schema)
+                .parquet(path)
+                .select(*[F.col(c).alias(f"_d_{c}") for c in cols])
+            )
+            cond = F.col("_dataseq") < F.lit(dseq)
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"_d_{c}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+    return df.select(*[f.name for f in spark_schema.fields])
 
 
 def java_avro_records(spark: SparkSession, path: str) -> list[str]:

@@ -838,6 +838,62 @@ _ORACLES["ann_ivf_index_topk"] = _ORACLES["ann_cosine_topk"]
 
 
 @_register(
+    "iceberg_export_mor_roundtrip",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 500 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def iceberg_export_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg export WITH outstanding merge-on-read deletes: upsert a
+    slice (equality-delete file stays live), publish WITHOUT
+    materializing, and re-read through the standard metadata chain only —
+    the content=1 delete manifest must be written and applied, so a
+    dropped delete file (stale rows back) or an over-applied one (rows
+    missing) hash-mismatches against the oracle's restated final state."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.iceberg_export import export_iceberg_table, read_iceberg_table
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="ice_mor_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns", "orders_mor_pub", sub.schema, identifier_fields=["o_orderkey"]
+        )
+        t.append(sub)
+        upd = sub.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        ).withColumn("__op", F.lit("u"))
+        merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+        assert t.current_deletes(), "gate precondition: live delete files"
+        dest = _os.path.join(wh, "published")
+        export_iceberg_table(t, dest)
+        back = read_iceberg_table(spark, dest)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "iceberg_export_roundtrip",
     """
     SELECT o_orderstatus, count(*) AS n_orders,
@@ -4193,6 +4249,7 @@ _CHECK_PRIORITY = [
     # writer fidelity: real Iceberg v2 metadata, v3 row lineage,
     # write-audit-publish branches, incremental changelog scans
     "iceberg_export_roundtrip",
+    "iceberg_export_mor_roundtrip",
     "row_lineage_upsert",
     "wap_branch_publish",
     "incremental_append_scan",
@@ -4231,7 +4288,6 @@ _CHECK_PRIORITY = [
     "segment_dedup_docs",
     "gopher_rules_filter",
     "temperature_mixture_sample",
-    "length_histogram_docs",
     "kmeans_lloyd_step",
     # dedup family (incremental_minhash_pairs subsumes the one-shot
     # minhash_near_dup: same machinery + the persistent lakehouse index,

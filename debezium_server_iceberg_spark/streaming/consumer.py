@@ -303,17 +303,25 @@ class ChangeConsumer:
             )
 
     def publish_iceberg(
-        self, spark: SparkSession, table_name: str, dest: str
+        self,
+        spark: SparkSession,
+        table_name: str,
+        dest: str,
+        materialize: bool = False,
     ) -> str:
         """Publish an engine-written table as a REAL Iceberg v2 table
         (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
         external engine can read — the reference's interop contract
-        (IcebergChangeConsumer.java:100-102).  Merge-on-read delete files
-        are materialized first so the exported snapshot is append-only."""
+        (IcebergChangeConsumer.java:100-102).  Outstanding merge-on-read
+        delete files export as a content=1 delete manifest (position
+        deletes in spec form, equality deletes with equality_ids), so a
+        publish never blocks on compaction; pass ``materialize=True`` to
+        fold the deletes into data files first (smaller read-side work
+        for engines that scan delete manifests poorly)."""
         from ..lakehouse.iceberg_export import export_iceberg_table
 
         table = self.catalog.load_table(self.config.iceberg.namespace, table_name)
-        if table.current_deletes():
+        if materialize and table.current_deletes():
             table.materialize_deletes(spark)
         return export_iceberg_table(table, dest)
 

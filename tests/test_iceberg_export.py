@@ -69,7 +69,10 @@ def test_manifests_decode_with_real_apache_avro(spark, warehouse, tmp_path):
     parsed = json.loads(list_recs[0])
     assert parsed["added_files_count"] == 2
     assert parsed["added_rows_count"] == 25
-    assert parsed["content"] == 0 and parsed["sequence_number"] == 1
+    # the two engine commits keep DISTINCT sequence numbers (delete
+    # applicability depends on this ordering); the snapshot sits at the max
+    assert parsed["content"] == 0 and parsed["sequence_number"] == 2
+    assert parsed["min_sequence_number"] == 1
 
     entry_recs = [json.loads(s) for s in java_avro_records(spark, parsed["manifest_path"])]
     assert len(entry_recs) == 2
@@ -147,24 +150,128 @@ def test_schema_conversion_roundtrip_nested():
     assert back == schema
 
 
-def test_export_refuses_deletes_and_partitions(spark, warehouse, tmp_path):
+@pytest.mark.parametrize("style", ["equality", "position"])
+def test_export_mor_deletes_roundtrip(spark, warehouse, tmp_path, style):
+    """Tables with outstanding merge-on-read delete files export them as a
+    content=1 delete manifest (spec form: reserved field ids for position
+    deletes, equality_ids for equality deletes) and the metadata-chain
+    read applies them."""
     from debezium_server_iceberg_spark.operators.merge import merge_into
 
     cat = LakeCatalog(warehouse)
     df = spark.createDataFrame(
         [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
     )
-    t = cat.create_table("ice", "mor_t", df.schema, identifier_fields=["id"])
+    t = cat.create_table("ice", f"mor_{style}", df.schema, identifier_fields=["id"])
     merge_into(t, df, mode="merge-on-read")
     upd = spark.createDataFrame([(1, "u", "u")], "id long, v string, __op string")
-    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
-    with pytest.raises(ValueError, match="materialize"):
-        export_iceberg_table(t, str(tmp_path / "x"))
-    # after materialization the export succeeds
-    t.materialize_deletes(spark)
-    export_iceberg_table(t, str(tmp_path / "x"))
-    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, str(tmp_path / "x")).collect()}
+    merge_into(t, upd, mode="merge-on-read", delete_style=style)
+    assert t.current_deletes() and t.current_deletes()[0].content == style
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
     assert got[1] == "u" and len(got) == 6
+    # the superseded row must be delete-filtered, not just shadowed
+    native = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == native
+
+
+def test_export_delete_manifest_decodes_with_real_avro(spark, warehouse, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "mor_avro", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame([(2, "u", "u")], "id long, v string, __op string")
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    meta_dir = os.path.join(dest, "metadata")
+    dm = [p for p in os.listdir(meta_dir) if p.endswith("-m1.avro")]
+    assert len(dm) == 1
+    recs = java_avro_records(spark, os.path.join(meta_dir, dm[0]))
+    assert len(recs) == 1
+    rec = json.loads(recs[0])
+    assert rec["data_file"]["content"] == 2          # EQUALITY_DELETES
+    assert rec["data_file"]["equality_ids"] == [1]   # id column's field id
+    # position-delete parquet columns carry the spec's reserved field ids
+    import pyarrow.parquet as pq
+
+    eq_path = rec["data_file"]["file_path"]
+    sch = pq.read_schema(eq_path)
+    assert sch.field(0).metadata[b"PARQUET:field_id"] == b"1"
+
+
+def test_export_same_commit_equality_delete_spares_new_data(spark, warehouse, tmp_path):
+    """Engine sequence ordering survives the export: an equality delete
+    from commit N must not remove data ADDED in commit N (strict
+    data.seq < delete.seq), even though both export in one publish."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(4)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "mor_seq", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    # upsert of an EXISTING key: same commit writes the new row AND the
+    # equality delete for it — the delete must only hit the old version
+    upd = spark.createDataFrame([(0, "new", "u")], "id long, v string, __op string")
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    assert got == {0: "new", 1: "v1", 2: "v2", 3: "v3"}
+
+
+def test_export_republish_carries_delete_files(spark, warehouse, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(5)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "mor_repub", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    merge_into(
+        t,
+        spark.createDataFrame([(1, "u1", "u")], "id long, v string, __op string"),
+        mode="merge-on-read", delete_style="equality",
+    )
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    # second engine commit, second publish: old delete file is EXISTING
+    merge_into(
+        t,
+        spark.createDataFrame([(2, "u2", "u")], "id long, v string, __op string"),
+        mode="merge-on-read", delete_style="equality",
+    )
+    export_iceberg_table(t, dest)
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    assert got == {0: "v0", 1: "u1", 2: "u2", 3: "v3", 4: "v4"}
+    # time travel to the first publish still applies only the first delete
+    with open(os.path.join(dest, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(dest, "metadata", f"v{v}.metadata.json")) as fh:
+        doc = json.load(fh)
+    first_snap = doc["snapshots"][0]["snapshot-id"]
+    old = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest, first_snap).collect()}
+    assert old[1] == "u1" and old[2] == "v2"
+
+
+def test_export_refuses_transform_partitions(spark, warehouse, tmp_path):
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = cat.create_table(
+        "ice", "part_t", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id)",
+    )
+    t.append(df)
+    with pytest.raises(ValueError, match="identity"):
+        export_iceberg_table(t, str(tmp_path / "x"))
 
 
 def test_pyiceberg_reads_export_if_available(spark, warehouse, tmp_path):
