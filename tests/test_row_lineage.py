@@ -260,3 +260,23 @@ def test_concurrent_appends_never_overlap_id_ranges(spark, tmp_path):
     assert ids == list(range(20))          # disjoint contiguous ranges
     assert t.metadata().next_row_id == 20
     assert len(t.metadata().snapshots) == 4
+
+
+def test_branch_commits_share_the_lineage_counter(spark, tmp_path):
+    """WAP interplay: ids assigned on a branch come from the same
+    next-row-id counter as main, so publishing via fast_forward can never
+    introduce duplicate row ids."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))            # main: ids 0,1
+    t.create_branch("audit")
+    src = spark.createDataFrame(
+        [(2, "B", "u"), (3, "c", "c")], "id long, val string, __op string"
+    )
+    merge_into(t, src, branch="audit")
+    t.fast_forward("audit")
+    rows = t.to_df(spark, lineage=True).collect()
+    ids = sorted(r[ROW_ID_COL] for r in rows)
+    assert len(ids) == len(set(ids)) == 3
+    assert min(ids) == 0 and max(ids) >= 2

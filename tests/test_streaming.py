@@ -557,3 +557,21 @@ def test_interval_join_is_stateful_streaming_plan(spark, tmp_path):
     plan = j._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
     assert j.isStreaming
+
+
+def test_interval_join_left_outer_batch(spark):
+    from debezium_server_iceberg_spark.streaming.windows import interval_join
+
+    clicks = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00")), (2, _ts("2026-01-01T09:00:00"))],
+        "user_id long, click_ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:10:00"))], "user_id long, purchase_ts timestamp"
+    )
+    out = interval_join(clicks, purchases, how="left_outer").select(
+        "l.user_id", "purchase_ts"
+    ).collect()
+    by_user = {r.user_id: r.purchase_ts for r in out}
+    assert by_user[1] is not None
+    assert by_user[2] is None            # unmatched click null-extends
