@@ -802,17 +802,32 @@ def read_iceberg_table(
         df = df.join(
             F.broadcast(smap), F.col("_fpath") == F.col("_fpath2")
         ).drop("_fpath2")
+        # one anti-join per distinct key-column set, not per delete FILE:
+        # all delete files sharing equality_ids read in a single multi-file
+        # scan, each carrying its own sequence via a filename->seq map
+        by_ids: dict[tuple, list[tuple[str, int]]] = {}
         for path, dseq, ids in eq_deletes:
+            by_ids.setdefault(tuple(ids), []).append((path, dseq))
+        for ids, group in by_ids.items():
             cols = [id_to_name[i] for i in ids]
             key_schema = T.StructType(
                 [f for f in iceberg_schema_to_spark(schema_json).fields if f.name in cols]
             )
+            dmap = spark.createDataFrame(
+                [(os.path.basename(p), s) for p, s in group],
+                "_dname string, _dseq long",
+            )
             dels = (
                 spark.read.schema(key_schema)
-                .parquet(path)
-                .select(*[F.col(c).alias(f"_d_{c}") for c in cols])
+                .parquet(*[p for p, _ in group])
+                .withColumn(
+                    "_dname",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(F.broadcast(dmap), "_dname")
+                .select(*[F.col(c).alias(f"_d_{c}") for c in cols], "_dseq")
             )
-            cond = F.col("_dataseq") < F.lit(dseq)
+            cond = F.col("_dataseq") < F.col("_dseq")
             for c in cols:
                 cond = cond & (F.col(c) == F.col(f"_d_{c}"))
             df = df.join(F.broadcast(dels), cond, "left_anti")
