@@ -498,8 +498,9 @@ class LakeTable:
             # plan (often a merge's anti-join) isn't computed twice.
             cached = out.persist()
             out = cached
-            if target_partitions:
-                out = out.repartitionByRange(target_partitions, *key_cols)
+            n_parts = target_partitions or _auto_write_partitions(out, meta)
+            if n_parts:
+                out = out.repartitionByRange(n_parts, *key_cols)
             else:
                 out = out.repartitionByRange(*key_cols)
         elif target_partitions:
@@ -1585,6 +1586,27 @@ _TYPE_WIDTH = {
     "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
     "float": 4, "double": 8, "date": 4, "timestamp": 8, "timestamp_ntz": 8,
 }
+
+
+def _auto_write_partitions(df: DataFrame, meta: TableMetadata) -> int | None:
+    """Size the write's file count from Catalyst's plan-byte estimate and
+    the table's target file size: ``ceil(bytes / target)``, capped at the
+    session's shuffle-partition setting so a join-inflated over-estimate
+    can never fan out wider than the previous fixed behavior.  A
+    CDC-batch-sized commit then writes ONE ranged file instead of
+    shuffle-partitions tiny ones (the reference's rolling-file sizing,
+    IcebergTableWriterFactory.java:42-46, applied to file COUNT);
+    returns None when the JVM estimate is unreachable (keep Spark's
+    default fan-out)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    target = int(
+        meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+    )
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(-(-est // target), cap))
 
 
 def _uniquify_staged(staging: str) -> None:
