@@ -459,6 +459,29 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         else "overwrite"
     )
 
+    # ---- schema-id lineage across publishes (Iceberg keeps every schema a
+    # snapshot ever referenced): an unchanged schema reuses its id, an
+    # evolved one appends at the next id.  Engine evolution is
+    # union-by-name add + widen, so the pre-order fresh-id walk keeps all
+    # previously assigned field ids stable.
+    def _schema_key(s: dict) -> str:
+        return json.dumps(
+            {k: v for k, v in s.items() if k != "schema-id"}, sort_keys=True
+        )
+
+    prev_schemas = list(prev_doc["schemas"]) if prev_doc else []
+    match = next(
+        (s for s in prev_schemas if _schema_key(s) == _schema_key(schema_json)),
+        None,
+    )
+    if match is not None:
+        schema_id = match["schema-id"]
+        schemas = prev_schemas
+    else:
+        schema_id = max((s["schema-id"] for s in prev_schemas), default=-1) + 1
+        schema_json = dict(schema_json, **{"schema-id": schema_id})
+        schemas = prev_schemas + [schema_json]
+
     # ---- manifest: carried-over files EXISTING with their original seq,
     # new files ADDED at the new seq (Iceberg manifest-entry semantics)
     entry_schema = manifest_entry_schema(part_avro_fields)
@@ -498,7 +521,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         entries,
         metadata={
             "schema": json.dumps(schema_json),
-            "schema-id": "0",
+            "schema-id": str(schema_id),
             "partition-spec": json.dumps(spec_fields_json),
             "partition-spec-id": "0",
             "format-version": "2",
@@ -574,7 +597,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             delete_entries,
             metadata={
                 "schema": json.dumps(schema_json),
-                "schema-id": "0",
+                "schema-id": str(schema_id),
                 "partition-spec": json.dumps(spec_fields_json),
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -665,7 +688,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             "total-delete-files": str(len(delete_entries)),
         },
         "manifest-list": os.path.abspath(list_path),
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     snapshot_log = (list(prev_doc["snapshot-log"]) if prev_doc else []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
@@ -690,9 +713,11 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         "location": os.path.abspath(dest),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": last_col,
-        "current-schema-id": 0,
-        "schemas": [schema_json],
+        "last-column-id": max(
+            last_col, prev_doc["last-column-id"] if prev_doc else 0
+        ),
+        "current-schema-id": schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
         "last-partition-id": 999 + len(spec_fields_json),
@@ -742,11 +767,13 @@ def read_iceberg_table(
         doc = json.load(fh)
     if doc["format-version"] not in (1, 2):
         raise ValueError(f"unsupported format-version {doc['format-version']}")
-    schema_json = next(
-        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
-    )
     want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
+    # time travel reads with the schema the snapshot was committed under
+    want_schema = snap.get("schema-id", doc["current-schema-id"])
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == want_schema
+    )
     _, manifests, _ = read_container(snap["manifest-list"])
     data_files: list[tuple[str, int]] = []      # (path, data sequence)
     pos_deletes: list[tuple[str, int]] = []     # (path, delete sequence)

@@ -1602,6 +1602,11 @@ def _auto_write_partitions(df: DataFrame, meta: TableMetadata) -> int | None:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return None
+    # Catalyst reports ~Long.Max for plans with unknown stats (e.g. local
+    # relations, some cached plans) — treat as unknown and let AQE's
+    # shuffle coalescing pick the fan-out instead of pinning the cap
+    if est <= 0 or est >= 1 << 60:
+        return None
     target = int(
         meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
     )

@@ -423,3 +423,59 @@ def test_export_carries_sort_order(spark, warehouse, tmp_path):
         {"transform": "identity", "source-id": id_fid,
          "direction": "asc", "null-order": "nulls-first"}
     ]
+
+
+def test_export_schema_evolution_across_publishes(spark, warehouse, tmp_path):
+    """A re-publish after engine schema evolution appends a NEW schema id
+    (old snapshots keep theirs — Iceberg's multi-schema metadata), and
+    time travel reads each snapshot with its own schema."""
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = cat.create_table("ice", "evo_t", df.schema, identifier_fields=["id"])
+    t.append(df)
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+
+    wide = T.StructType(
+        list(df.schema.fields) + [T.StructField("extra", T.LongType(), True)]
+    )
+    t.update_schema(wide)
+    df2 = spark.createDataFrame([(3, "c", 30)], "id long, v string, extra long")
+    t.append(df2)
+    export_iceberg_table(t, dest)
+
+    md = json.load(
+        open(os.path.join(dest, "metadata", "v2.metadata.json"))
+    )
+    ids = sorted(s["schema-id"] for s in md["schemas"])
+    assert ids == [0, 1]
+    assert md["current-snapshot-id"] == md["snapshots"][-1]["snapshot-id"]
+    assert md["snapshots"][0]["schema-id"] == 0
+    assert md["snapshots"][-1]["schema-id"] == 1
+    # stable field ids: the evolved schema keeps id/v at 1/2, extra at 3
+    new_schema = next(s for s in md["schemas"] if s["schema-id"] == 1)
+    assert [(f["name"], f["id"]) for f in new_schema["fields"]] == [
+        ("id", 1), ("v", 2), ("extra", 3),
+    ]
+    # current read sees the new column; time travel reads the old schema
+    cur = read_iceberg_table(spark, dest)
+    assert "extra" in cur.columns and cur.count() == 3
+    old = read_iceberg_table(
+        spark, dest, md["snapshots"][0]["snapshot-id"]
+    )
+    assert old.columns == ["id", "v"] and old.count() == 2
+
+
+def test_export_republish_same_schema_reuses_id(spark, warehouse, tmp_path):
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = cat.create_table("ice", "same_t", df.schema, identifier_fields=["id"])
+    t.append(df)
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    export_iceberg_table(t, dest)
+    md = json.load(open(os.path.join(dest, "metadata", "v2.metadata.json")))
+    assert [s["schema-id"] for s in md["schemas"]] == [0]
