@@ -280,3 +280,25 @@ def test_branch_commits_share_the_lineage_counter(spark, tmp_path):
     ids = sorted(r[ROW_ID_COL] for r in rows)
     assert len(ids) == len(set(ids)) == 3
     assert min(ids) == 0 and max(ids) >= 2
+
+
+def test_v2_to_v3_upgrade_starts_lineage(spark, tmp_path):
+    """Operational upgrade path: flipping format-version on a live v2
+    table starts id assignment at the next commit; pre-upgrade rows stay
+    null until a rewrite materializes nothing for them (spec: ids are
+    assigned on upgrade lazily — surfacing null is the honest reading
+    without rewriting history)."""
+    t = _mk(tmp_path, fv="2")
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.update_properties(**{"format-version": "3"})
+    t.append(_df(spark, [(3, "c")]))
+    rows = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    assert rows[1][ROW_ID_COL] is None and rows[2][ROW_ID_COL] is None
+    assert rows[3][ROW_ID_COL] == 0          # counter starts at upgrade
+    assert t.metadata().next_row_id == 1
+    # post-upgrade commits keep counting
+    t.append(_df(spark, [(4, "d"), (5, "e")]))
+    rows = {r.id: r for r in t.to_df(spark, lineage=True).collect()}
+    assert sorted(
+        r[ROW_ID_COL] for r in rows.values() if r[ROW_ID_COL] is not None
+    ) == [0, 1, 2]

@@ -575,3 +575,53 @@ def test_interval_join_left_outer_batch(spark):
     by_user = {r.user_id: r.purchase_ts for r in out}
     assert by_user[1] is not None
     assert by_user[2] is None            # unmatched click null-extends
+
+
+def test_interval_join_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stream-stream join across a stop/restart on the same checkpoint:
+    already-emitted pairs must not re-emit, and pairs completed by
+    post-restart arrivals must appear exactly once."""
+    import os
+
+    from debezium_server_iceberg_spark.streaming.windows import interval_join
+
+    cdir, pdir = str(tmp_path / "c3"), str(tmp_path / "p3")
+    ckpt = str(tmp_path / "ck3")
+    os.makedirs(cdir), os.makedirs(pdir)
+
+    def write_json(d, name, rows, cols):
+        with open(os.path.join(d, name), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(dict(zip(cols, r))) + "\n")
+
+    write_json(cdir, "b1.jsonl", [(1, "2026-01-01T10:00:00")],
+               ["user_id", "click_ts"])
+    write_json(pdir, "b1.jsonl", [(1, "2026-01-01T10:10:00")],
+               ["user_id", "purchase_ts"])
+
+    def start():
+        cs = spark.readStream.schema("user_id long, click_ts timestamp").json(cdir)
+        ps = spark.readStream.schema("user_id long, purchase_ts timestamp").json(pdir)
+        j = interval_join(cs, ps).select("l.user_id", "click_ts", "purchase_ts")
+        return (
+            j.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    # restart on the same checkpoint with a NEW purchase matching the
+    # already-buffered click
+    write_json(pdir, "b2.jsonl", [(1, "2026-01-01T10:20:00")],
+               ["user_id", "purchase_ts"])
+    q2 = start()
+    q2.awaitTermination(120)
+    out = spark.read.schema(
+        "user_id long, click_ts timestamp, purchase_ts timestamp"
+    ).parquet(str(tmp_path / "out")).collect()
+    times = sorted(r.purchase_ts.minute for r in out)
+    assert times == [10, 20]          # each pair exactly once
