@@ -100,3 +100,70 @@ def test_full_cdc_soak_three_waves(spark, warehouse):
     )
     assert mism.count() == 0
     assert live.count() == n_orders - expect_dead
+
+
+import random as _random
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fv", ["2", "3"])
+@_pytest.mark.parametrize("seed", [11, 47])
+def test_random_batch_lifecycle_matches_model(spark, tmp_path, fv, seed):
+    """Model-based soak: random CDC batch sequences applied through the
+    real merge path (v2 equality / v3 position deletes) with compaction
+    and delete-materialization mixed in must equal a plain dict replay of
+    upsert/delete semantics; on v3 the row-id uniqueness invariant must
+    hold throughout."""
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        ROW_ID_COL,
+        LakeTable,
+    )
+    from debezium_server_iceberg_spark.operators.dedup import dedup_batch
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    rng = _random.Random(seed)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / f"t{fv}"), schema, identifier_fields=["id"],
+        properties={"format-version": fv},
+    )
+    model: dict[int, str] = {}
+    for batch_no in range(5):
+        rows = []
+        for i in range(rng.randint(1, 12)):
+            key = rng.randint(0, 15)
+            op = rng.choice(["c", "u", "u", "d"])
+            val = f"b{batch_no}v{i}"
+            rows.append((key, val, op, batch_no * 100 + i))
+        src = spark.createDataFrame(
+            rows, "id long, val string, __op string, __source_ts_ms long"
+        )
+        deduped = dedup_batch(src, ["id"], dedup_column="__source_ts_ms")
+        merge_into(t, deduped, keep_deletes=False)
+        # replay the same semantics on the model: last event per key wins
+        last = {}
+        for key, val, op, ts in rows:
+            if key not in last or ts >= last[key][2]:
+                last[key] = (val, op, ts)
+        for key, (val, op, _) in last.items():
+            if op == "d":
+                model.pop(key, None)
+            else:
+                model[key] = val
+        if batch_no == 2:
+            t.compact(spark, target_file_bytes=512 * 1024 * 1024, min_input_files=2)
+        if batch_no == 3:
+            t.materialize_deletes(spark)
+        got = {r.id: r.val for r in t.to_df(spark).collect()}
+        assert got == model, f"batch {batch_no} diverged"
+        if fv == "3":
+            ids = [r[ROW_ID_COL] for r in t.to_df(spark, lineage=True).collect()]
+            assert len(ids) == len(set(ids)) and None not in ids
