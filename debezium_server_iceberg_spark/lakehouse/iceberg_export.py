@@ -402,8 +402,12 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
                     continue
                 p = e["data_file"]["file_path"]
                 if m.get("content", 0) == 0:
-                    prev_seq_by_path[p] = e.get("sequence_number") or 1
-                    prev_snap_by_path[p] = e.get("snapshot_id") or snapshot_id
+                    # explicit None checks: sequence number 0 is legal
+                    # (v1->v2 upgrades assign it) and must not be coerced
+                    es = e.get("sequence_number")
+                    prev_seq_by_path[p] = es if es is not None else 1
+                    sid0 = e.get("snapshot_id")
+                    prev_snap_by_path[p] = sid0 if sid0 is not None else snapshot_id
                 else:
                     prev_delete_by_path[p] = e
 
@@ -416,20 +420,24 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     # detects carried delete files by path, like data files.
     data_dir = os.path.join(dest, "data")
     cur_paths = {os.path.abspath(f.path) for f in files}
-    new_deletes = []
-    for d in deletes:
-        out_path = os.path.abspath(
+    # the naming scheme lives in ONE place: content-addressed by the
+    # engine delete file's name, so carried/new detection is by path
+    out_by_src = {
+        d.path: os.path.abspath(
             os.path.join(
                 data_dir,
                 "deletes-"
-                + hashlib.md5(
-                    os.path.basename(d.path).encode()
-                ).hexdigest()
+                + hashlib.md5(os.path.basename(d.path).encode()).hexdigest()
                 + ".parquet",
             )
         )
-        if out_path not in prev_delete_by_path:
-            new_deletes.append((d, out_path))
+        for d in deletes
+    }
+    new_deletes = [
+        (d, out_by_src[d.path])
+        for d in deletes
+        if out_by_src[d.path] not in prev_delete_by_path
+    ]
     prev_last_seq = prev_doc["last-sequence-number"] if prev_doc else 0
     new_engine_seqs = sorted(
         {f.seq for f in files if os.path.abspath(f.path) not in prev_seq_by_path}
@@ -439,23 +447,10 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         es: prev_last_seq + i + 1 for i, es in enumerate(new_engine_seqs)
     }
     seq = prev_last_seq + max(1, len(new_engine_seqs))
-    delete_paths = {
-        os.path.abspath(
-            os.path.join(
-                data_dir,
-                "deletes-"
-                + hashlib.md5(
-                    os.path.basename(d.path).encode()
-                ).hexdigest()
-                + ".parquet",
-            )
-        )
-        for d in deletes
-    }
     operation = (
         "append"
         if set(prev_seq_by_path) <= cur_paths
-        and set(prev_delete_by_path) <= delete_paths
+        and set(prev_delete_by_path) <= set(out_by_src.values())
         else "overwrite"
     )
 
@@ -476,8 +471,32 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     )
     if match is not None:
         schema_id = match["schema-id"]
+        schema_json = match  # manifests embed the id-consistent schema
         schemas = prev_schemas
     else:
+        # Iceberg forbids reusing a field id for a DIFFERENT column: the
+        # fresh pre-order id walk only stays stable under union-by-name
+        # add + widen (the engine's own evolution rule).  A drop/rename/
+        # reorder would silently alias old ids to new columns across
+        # snapshots — refuse instead.
+        def _ids(fields: list, acc: dict) -> dict:
+            for f in fields:
+                acc[f["id"]] = f["name"]
+                t = f["type"]
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    _ids(t["fields"], acc)
+            return acc
+
+        new_by_id = _ids(schema_json["fields"], {})
+        for s in prev_schemas:
+            for fid, fname in _ids(s["fields"], {}).items():
+                other = new_by_id.get(fid)
+                if other is not None and other != fname:
+                    raise ValueError(
+                        f"schema evolution reuses field id {fid} for "
+                        f"{other!r} (was {fname!r}); only add/widen "
+                        "evolution is exportable"
+                    )
         schema_id = max((s["schema-id"] for s in prev_schemas), default=-1) + 1
         schema_json = dict(schema_json, **{"schema-id": schema_id})
         schemas = prev_schemas + [schema_json]
@@ -539,14 +558,7 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         os.makedirs(data_dir, exist_ok=True)
     new_delete_paths = {out for _, out in new_deletes}
     for d in deletes:
-        out_path = os.path.abspath(
-            os.path.join(
-                data_dir,
-                "deletes-"
-                + hashlib.md5(os.path.basename(d.path).encode()).hexdigest()
-                + ".parquet",
-            )
-        )
+        out_path = out_by_src[d.path]
         carried = out_path not in new_delete_paths
         if not carried:
             if d.content == "position":
@@ -558,19 +570,13 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
         else:
             rows = prev_delete_by_path[out_path]["data_file"]["record_count"]
         prev_e = prev_delete_by_path.get(out_path)
-        dseq = (
-            (prev_e.get("sequence_number") or 1)
-            if prev_e
-            else seqmap.get(d.seq, seq)
-        )
+        prev_seq = prev_e.get("sequence_number") if prev_e else None
+        dseq = prev_seq if prev_seq is not None else seqmap.get(d.seq, seq)
+        prev_sid = prev_e.get("snapshot_id") if prev_e else None
         delete_entries.append(
             {
                 "status": 0 if carried else 1,
-                "snapshot_id": (
-                    (prev_e.get("snapshot_id") or snapshot_id)
-                    if prev_e
-                    else snapshot_id
-                ),
+                "snapshot_id": prev_sid if prev_sid is not None else snapshot_id,
                 "sequence_number": dseq,
                 "file_sequence_number": dseq,
                 "data_file": {
@@ -784,7 +790,13 @@ def read_iceberg_table(
             if e["status"] not in (0, 1):  # 2 = DELETED
                 continue
             df_rec = e["data_file"]
-            eseq = e.get("sequence_number") or m.get("sequence_number") or 1
+            # explicit None checks: sequence number 0 is a legal value
+            # (v1->v2 upgraded files) and must not fall through the chain
+            eseq = e.get("sequence_number")
+            if eseq is None:
+                eseq = m.get("sequence_number")
+            if eseq is None:
+                eseq = 1
             content = df_rec.get("content", 0)
             if content == 0:
                 data_files.append((df_rec["file_path"], eseq))
@@ -807,25 +819,37 @@ def read_iceberg_table(
     # _metadata.file_path is a URI ("file:/a/b" locally, "file:///a/b" or
     # "s3://bucket/a/b" elsewhere); manifests record plain absolute paths —
     # normalize both to "/"-rooted form
-    norm_path = F.concat(
-        F.lit("/"),
-        F.regexp_replace(F.col("_metadata.file_path"), "^([a-zA-Z]+:)?/+", ""),
-    )
-    df = df.withColumn("_fpath", norm_path).withColumn(
+    def _norm(col: F.Column) -> F.Column:
+        return F.concat(
+            F.lit("/"), F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
+        )
+
+    df = df.withColumn("_fpath", _norm(F.col("_metadata.file_path"))).withColumn(
         "_pos", F.col("_metadata.row_index")
     )
     if pos_deletes:
-        pd = spark.read.schema("file_path string, pos long").parquet(
-            *[p for p, _ in pos_deletes]
+        # alias + normalize the delete side: real Iceberg writers may record
+        # URI-form paths, and a user column named "pos"/"file_path" must not
+        # make the join condition ambiguous
+        pd = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[p for p, _ in pos_deletes])
+            .select(
+                _norm(F.col("file_path")).alias("_del_fp"),
+                F.col("pos").alias("_del_pos"),
+            )
         )
         df = df.join(
             F.broadcast(pd),
-            (F.col("_fpath") == F.col("file_path")) & (F.col("_pos") == F.col("pos")),
+            (F.col("_fpath") == F.col("_del_fp"))
+            & (F.col("_pos") == F.col("_del_pos")),
             "left_anti",
         )
     if eq_deletes:
         id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
-        smap = spark.createDataFrame(data_files, "_fpath2 string, _dataseq long")
+        smap = spark.createDataFrame(
+            data_files, "_fpath2 string, _dataseq long"
+        ).select(_norm(F.col("_fpath2")).alias("_fpath2"), "_dataseq")
         df = df.join(
             F.broadcast(smap), F.col("_fpath") == F.col("_fpath2")
         ).drop("_fpath2")
@@ -838,7 +862,7 @@ def read_iceberg_table(
         for ids, group in by_ids.items():
             cols = [id_to_name[i] for i in ids]
             key_schema = T.StructType(
-                [f for f in iceberg_schema_to_spark(schema_json).fields if f.name in cols]
+                [f for f in spark_schema.fields if f.name in cols]
             )
             dmap = spark.createDataFrame(
                 [(os.path.basename(p), s) for p, s in group],

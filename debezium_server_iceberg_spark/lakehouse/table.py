@@ -1600,18 +1600,23 @@ def _auto_write_partitions(df: DataFrame, meta: TableMetadata) -> int | None:
     default fan-out)."""
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # Catalyst reports ~Long.Max for plans with unknown stats (e.g.
+        # local relations, some cached plans) — treat as unknown and let
+        # AQE's shuffle coalescing pick the fan-out instead of pinning
+        # the cap
+        if est <= 0 or est >= 1 << 60:
+            return None
+        target = int(
+            meta.properties.get(
+                "write.target-file-size-bytes", 512 * 1024 * 1024
+            )
+        )
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(1, min(-(-est // target), cap))
     except Exception:
+        # contract: sizing unavailable (unreachable JVM stats, non-numeric
+        # confs like shuffle.partitions='auto') -> None, never a crash
         return None
-    # Catalyst reports ~Long.Max for plans with unknown stats (e.g. local
-    # relations, some cached plans) — treat as unknown and let AQE's
-    # shuffle coalescing pick the fan-out instead of pinning the cap
-    if est <= 0 or est >= 1 << 60:
-        return None
-    target = int(
-        meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
-    )
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(1, min(-(-est // target), cap))
 
 
 def _uniquify_staged(staging: str) -> None:

@@ -479,3 +479,23 @@ def test_export_republish_same_schema_reuses_id(spark, warehouse, tmp_path):
     export_iceberg_table(t, dest)
     md = json.load(open(os.path.join(dest, "metadata", "v2.metadata.json")))
     assert [s["schema-id"] for s in md["schemas"]] == [0]
+
+
+def test_export_refuses_field_id_reuse(spark, warehouse, tmp_path):
+    """Non-additive engine evolution (drop+add reusing a position) would
+    alias an old Iceberg field id to a different column — the export
+    refuses instead of emitting conflicting schemas."""
+    from pyspark.sql import types as T
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = cat.create_table("ice", "conflict_t", df.schema, identifier_fields=["id"])
+    t.append(df)
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    renamed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("w", T.StringType())]
+    )
+    t.update_schema(renamed)
+    with pytest.raises(ValueError, match="reuses field id"):
+        export_iceberg_table(t, dest)
