@@ -77,6 +77,36 @@ class LakeCatalog:
         if os.path.exists(loc):
             shutil.rmtree(loc)
 
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> LakeTable:
+        """Iceberg's Catalog.renameTable: move the table to a new
+        identifier.  File paths in manifests and metadata are absolute,
+        so the directory move is followed by a driver-side JSON rewrite of
+        every metadata/manifest file (planning-scale work — O(manifests),
+        no data file is touched or copied).  Not safe against a writer
+        committing mid-rename (real Iceberg renames are catalog-pointer
+        swaps; a filesystem catalog cannot do better than move+rewrite)."""
+        src = self._loc(namespace, name)
+        if not LakeTable.exists(src):
+            raise NoSuchTableError(f"{namespace}.{name}")
+        dst = self._loc(new_namespace, new_name)
+        if os.path.exists(dst):
+            raise FileExistsError(f"{new_namespace}.{new_name} already exists")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+        old_abs, new_abs = os.path.abspath(src), os.path.abspath(dst)
+        meta_dir = os.path.join(dst, "metadata")
+        for fn in os.listdir(meta_dir):
+            if not fn.endswith(".json"):
+                continue
+            p = os.path.join(meta_dir, fn)
+            with open(p) as fh:
+                text = fh.read()
+            with open(p, "w") as fh:
+                fh.write(text.replace(old_abs, new_abs))
+        return LakeTable(dst)
+
     def list_tables(self, namespace: str) -> list[str]:
         ns = os.path.join(self.warehouse, namespace)
         if not os.path.isdir(ns):

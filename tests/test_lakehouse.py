@@ -256,3 +256,32 @@ def test_remove_orphan_files(spark, warehouse):
         t.to_df(spark, snapshot_id=s.snapshot_id).count()
     # second pass: nothing left to reclaim (young still inside grace)
     assert t.remove_orphan_files(older_than_seconds=3600) == []
+
+
+def test_rename_table_preserves_contents_and_history(spark, tmp_path):
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "id long, v string")
+    t = cat.create_table("a", "orig", df.schema, identifier_fields=["id"])
+    t.append(df)
+    upd = spark.createDataFrame([(3, "X", "u")], "id long, v string, __op string")
+    merge_into(t, upd)       # leaves a live MoR delete file
+    before = {r.id: r.v for r in t.to_df(spark).collect()}
+
+    t2 = cat.rename_table("a", "orig", "b", "moved")
+    assert not cat.table_exists("a", "orig")
+    assert cat.table_exists("b", "moved")
+    after = {r.id: r.v for r in t2.to_df(spark).collect()}
+    assert after == before and after[3] == "X"
+    # history (time travel) survives the move
+    assert len(t2.metadata().snapshots) == 2
+    assert t2.to_df(spark, snapshot_id=1).count() == 8
+    # and the renamed table still accepts commits
+    t2.append(spark.createDataFrame([(100, "new")], "id long, v string"))
+    assert t2.to_df(spark).count() == 9
+
+    import pytest as _p
+    with _p.raises(FileExistsError):
+        cat.create_table("b", "moved", df.schema)
