@@ -286,3 +286,47 @@ def kmeans_lloyd_step(
         F.round(F.avg("_d2"), 4).alias("avg_dist2"),
         F.round(F.avg(F.element_at("_v", 1)), 4).alias("centroid_c1"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Exact global rank over (value, id) WITHOUT a single-partition
+    window — the curriculum-ordering primitive (sort a corpus by quality
+    and shard it) that Spark's ``row_number() OVER (ORDER BY ...)``
+    cannot give you at scale because an un-partitioned window collapses
+    every row into one task.
+
+    Two-level decomposition, all JVM-side:
+
+    1. per-VALUE counts (one partial-aggregated groupBy) → a running
+       offset per distinct value via a window over the distinct-value
+       relation — single-partition, but its row count is the number of
+       DISTINCT values (a quality score rounded to 4 decimals has ≤10^4
+       of them at any corpus size), not the corpus;
+    2. intra-value rank: ``row_number`` partitioned BY the value —
+       distributed across values; ties inside one value order by the id.
+
+    ``rank = value_offset + intra_rank`` is exactly the rank the global
+    window would produce (1-based, no gaps).  Skew caveat: one massive
+    tied value concentrates its intra-rank in few tasks — acceptable for
+    score-like columns, wrong tool for constant columns.
+    """
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_vals = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        F.col(value_col),
+        F.coalesce(F.sum("_n").over(w_vals), F.lit(0)).alias("_offset"),
+    )
+    w_intra = Window.partitionBy(value_col).orderBy(F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(offsets), value_col)
+        .withColumn("rank", F.col("_offset") + F.row_number().over(w_intra))
+        .drop("_offset")
+    )

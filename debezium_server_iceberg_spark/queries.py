@@ -4219,6 +4219,41 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+@_register(
+    "curriculum_rank_shards",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents
+    ), n AS (SELECT count(*) AS total FROM documents)
+    SELECT doc_id, rank,
+           CAST(floor(((rank - 1) * 8) / total) AS BIGINT) AS shard
+    FROM ranked CROSS JOIN n
+    """,
+)
+def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: exact global rank by (n_chars desc, doc_id)
+    WITHOUT a single-partition window — per-value offsets (a window over
+    the distinct-value relation only) + a value-partitioned intra-rank,
+    composed into the identical row_number the oracle's global window
+    states.  Shard assignment is pure integer math off an in-DAG total
+    count."""
+    from .functions.curation import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(docs, "n_chars", descending=True)
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "rank",
+            F.floor((F.col("rank") - 1) * 8 / F.col("_total")).alias("shard"),
+        )
+    )
+
+
 # =====================================================================
 # public surface
 # =====================================================================

@@ -131,3 +131,32 @@ def test_kmeans_step_tie_breaks_to_lower_centroid(spark):
     out = {r.cluster_id: r for r in kmeans_lloyd_step(df, k=2).collect()}
     assert out[0].n_members == 2  # seeds 0 and the tied point 2
     assert out[1].n_members == 1
+
+
+def test_global_rank_matches_window(spark):
+    from debezium_server_iceberg_spark.functions.curation import global_rank
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, "x", "en", "web", (i * 7) % 5 + 10) for i in range(200)]
+    df = _docs(spark, rows).select("doc_id", "n_chars")
+    got = {
+        r.doc_id: r.rank for r in global_rank(df, "n_chars").collect()
+    }
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    want = {
+        r.doc_id: r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_ascending_and_dense(spark):
+    from debezium_server_iceberg_spark.functions.curation import global_rank
+
+    rows = [(i, "x", "en", "web", v) for i, v in enumerate([5, 3, 5, 1])]
+    df = _docs(spark, rows).select("doc_id", "n_chars")
+    got = sorted(
+        (r.rank, r.doc_id) for r in global_rank(df, "n_chars", descending=False).collect()
+    )
+    # value 1 -> rank 1 (doc 3); value 3 -> rank 2 (doc 1); ties on 5 by id
+    assert got == [(1, 3), (2, 1), (3, 0), (4, 2)]

@@ -219,3 +219,14 @@ def test_kmeans_step_broadcasts_centroids(spark, fns):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_curriculum_rank_never_single_partitions_the_corpus(spark, fns):
+    # exact global rank must come from the two-level decomposition: the
+    # only single-partition exchanges are over the distinct-value relation
+    # and the 1-row total; the corpus flows through hash partitions only
+    # and is never globally sorted
+    plan = _plan(fns["curriculum_rank_shards"](spark, SF))
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
