@@ -1,4 +1,5 @@
 from .curation import (
+    global_rank,
     gopher_rules,
     kmeans_lloyd_step,
     length_histogram,
@@ -57,4 +58,5 @@ __all__ = [
     "temperature_mixture",
     "length_histogram",
     "kmeans_lloyd_step",
+    "global_rank",
 ]
