@@ -317,7 +317,9 @@ def _rewrite_equality_delete(
 # ------------------------------------------------------------------ export
 
 
-def export_iceberg_table(table: LakeTable, dest: str) -> str:
+def export_iceberg_table(
+    table: LakeTable, dest: str, degrade_partitions: bool = False
+) -> str:
     """Publish ``table``'s current snapshot as an Iceberg v2 table rooted at
     ``dest`` (metadata-only: data file paths point at the engine's parquet
     files in place, the same absolute-path model Iceberg itself uses).
@@ -329,7 +331,15 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     the superseded metadata file in ``metadata-log``, and bumps
     ``version-hint.text`` last — so an external reader mid-publish still
     loads a complete table, and time travel across publishes works.
-    Returns the path of the written metadata file."""
+    Returns the path of the written metadata file.
+
+    Non-identity partition transforms cannot export faithfully: the
+    engine's bucket is xxhash64 while Iceberg's is murmur3, so per-file
+    partition values would LIE to external partition pruning.  Default is
+    to refuse; ``degrade_partitions=True`` exports such tables with an
+    UNPARTITIONED spec instead — contents stay exactly right, external
+    readers just scan without partition pruning, and the true engine
+    layout is recorded in the ``engine.partition-spec`` table property."""
     meta = table.metadata()
     deletes = table.current_deletes()
     files = table.current_files()
@@ -340,14 +350,29 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
     # identity partition specs export with typed per-file partition values
     # (transforms would need typed transform-result reconstruction from the
     # engine's path-encoded values — refused rather than approximated)
+    degraded_spec = ""
+    part_spec = list(meta.partition_spec)
+    if degrade_partitions and any(
+        pf.transform != "identity" for pf in part_spec
+    ):
+        degraded_spec = ", ".join(
+            pf.spec_string if hasattr(pf, "spec_string") else
+            (pf.source if pf.transform == "identity"
+             else f"{pf.transform}({pf.param}, {pf.source})"
+             if pf.param is not None
+             else f"{pf.transform}({pf.source})")
+            for pf in part_spec
+        )
+        part_spec = []
     spec_fields_json: list[dict] = []
     part_avro_fields: list[dict] = []
     part_readers: list[tuple[str, str, type]] = []  # (engine key, name, conv)
-    for i, pf in enumerate(meta.partition_spec):
+    for i, pf in enumerate(part_spec):
         if pf.transform != "identity":
             raise ValueError(
                 f"iceberg export supports identity partitions only, got "
-                f"{pf.transform!r} on {pf.source!r}"
+                f"{pf.transform!r} on {pf.source!r} "
+                "(degrade_partitions=True exports unpartitioned)"
             )
         src = next(f for f in schema_json["fields"] if f["name"] == pf.source)
         if src["type"] not in ("int", "long", "string"):
@@ -733,7 +758,10 @@ def export_iceberg_table(table: LakeTable, dest: str) -> str:
             if sort_fields
             else [{"order-id": 0, "fields": []}]
         ),
-        "properties": dict(meta.properties),
+        "properties": dict(
+            meta.properties,
+            **({"engine.partition-spec": degraded_spec} if degraded_spec else {}),
+        ),
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
         "snapshots": prev_snapshots + [new_snapshot],

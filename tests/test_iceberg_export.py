@@ -499,3 +499,28 @@ def test_export_refuses_field_id_reuse(spark, warehouse, tmp_path):
     t.update_schema(renamed)
     with pytest.raises(ValueError, match="reuses field id"):
         export_iceberg_table(t, dest)
+
+
+def test_export_degraded_partitions_unpartitioned_spec(spark, warehouse, tmp_path):
+    """Transform-partitioned tables (engine xxhash64 bucket != Iceberg
+    murmur3) export as an UNPARTITIONED Iceberg spec when opted in —
+    contents exact, pruning degraded, true layout recorded in a table
+    property."""
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id long, v string"
+    )
+    t = cat.create_table(
+        "ice", "bucketed_t", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id)",
+    )
+    t.append(df)
+    dest = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="degrade_partitions"):
+        export_iceberg_table(t, dest)
+    export_iceberg_table(t, dest, degrade_partitions=True)
+    md = json.load(open(os.path.join(dest, "metadata", "v1.metadata.json")))
+    assert md["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert md["properties"]["engine.partition-spec"] == "bucket(4, id)"
+    got = sorted(r["id"] for r in read_iceberg_table(spark, dest).collect())
+    assert got == list(range(12))
