@@ -356,11 +356,13 @@ def export_iceberg_table(
         pf.transform != "identity" for pf in part_spec
     ):
         degraded_spec = ", ".join(
-            pf.spec_string if hasattr(pf, "spec_string") else
-            (pf.source if pf.transform == "identity"
-             else f"{pf.transform}({pf.param}, {pf.source})"
-             if pf.param is not None
-             else f"{pf.transform}({pf.source})")
+            pf.source
+            if pf.transform == "identity"
+            else (
+                f"{pf.transform}({pf.param}, {pf.source})"
+                if pf.param is not None
+                else f"{pf.transform}({pf.source})"
+            )
             for pf in part_spec
         )
         part_spec = []
