@@ -772,7 +772,11 @@ def export_iceberg_table(
     }
     version = prev_version + 1
     md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    with open(md_path, "w") as fh:
+    # O_EXCL: two concurrent publishes race for the same version number —
+    # the loser fails loudly instead of clobbering (same optimistic
+    # protocol as the engine's own metadata commits)
+    fd = os.open(md_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as fh:
         json.dump(doc, fh, indent=1)
     # hint write is last: readers mid-publish load the previous complete
     # version (Iceberg's version-hint protocol)

@@ -308,6 +308,7 @@ class ChangeConsumer:
         table_name: str,
         dest: str,
         materialize: bool = False,
+        degrade_partitions: bool = False,
     ) -> str:
         """Publish an engine-written table as a REAL Iceberg v2 table
         (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
@@ -323,7 +324,9 @@ class ChangeConsumer:
         table = self.catalog.load_table(self.config.iceberg.namespace, table_name)
         if materialize and table.current_deletes():
             table.materialize_deletes(spark)
-        return export_iceberg_table(table, dest)
+        return export_iceberg_table(
+            table, dest, degrade_partitions=degrade_partitions
+        )
 
     # -------------------------------------------------------- streaming path
 
