@@ -330,3 +330,41 @@ def global_rank(
         .withColumn("rank", F.col("_offset") + F.row_number().over(w_intra))
         .drop("_offset")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean negative
+    log2 probability under the corpus's own unigram distribution — the
+    cheap stand-in for LM-perplexity bucketing in data pipelines (low
+    score = typical text, high = gibberish/outlier vocabulary).
+
+    ``score = -(1/n) * sum(log2(count(tok) / total_tokens))`` over the
+    document's tokens, rounded to 4 (double sum-order noise).
+
+    Scale: one explode + partial-aggregated groupBy builds the unigram
+    table (rows = vocabulary size, not corpus size); the per-token join
+    back is keyed on the token (AQE broadcasts a small vocabulary); the
+    final per-doc aggregation shuffles one row per (doc, partition).
+    Everything stays in codegen'd built-ins — the log-prob arithmetic is
+    a column expression, not a UDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_tok")
+    )
+    counts = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    scored = (
+        toks.join(counts, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log2(F.col("_cnt").cast("double") / F.col("_total").cast("double"))
+             ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_nll"), 4).alias("mean_neg_log2_prob"),
+    )

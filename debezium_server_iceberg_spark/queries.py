@@ -4220,6 +4220,35 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "unigram_logprob_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-log2(CAST(c.cnt AS DOUBLE) / CAST(total.total AS DOUBLE))), 4)
+             AS mean_neg_log2_prob
+    FROM toks t JOIN counts c USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality bucketing: mean -log2 unigram probability
+    per document under the corpus's own distribution — unigram table is
+    vocabulary-sized, log-prob arithmetic is codegen'd columns, and the
+    oracle replays the identical computation."""
+    from .functions.curation import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "curriculum_rank_shards",
     """
     WITH ranked AS (

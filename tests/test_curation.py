@@ -160,3 +160,17 @@ def test_global_rank_ascending_and_dense(spark):
     )
     # value 1 -> rank 1 (doc 3); value 3 -> rank 2 (doc 1); ties on 5 by id
     assert got == [(1, 3), (2, 1), (3, 0), (4, 2)]
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from debezium_server_iceberg_spark.functions.curation import (
+        unigram_logprob_score,
+    )
+
+    common = " ".join(["the"] * 20)
+    rare = "zyzzyva qwertyuiop"
+    df = _docs(spark, [_d(1, common), _d(2, common), _d(3, rare)])
+    out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert out[3].mean_neg_log2_prob > out[1].mean_neg_log2_prob
+    assert out[1].mean_neg_log2_prob == out[2].mean_neg_log2_prob
+    assert out[3].n_tokens == 2
