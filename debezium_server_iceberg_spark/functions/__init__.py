@@ -5,6 +5,7 @@ from .curation import (
     length_histogram,
     segment_dedup,
     temperature_mixture,
+    unigram_logprob_score,
 )
 from .dedup import (
     exact_dedup,
@@ -59,4 +60,5 @@ __all__ = [
     "length_histogram",
     "kmeans_lloyd_step",
     "global_rank",
+    "unigram_logprob_score",
 ]
