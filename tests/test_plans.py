@@ -230,3 +230,12 @@ def test_curriculum_rank_never_single_partitions_the_corpus(spark, fns):
     assert plan.count("Exchange SinglePartition") <= 2
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_is_vocab_sized_aggregation(spark, fns):
+    # unigram table built by partial aggregation; the token join must not
+    # be a cartesian product and the log-prob math stays in-plan
+    plan = _plan(fns["unigram_logprob_docs"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "LOG2" in plan.upper()
