@@ -524,3 +524,38 @@ def test_export_degraded_partitions_unpartitioned_spec(spark, warehouse, tmp_pat
     assert md["properties"]["engine.partition-spec"] == "bucket(4, id)"
     got = sorted(r["id"] for r in read_iceberg_table(spark, dest).collect())
     assert got == list(range(12))
+
+
+def test_reader_handles_uri_form_paths(spark, warehouse, tmp_path):
+    """Real Iceberg writers record file: / s3: URIs in manifests and
+    position-delete files; the reader must normalize both sides of the
+    delete joins, or deleted rows silently resurface."""
+    from debezium_server_iceberg_spark.lakehouse.avro_io import write_container
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "uri_t", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame([(4, "u", "u")], "id long, v string, __op string")
+    merge_into(t, upd, mode="merge-on-read", delete_style="position")
+    dest = str(tmp_path / "x")
+    export_iceberg_table(t, dest)
+    baseline = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    assert baseline[4] == "u" and len(baseline) == 6
+
+    # rewrite every manifest entry's file_path into file:// URI form
+    meta_dir = os.path.join(dest, "metadata")
+    md = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    _, manifests, _ = read_container(md["snapshots"][-1]["manifest-list"])
+    for m in manifests:
+        schema, entries, meta_kv = read_container(m["manifest_path"])
+        for e in entries:
+            e["data_file"]["file_path"] = "file://" + e["data_file"]["file_path"]
+        os.remove(m["manifest_path"])
+        write_container(m["manifest_path"], schema, entries, metadata=meta_kv)
+
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    assert got == baseline
