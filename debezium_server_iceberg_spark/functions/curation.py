@@ -325,10 +325,14 @@ def global_rank(
         F.coalesce(F.sum("_n").over(w_vals), F.lit(0)).alias("_offset"),
     )
     w_intra = Window.partitionBy(value_col).orderBy(F.col(id_col).asc())
+    # eqNullSafe join: a plain name-join drops NULL-valued rows while a
+    # row_number window would rank them — NULLs group together here and
+    # take the window's NULL position (asc_nulls_first / desc_nulls_last).
+    offsets = offsets.withColumnRenamed(value_col, "_rank_val")
     return (
-        df.join(F.broadcast(offsets), value_col)
+        df.join(F.broadcast(offsets), F.col(value_col).eqNullSafe(F.col("_rank_val")))
         .withColumn("rank", F.col("_offset") + F.row_number().over(w_intra))
-        .drop("_offset")
+        .drop("_offset", "_rank_val")
     )
 
 

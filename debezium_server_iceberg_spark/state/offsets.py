@@ -44,7 +44,9 @@ class OffsetStore:
     def load(self, spark: SparkSession, store_id: str = "offsets") -> dict[str, str]:
         """Full scan; expects <=1 row per store id
         (IcebergOffsetBackingStore.java:232-258)."""
-        rows = self.table.to_df(spark).filter(f"id = '{store_id}'").collect()
+        from pyspark.sql import functions as F
+
+        rows = self.table.to_df(spark).filter(F.col("id") == F.lit(store_id)).collect()
         if not rows:
             return {}
         if len(rows) > 1:

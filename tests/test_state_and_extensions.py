@@ -38,6 +38,17 @@ def test_offset_store_roundtrip_overwrite(spark, warehouse):
     ]
 
 
+def test_offset_store_id_with_quote(spark, warehouse):
+    # store ids go through a column expression, not an f-string predicate —
+    # a quote (or any SQL metachar) in the id must not break the filter
+    cat = LakeCatalog(warehouse)
+    store = OffsetStore(cat, "state")
+    weird = "o'connor; drop--"
+    store.save(spark, {"lsn": "7"}, store_id=weird)
+    assert store.load(spark, store_id=weird) == {"lsn": "7"}
+    assert store.load(spark, store_id="missing") == {}
+
+
 def test_schema_history_append_and_recover(spark, warehouse):
     cat = LakeCatalog(warehouse)
     store = SchemaHistoryStore(cat, "state")

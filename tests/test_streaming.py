@@ -293,6 +293,54 @@ def test_continuous_rollup_prunes_untouched_files(spark, tmp_path):
     assert len(got) == 48
 
 
+def test_rollup_affected_files_scale_and_semantics():
+    """The driver-side pruning check must stay sub-second at 10^4 files x
+    10^3 touched buckets (binary-search grouping, not the naive double
+    loop) and agree with the scalar bounds semantics."""
+    import time
+    from types import SimpleNamespace
+
+    from debezium_server_iceberg_spark.streaming.rollup import affected_files
+
+    def mk(lo, hi, tlo, thi):
+        b = {}
+        if lo is not None:
+            b["bucket_start"] = (lo, hi)
+        if tlo is not None:
+            b["event_type"] = (tlo, thi)
+        return SimpleNamespace(bounds=b, path=f"f-{lo}-{tlo}")
+
+    # semantics: missing bounds are conservative; both dims must overlap
+    files = [
+        mk("b000", "b010", "click", "click"),
+        mk("b500", "b600", "click", "view"),
+        mk(None, None, "click", "click"),     # no bucket bounds
+        mk("b000", "b010", None, None),       # no type bounds
+        mk("b000", "b010", "view", "view"),   # type mismatch for touched set
+        mk("b990", "b999", "click", "click"), # bucket mismatch
+    ]
+    touched = [("b005", "click"), ("b550", "purchase")]
+    got = {f.path for f in affected_files(files, touched)}
+    # f-b500-click hits: "purchase" is inside the (click, view) min/max
+    # range and b550 inside (b500, b600) — bounds are ranges, not sets
+    assert got == {"f-b000-click", "f-None-click", "f-b000-None", "f-b500-click"}
+    assert affected_files(files, []) == []
+
+    # scale: 10k files x 1k touched keys
+    big_files = [
+        mk(f"b{i:06d}", f"b{i + 3:06d}", f"t{i % 37:02d}", f"t{i % 37:02d}")
+        for i in range(0, 40_000, 4)
+    ]
+    big_touched = [(f"b{i * 40 + 1:06d}", f"t{i % 37:02d}") for i in range(1000)]
+    t0 = time.monotonic()
+    hits = affected_files(big_files, big_touched)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 1.0, f"pruning took {elapsed:.2f}s at 10k x 1k"
+    # each touched key lands in exactly the file covering its bucket when
+    # the type matches; sanity: some hits, far fewer than all files
+    assert 0 < len(hits) < len(big_files) // 10
+
+
 def test_graceful_drain_commits_pending_then_stops(spark, tmp_path):
     """T9: drain() processes everything already available before stopping,
     and a restart on the same checkpoint reprocesses nothing."""
