@@ -20,8 +20,14 @@ table through the metadata chain alone — version-hint → metadata.json →
 manifest list → manifests → parquet — exactly the walk an external engine
 performs.
 
-Scope: unpartitioned or identity-partitioned tables (transform partitions
-are refused, not approximated); variant columns are refused (v2 has no
+Scope: unpartitioned, identity-partitioned AND transform-partitioned
+tables export faithfully: the engine's bucket transform is Iceberg's own
+murmur3 bucket (``murmur3.py``), and year/month/day/hour/truncate path
+values convert 1:1 to the spec's epoch-relative typed partition values,
+so external partition pruning works on published tables.  Files written
+under an OLDER engine partition spec (spec evolution) export in a
+separate manifest under an unpartitioned spec id — conservatively
+scanned, never wrongly pruned.  Variant columns are refused (v2 has no
 variant).  Merge-on-read delete files EXPORT with the data: engine
 position-delete parquet is rewritten into spec form (reserved field ids
 2147483546/2147483545, absolute paths, (path, pos) sort) and equality
@@ -314,6 +320,98 @@ def _rewrite_equality_delete(
     return t.num_rows
 
 
+# ------------------------------------------- partition transforms (export)
+
+def _days_since_epoch(iso: str) -> int:
+    import datetime as _dt
+
+    return (_dt.date.fromisoformat(iso) - _dt.date(1970, 1, 1)).days
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _export_partition_field(pf, src: dict, field_id: int):
+    """One engine PartitionField → its faithful Iceberg spec form.
+
+    Returns ``(spec_field_json, avro_type, conv)`` where ``conv`` maps the
+    engine's path-encoded partition value (what ``DataFile.partition``
+    holds) to the spec's typed partition value:
+
+    - identity: value as-is (int/long/string; date → days since epoch)
+    - year:  engine stores the calendar year → years since 1970
+    - month: engine "yyyy-MM" → months since 1970-01
+    - day:   engine "yyyy-MM-dd" → days since epoch (logical date)
+    - hour:  engine "yyyy-MM-dd-HH" (UTC session) → hours since epoch
+    - bucket: already the spec's murmur3 bucket ordinal (transforms.py)
+    - truncate: width-multiple (numeric) / prefix (string), value as-is
+
+    These are exact because the engine's path encodings are bijective with
+    the spec values (pre-1970 values map to negatives via floor math).
+    Raises ValueError for combinations the spec cannot express.
+    """
+    st, t = src["type"], pf.transform
+    sid = src["id"]
+
+    def _f(name, transform, avro, conv):
+        return (
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": sid,
+                "field-id": field_id,
+            },
+            avro,
+            conv,
+        )
+
+    if t == "identity":
+        if st in ("int", "long", "string"):
+            return _f(pf.source, "identity", st,
+                      int if st in ("int", "long") else str)
+        if st == "date":
+            return _f(pf.source, "identity",
+                      {"type": "int", "logicalType": "date"},
+                      lambda v: _days_since_epoch(str(v)))
+        raise ValueError(
+            f"identity partition on {st!r} column not exportable"
+        )
+    if t in ("year", "month", "day", "hour"):
+        if st not in ("date", "timestamp", "timestamptz"):
+            raise ValueError(f"{t} transform on {st!r} not exportable")
+        if t == "year":
+            return _f(f"{pf.source}_year", "year", "int",
+                      lambda v: int(v) - 1970)
+        if t == "month":
+            def _conv_month(v):
+                y, m = str(v).split("-")
+                return (int(y) - 1970) * 12 + int(m) - 1
+
+            return _f(f"{pf.source}_month", "month", "int", _conv_month)
+        if t == "day":
+            return _f(f"{pf.source}_day", "day",
+                      {"type": "int", "logicalType": "date"},
+                      lambda v: _days_since_epoch(str(v)))
+
+        def _conv_hour(v):
+            d, hh = str(v).rsplit("-", 1)
+            return _days_since_epoch(d) * 24 + int(hh)
+
+        return _f(f"{pf.source}_hour", "hour", "int", _conv_hour)
+    if t == "bucket":
+        # transforms.py computes the spec's murmur3 bucket, so the path
+        # value IS the Iceberg partition value
+        return _f(f"{pf.source}_bucket", f"bucket[{pf.param}]", "int", int)
+    if t == "truncate":
+        if st in ("int", "long"):
+            return _f(f"{pf.source}_trunc", f"truncate[{pf.param}]", st, int)
+        if st == "string":
+            return _f(f"{pf.source}_trunc", f"truncate[{pf.param}]",
+                      "string", str)
+        raise ValueError(f"truncate on {st!r} not exportable")
+    raise ValueError(f"unknown transform {t!r}")
+
+
 # ------------------------------------------------------------------ export
 
 
@@ -333,13 +431,19 @@ def export_iceberg_table(
     loads a complete table, and time travel across publishes works.
     Returns the path of the written metadata file.
 
-    Non-identity partition transforms cannot export faithfully: the
-    engine's bucket is xxhash64 while Iceberg's is murmur3, so per-file
-    partition values would LIE to external partition pruning.  Default is
-    to refuse; ``degrade_partitions=True`` exports such tables with an
-    UNPARTITIONED spec instead — contents stay exactly right, external
-    readers just scan without partition pruning, and the true engine
-    layout is recorded in the ``engine.partition-spec`` table property."""
+    Partition specs export FAITHFULLY, including transforms: the engine's
+    bucket is Iceberg's murmur3 bucket and the temporal/truncate path
+    encodings convert 1:1 to spec values (``_export_partition_field``),
+    so external partition pruning works on published tables.  Spec-id
+    LINEAGE is kept across publishes: a changed field set appends a new
+    spec-id (prior specs stay listed), and each manifest is stamped with
+    the spec its entries were written under.  Files laid out under an
+    older engine spec export in a separate manifest under an
+    UNPARTITIONED spec id — always scanned, never wrongly pruned.
+    ``degrade_partitions=True`` remains an escape hatch for the rare
+    spec the converter refuses (e.g. truncate on a decimal): such tables
+    export unpartitioned, contents exact, with the true engine layout
+    recorded in the ``engine.partition-spec`` table property."""
     meta = table.metadata()
     deletes = table.current_deletes()
     files = table.current_files()
@@ -347,9 +451,6 @@ def export_iceberg_table(
         meta.schema, meta.identifier_fields
     )
 
-    # identity partition specs export with typed per-file partition values
-    # (transforms would need typed transform-result reconstruction from the
-    # engine's path-encoded values — refused rather than approximated)
     degraded_spec = ""
     part_spec = list(meta.partition_spec)
     if degrade_partitions and any(
@@ -366,35 +467,6 @@ def export_iceberg_table(
             for pf in part_spec
         )
         part_spec = []
-    spec_fields_json: list[dict] = []
-    part_avro_fields: list[dict] = []
-    part_readers: list[tuple[str, str, type]] = []  # (engine key, name, conv)
-    for i, pf in enumerate(part_spec):
-        if pf.transform != "identity":
-            raise ValueError(
-                f"iceberg export supports identity partitions only, got "
-                f"{pf.transform!r} on {pf.source!r} "
-                "(degrade_partitions=True exports unpartitioned)"
-            )
-        src = next(f for f in schema_json["fields"] if f["name"] == pf.source)
-        if src["type"] not in ("int", "long", "string"):
-            raise ValueError(
-                f"identity partition on {src['type']!r} column not exportable"
-            )
-        spec_fields_json.append(
-            {
-                "name": pf.source,
-                "transform": "identity",
-                "source-id": src["id"],
-                "field-id": 1000 + i,
-            }
-        )
-        part_avro_fields.append(
-            _field(pf.source, _opt(src["type"]), 1000 + i, default_null=True)
-        )
-        part_readers.append(
-            (pf.name, pf.source, int if src["type"] in ("int", "long") else str)
-        )
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -407,6 +479,61 @@ def export_iceberg_table(
             prev_version = int(fh.read().strip())
         with open(os.path.join(meta_dir, f"v{prev_version}.metadata.json")) as fh:
             prev_doc = json.load(fh)
+
+    # ---- partition-spec lineage: reuse field ids for (source, transform)
+    # pairs any prior spec assigned (Iceberg forbids re-numbering); a field
+    # set never seen before appends a NEW spec-id, prior specs stay listed
+    # so older manifests keep meaning under external time travel
+    prev_specs = list(prev_doc.get("partition-specs", [])) if prev_doc else []
+    known_pfield_ids: dict[tuple, int] = {}
+    last_partition_id = 999
+    for s in prev_specs:
+        for fld in s["fields"]:
+            known_pfield_ids[(fld["source-id"], fld["transform"])] = fld["field-id"]
+            last_partition_id = max(last_partition_id, fld["field-id"])
+
+    spec_fields_json: list[dict] = []
+    part_avro_fields: list[dict] = []
+    part_readers: list[tuple[str, str, object]] = []  # (engine key, name, conv)
+    for pf in part_spec:
+        src = next(
+            (f for f in schema_json["fields"] if f["name"] == pf.source), None
+        )
+        if src is None:
+            raise ValueError(
+                f"partition source column {pf.source!r} not in schema"
+            )
+        # probe the transform first (its ValueError lists the reason),
+        # then commit a field id
+        try:
+            probe, _, _ = _export_partition_field(pf, src, 0)
+        except ValueError as e:
+            raise ValueError(
+                f"{e} (degrade_partitions=True exports unpartitioned)"
+            ) from None
+        key = (src["id"], probe["transform"])
+        if key in known_pfield_ids:
+            fid = known_pfield_ids[key]
+        else:
+            last_partition_id += 1
+            fid = last_partition_id
+            known_pfield_ids[key] = fid
+        fld_json, avro_type, conv = _export_partition_field(pf, src, fid)
+        spec_fields_json.append(fld_json)
+        part_avro_fields.append(
+            _field(fld_json["name"], _opt(avro_type), fid, default_null=True)
+        )
+        part_readers.append((pf.name, fld_json["name"], conv))
+
+    def _resolve_spec_id(fields: list[dict]) -> int:
+        for s in prev_specs:
+            if s["fields"] == fields:
+                return s["spec-id"]
+        sid = max((s["spec-id"] for s in prev_specs), default=-1) + 1
+        prev_specs.append({"spec-id": sid, "fields": fields})
+        return sid
+
+    cur_spec_id = _resolve_spec_id(spec_fields_json)
 
     now_ms = int(time.time() * 1000)
     commit_uuid = uuidlib.uuid4().hex
@@ -528,10 +655,15 @@ def export_iceberg_table(
         schema_json = dict(schema_json, **{"schema-id": schema_id})
         schemas = prev_schemas + [schema_json]
 
-    # ---- manifest: carried-over files EXISTING with their original seq,
-    # new files ADDED at the new seq (Iceberg manifest-entry semantics)
+    # ---- manifests: carried-over files EXISTING with their original seq,
+    # new files ADDED at the new seq (Iceberg manifest-entry semantics).
+    # Files whose path layout matches the CURRENT spec get faithful typed
+    # partition values; files written under an older engine spec (or with
+    # unconvertible values) go to a separate manifest under an
+    # UNPARTITIONED spec id — scanned by every query, never wrongly pruned.
     entry_schema = manifest_entry_schema(part_avro_fields)
-    entries = []
+    entries: list[dict] = []
+    degraded_entries: list[dict] = []
     n_added = added_rows = 0
     for f in files:
         p = os.path.abspath(f.path)
@@ -539,41 +671,105 @@ def export_iceberg_table(
         if not carried:
             n_added += 1
             added_rows += int(f.rows)
-        part_values = {
-            name: (None if f.partition.get(key) is None else conv(f.partition[key]))
-            for key, name, conv in part_readers
+        part_values: dict = {}
+        faithful = True
+        for key, name, conv in part_readers:
+            if key not in f.partition:
+                faithful = False
+                break
+            raw = f.partition[key]
+            if raw is None or raw == _HIVE_NULL:
+                part_values[name] = None
+                continue
+            try:
+                part_values[name] = conv(raw)
+            except (ValueError, TypeError):
+                faithful = False
+                break
+        entry = {
+            "status": 0 if carried else 1,  # EXISTING / ADDED
+            "snapshot_id": prev_snap_by_path.get(p, snapshot_id),
+            "sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
+            "file_sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": part_values if faithful else {},
+                "record_count": int(f.rows),
+                "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
+                "equality_ids": None,
+            },
         }
-        entries.append(
-            {
-                "status": 0 if carried else 1,  # EXISTING / ADDED
-                "snapshot_id": prev_snap_by_path.get(p, snapshot_id),
-                "sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
-                "file_sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
-                "data_file": {
-                    "content": 0,
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": part_values,
-                    "record_count": int(f.rows),
-                    "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
-                    "equality_ids": None,
-                },
-            }
+        (entries if faithful else degraded_entries).append(entry)
+
+    # the unpartitioned spec id backs degraded-layout files and delete
+    # manifests (delete files are table-global, not partition-scoped)
+    if not spec_fields_json:
+        unpart_spec_id = cur_spec_id
+    elif degraded_entries or deletes:
+        unpart_spec_id = _resolve_spec_id([])
+    else:
+        unpart_spec_id = None
+
+    def _write_data_manifest(path, schema, ents, fields_json, spec_id):
+        return write_container(
+            path,
+            schema,
+            ents,
+            metadata={
+                "schema": json.dumps(schema_json),
+                "schema-id": str(schema_id),
+                "partition-spec": json.dumps(fields_json),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
         )
-    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
-    manifest_len = write_container(
-        manifest_path,
-        entry_schema,
-        entries,
-        metadata={
-            "schema": json.dumps(schema_json),
-            "schema-id": str(schema_id),
-            "partition-spec": json.dumps(spec_fields_json),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
+
+    def _list_row(path, length, ents, spec_id, content=0):
+        added = [e for e in ents if e["status"] == 1]
+        return {
+            "manifest_path": os.path.abspath(path),
+            "manifest_length": length,
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in ents), default=seq
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(ents) - len(added),
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in ents
+            )
+            - sum(e["data_file"]["record_count"] for e in added),
+            "deleted_rows_count": 0,
+        }
+
+    data_manifest_rows: list[dict] = []
+    if entries or not degraded_entries:  # empty table still gets one
+        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+        manifest_len = _write_data_manifest(
+            manifest_path, entry_schema, entries, spec_fields_json, cur_spec_id
+        )
+        data_manifest_rows.append(
+            _list_row(manifest_path, manifest_len, entries, cur_spec_id)
+        )
+    if degraded_entries:
+        deg_path = os.path.join(meta_dir, f"{commit_uuid}-m2.avro")
+        deg_len = _write_data_manifest(
+            deg_path, manifest_entry_schema([]), degraded_entries, [],
+            unpart_spec_id,
+        )
+        data_manifest_rows.append(
+            _list_row(deg_path, deg_len, degraded_entries, unpart_spec_id)
+        )
 
     # ---- delete manifest: rewrite engine delete parquet into spec form
     # (position: reserved field ids + abs paths + (path,pos) sort;
@@ -624,72 +820,34 @@ def export_iceberg_table(
     delete_manifest_row = None
     if delete_entries:
         dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        # delete files are table-global (no partition scoping) — written
+        # under the unpartitioned spec with an empty partition struct
         dm_len = write_container(
             dm_path,
-            entry_schema,
+            manifest_entry_schema([]),
             delete_entries,
             metadata={
                 "schema": json.dumps(schema_json),
                 "schema-id": str(schema_id),
-                "partition-spec": json.dumps(spec_fields_json),
-                "partition-spec-id": "0",
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": str(unpart_spec_id),
                 "format-version": "2",
                 "content": "deletes",
             },
         )
-        n_del_added = sum(1 for e in delete_entries if e["status"] == 1)
-        del_rows_added = sum(
-            e["data_file"]["record_count"]
-            for e in delete_entries
-            if e["status"] == 1
+        delete_manifest_row = _list_row(
+            dm_path, dm_len, delete_entries, unpart_spec_id, content=1
         )
-        del_rows_total = sum(
-            e["data_file"]["record_count"] for e in delete_entries
-        )
-        delete_manifest_row = {
-            "manifest_path": os.path.abspath(dm_path),
-            "manifest_length": dm_len,
-            "partition_spec_id": 0,
-            "content": 1,  # deletes
-            "sequence_number": seq,
-            "min_sequence_number": min(
-                e["sequence_number"] for e in delete_entries
-            ),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": n_del_added,
-            "existing_files_count": len(delete_entries) - n_del_added,
-            "deleted_files_count": 0,
-            "added_rows_count": del_rows_added,
-            "existing_rows_count": del_rows_total - del_rows_added,
-            "deleted_rows_count": 0,
-        }
 
     # ---- manifest list
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
-    min_seq = min((e["sequence_number"] for e in entries), default=seq)
     total_rows = sum(int(f.rows) for f in files)
     write_container(
         list_path,
         MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": os.path.abspath(manifest_path),
-                "manifest_length": manifest_len,
-                "partition_spec_id": 0,
-                "content": 0,  # data
-                "sequence_number": seq,
-                "min_sequence_number": min_seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": n_added,
-                "existing_files_count": len(files) - n_added,
-                "deleted_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": total_rows - added_rows,
-                "deleted_rows_count": 0,
-            }
-        ]
+        data_manifest_rows
         + ([delete_manifest_row] if delete_manifest_row else []),
         metadata={"format-version": "2"},
     )
@@ -751,9 +909,9 @@ def export_iceberg_table(
         ),
         "current-schema-id": schema_id,
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
-        "last-partition-id": 999 + len(spec_fields_json),
+        "default-spec-id": cur_spec_id,
+        "partition-specs": prev_specs,
+        "last-partition-id": last_partition_id,
         "default-sort-order-id": 1 if sort_fields else 0,
         "sort-orders": (
             [{"order-id": 1, "fields": sort_fields}]
@@ -790,16 +948,26 @@ def export_iceberg_table(
 # ------------------------------------------------------- independent read
 
 
-def read_iceberg_table(
-    spark: SparkSession, location: str, snapshot_id: int | None = None
-) -> DataFrame:
-    """Read an Iceberg table by walking ONLY its standard metadata —
-    version-hint → vN.metadata.json → snapshot's manifest list →
-    manifests → live data files — the exact sequence any external Iceberg
-    reader performs (HadoopTables model).  No engine-native manifest is
-    touched, so a passing read proves the exported metadata is complete
-    and self-consistent.  ``snapshot_id`` time-travels to a historical
-    publish."""
+def plan_iceberg_scan(
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
+    """Walk an Iceberg table's standard metadata — version-hint →
+    vN.metadata.json → snapshot's manifest list → manifests — and return
+    the planned scan: live data files, delete files, the snapshot's
+    schema, and how many files partition pruning eliminated.
+
+    ``partition_filter`` maps PARTITION FIELD NAMES (as in the table's
+    partition spec, e.g. ``o_orderdate_month`` or ``o_custkey_bucket``)
+    to a wanted value or list of values.  Pruning follows the spec's
+    model: each manifest is interpreted under ITS OWN spec id
+    (``partition-specs`` lineage), a file is pruned only when the spec
+    declares the field AND the entry carries a non-null value that
+    mismatches — absent fields and null values conservatively keep the
+    file.  This is the pruner external engines run against exported
+    metadata, so tests can assert published partition values actually
+    eliminate files."""
     meta_dir = os.path.join(location, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -814,11 +982,21 @@ def read_iceberg_table(
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == want_schema
     )
+    spec_by_id = {
+        s["spec-id"]: s["fields"] for s in doc.get("partition-specs", [])
+    }
+
+    def _wanted(vals) -> set:
+        return set(vals) if isinstance(vals, (list, tuple, set)) else {vals}
+
     _, manifests, _ = read_container(snap["manifest-list"])
     data_files: list[tuple[str, int]] = []      # (path, data sequence)
     pos_deletes: list[tuple[str, int]] = []     # (path, delete sequence)
     eq_deletes: list[tuple[str, int, list[int]]] = []
+    pruned = 0
     for m in manifests:
+        spec_fields = spec_by_id.get(m.get("partition_spec_id"), [])
+        spec_names = {f["name"] for f in spec_fields}
         _, entries, _ = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] not in (0, 1):  # 2 = DELETED
@@ -833,6 +1011,19 @@ def read_iceberg_table(
                 eseq = 1
             content = df_rec.get("content", 0)
             if content == 0:
+                if partition_filter:
+                    part = df_rec.get("partition") or {}
+                    skip = False
+                    for name, vals in partition_filter.items():
+                        if name not in spec_names:
+                            continue  # unknown under this spec: keep
+                        v = part.get(name)
+                        if v is not None and v not in _wanted(vals):
+                            skip = True
+                            break
+                    if skip:
+                        pruned += 1
+                        continue
                 data_files.append((df_rec["file_path"], eseq))
             elif content == 1:
                 pos_deletes.append((df_rec["file_path"], eseq))
@@ -840,6 +1031,37 @@ def read_iceberg_table(
                 eq_deletes.append(
                     (df_rec["file_path"], eseq, df_rec.get("equality_ids") or [])
                 )
+    return {
+        "doc": doc,
+        "schema_json": schema_json,
+        "data_files": data_files,
+        "pos_deletes": pos_deletes,
+        "eq_deletes": eq_deletes,
+        "pruned_files": pruned,
+    }
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read an Iceberg table by walking ONLY its standard metadata —
+    version-hint → vN.metadata.json → snapshot's manifest list →
+    manifests → live data files — the exact sequence any external Iceberg
+    reader performs (HadoopTables model).  No engine-native manifest is
+    touched, so a passing read proves the exported metadata is complete
+    and self-consistent.  ``snapshot_id`` time-travels to a historical
+    publish; ``partition_filter`` prunes files by exported partition
+    values before any Spark job runs (see :func:`plan_iceberg_scan`).
+
+    NOTE: ``partition_filter`` is FILE pruning, not a row filter — caller
+    still applies the row predicate (exactly how engine pruning works)."""
+    plan = plan_iceberg_scan(location, snapshot_id, partition_filter)
+    schema_json = plan["schema_json"]
+    data_files = plan["data_files"]
+    pos_deletes, eq_deletes = plan["pos_deletes"], plan["eq_deletes"]
     spark_schema = iceberg_schema_to_spark(schema_json)
     if not data_files:
         return spark.createDataFrame([], spark_schema)
@@ -851,12 +1073,18 @@ def read_iceberg_table(
     # (file_path, pos) rows; equality deletes remove key matches in data
     # files with a STRICTLY lower data sequence number
     # _metadata.file_path is a URI ("file:/a/b" locally, "file:///a/b" or
-    # "s3://bucket/a/b" elsewhere); manifests record plain absolute paths —
-    # normalize both to "/"-rooted form
+    # "s3://bucket/a/b" elsewhere) and URI-escaped ("a b" -> "a%20b");
+    # manifests record plain absolute paths — normalize both to "/"-rooted
+    # DECODED form.  The decode is conditional on '%' and applied to BOTH
+    # sides, so a literal '%' in a plain path transforms identically on
+    # each side and the join still matches.
     def _norm(col: F.Column) -> F.Column:
-        return F.concat(
-            F.lit("/"), F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
-        )
+        raw = F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
+        dec = F.when(
+            raw.contains("%"),
+            F.coalesce(F.call_function("try_url_decode", raw), raw),
+        ).otherwise(raw)
+        return F.concat(F.lit("/"), dec)
 
     df = df.withColumn("_fpath", _norm(F.col("_metadata.file_path"))).withColumn(
         "_pos", F.col("_metadata.row_index")

@@ -498,7 +498,9 @@ class LakeTable:
             # plan (often a merge's anti-join) isn't computed twice.
             cached = out.persist()
             out = cached
-            n_parts = target_partitions or _auto_write_partitions(out, meta)
+            n_parts = target_partitions or _auto_write_partitions(
+                out, meta, materialize=True
+            )
             if n_parts:
                 out = out.repartitionByRange(n_parts, *key_cols)
             else:
@@ -1588,7 +1590,9 @@ _TYPE_WIDTH = {
 }
 
 
-def _auto_write_partitions(df: DataFrame, meta: TableMetadata) -> int | None:
+def _auto_write_partitions(
+    df: DataFrame, meta: TableMetadata, materialize: bool = False
+) -> int | None:
     """Size the write's file count from Catalyst's plan-byte estimate and
     the table's target file size: ``ceil(bytes / target)``, capped at the
     session's shuffle-partition setting so a join-inflated over-estimate
@@ -1597,8 +1601,18 @@ def _auto_write_partitions(df: DataFrame, meta: TableMetadata) -> int | None:
     shuffle-partitions tiny ones (the reference's rolling-file sizing,
     IcebergTableWriterFactory.java:42-46, applied to file COUNT);
     returns None when the JVM estimate is unreachable (keep Spark's
-    default fan-out)."""
+    default fan-out).
+
+    ``materialize=True`` (the caller persisted ``df``): run a count first
+    so the cache fills and the stat read sees the MATERIALIZED in-memory
+    size, not a pre-execution Catalyst guess — a selective-filter
+    underestimate must not collapse a genuinely large keyed append into a
+    single-file, single-task write.  Cost is ~zero on the write path: the
+    range shuffle's sampling pass would compute the plan into the cache
+    immediately afterwards anyway."""
     try:
+        if materialize and df.is_cached:
+            df.count()
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         # Catalyst reports ~Long.Max for plans with unknown stats (e.g.
         # local relations, some cached plans) — treat as unknown and let
@@ -1741,15 +1755,24 @@ def _jsonable(v: Any) -> Any:
 
 
 def _partition_values_from_path(path: str, spec: list[PartitionField]) -> dict[str, Any]:
-    """Parse Hive-style ``_p_x=val`` directory components out of a file path."""
+    """Parse Hive-style ``_p_x=val`` directory components out of a file path.
+
+    Values are percent-UNESCAPED: Spark hive-escapes special characters in
+    partition directory names (including ``%`` itself, so unquoting is
+    lossless) — without the decode, a string partition value containing
+    ``:`` or a space would never equal its computed counterpart in merge
+    partition pruning or metadata export."""
     if not spec:
         return {}
+    from urllib.parse import unquote
+
     vals: dict[str, Any] = {}
     names = {pf.name for pf in spec}
     for comp in path.split("/"):
         if "=" in comp:
             k, _, v = comp.partition("=")
             if k in names:
+                v = unquote(v)
                 try:
                     vals[k] = int(v)
                 except ValueError:

@@ -9,10 +9,15 @@ Iceberg's hidden partitioning.
 
 Transform outputs are deterministic and engine-independent:
 - year/month/day/hour: integer (year number) / "yyyy-MM" / "yyyy-MM-dd" /
-  "yyyy-MM-dd-HH" strings — human-readable like Hive layouts.
-- bucket(n, col): ``pmod(xxhash64(col), n)`` — murmur-free but stable within
-  this engine; scale-safe (single narrow int column).
-- truncate(w, col): substring for strings, floor-div*w for numerics.
+  "yyyy-MM-dd-HH" strings — human-readable like Hive layouts, 1:1 with
+  Iceberg's epoch-relative transform values (converted at export).
+- bucket(n, col): Iceberg's spec bucket — ``(murmur3_x86_32(canonical
+  bytes) & Int.MAX) % n`` (lakehouse/murmur3.py), so the physical file
+  grouping IS the Iceberg bucket value and metadata export keeps
+  external partition pruning faithful.  Supported source types are the
+  spec's: int/long/date/timestamp/string.
+- truncate(w, col): substring for strings, floor-div*w for numerics
+  (Iceberg truncate semantics).
 """
 
 from __future__ import annotations
@@ -65,7 +70,12 @@ class PartitionField:
         if t == "hour":
             return F.date_format(c, "yyyy-MM-dd-HH")
         if t == "bucket":
-            return F.pmod(F.xxhash64(c), F.lit(self.param))
+            from .murmur3 import iceberg_bucket_col
+
+            try:
+                return iceberg_bucket_col(c, source_type, self.param)
+            except ValueError as e:
+                raise PartitionSpecError(str(e)) from None
         if t == "truncate":
             if source_type == "string":
                 return F.substring(c, 1, self.param)

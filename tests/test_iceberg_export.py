@@ -262,15 +262,19 @@ def test_export_republish_carries_delete_files(spark, warehouse, tmp_path):
     assert old[1] == "u1" and old[2] == "v2"
 
 
-def test_export_refuses_transform_partitions(spark, warehouse, tmp_path):
+def test_export_refuses_unsupported_partition_source_type(spark, warehouse, tmp_path):
+    """Transforms the spec can't express on a source type (truncate on a
+    double) are refused with the degrade escape hatch named — never
+    silently approximated.  Supported transforms export faithfully (see
+    test_transform_partitioned_export_faithful)."""
     cat = LakeCatalog(warehouse)
-    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df = spark.createDataFrame([(1, 2.5)], "id long, score double")
     t = cat.create_table(
         "ice", "part_t", df.schema, identifier_fields=["id"],
-        partition_spec="bucket(4, id)",
+        partition_spec="truncate(2, score)",
     )
     t.append(df)
-    with pytest.raises(ValueError, match="identity"):
+    with pytest.raises(ValueError, match="degrade_partitions"):
         export_iceberg_table(t, str(tmp_path / "x"))
 
 
@@ -404,13 +408,6 @@ def test_identity_partitioned_export(spark, warehouse, tmp_path):
     assert {e["data_file"]["partition"]["grp"] for e in entries} == {"g0", "g1", "g2"}
     assert read_iceberg_table(spark, dest).count() == 30
 
-    t2 = cat.create_table(
-        "ice", "part_bad", df.schema, identifier_fields=["id"],
-        partition_spec=parse_partition_spec("bucket(4, id)"),
-    )
-    t2.append(df)
-    with pytest.raises(ValueError, match="identity"):
-        export_iceberg_table(t2, str(tmp_path / "bad"))
 
 
 def test_export_carries_sort_order(spark, warehouse, tmp_path):
@@ -502,17 +499,16 @@ def test_export_refuses_field_id_reuse(spark, warehouse, tmp_path):
 
 
 def test_export_degraded_partitions_unpartitioned_spec(spark, warehouse, tmp_path):
-    """Transform-partitioned tables (engine xxhash64 bucket != Iceberg
-    murmur3) export as an UNPARTITIONED Iceberg spec when opted in —
-    contents exact, pruning degraded, true layout recorded in a table
-    property."""
+    """Specs the converter refuses (truncate on double) export as an
+    UNPARTITIONED Iceberg spec when opted in — contents exact, pruning
+    degraded, true layout recorded in a table property."""
     cat = LakeCatalog(warehouse)
     df = spark.createDataFrame(
-        [(i, f"v{i}") for i in range(12)], "id long, v string"
+        [(i, float(i)) for i in range(12)], "id long, score double"
     )
     t = cat.create_table(
-        "ice", "bucketed_t", df.schema, identifier_fields=["id"],
-        partition_spec="bucket(4, id)",
+        "ice", "degr_t", df.schema, identifier_fields=["id"],
+        partition_spec="truncate(4, score)",
     )
     t.append(df)
     dest = str(tmp_path / "x")
@@ -521,7 +517,7 @@ def test_export_degraded_partitions_unpartitioned_spec(spark, warehouse, tmp_pat
     export_iceberg_table(t, dest, degrade_partitions=True)
     md = json.load(open(os.path.join(dest, "metadata", "v1.metadata.json")))
     assert md["partition-specs"] == [{"spec-id": 0, "fields": []}]
-    assert md["properties"]["engine.partition-spec"] == "bucket(4, id)"
+    assert md["properties"]["engine.partition-spec"] == "truncate(4, score)"
     got = sorted(r["id"] for r in read_iceberg_table(spark, dest).collect())
     assert got == list(range(12))
 
@@ -559,3 +555,172 @@ def test_reader_handles_uri_form_paths(spark, warehouse, tmp_path):
 
     got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
     assert got == baseline
+
+
+def test_transform_partitioned_export_faithful(spark, warehouse, tmp_path):
+    """bucket + month + truncate specs export with REAL Iceberg transform
+    partition values: the spec names the transforms, each file carries the
+    typed value (murmur3 bucket ordinal / months-since-epoch / width
+    multiple), and a from-spec pruner (plan_iceberg_scan) uses them to
+    eliminate files — the whole point of publishing partitioned metadata."""
+    import datetime as dt
+
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        plan_iceberg_scan,
+    )
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+        iceberg_bucket_py, murmur3_long,
+    )
+
+    cat = LakeCatalog(warehouse)
+    rows = [
+        (i, dt.datetime(2023 + i % 2, 1 + i % 12, 5, 12, 0), i * 10)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, amount long")
+    t = cat.create_table(
+        "ice", "tr_t", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id), month(ts), truncate(100, amount)",
+    )
+    t.append(df)
+    dest = str(tmp_path / "pub")
+    md = json.load(open(export_iceberg_table(t, dest)))
+
+    spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+    assert [f["transform"] for f in spec] == ["bucket[4]", "month", "truncate[100]"]
+    assert [f["name"] for f in spec] == ["id_bucket", "ts_month", "amount_trunc"]
+    assert [f["field-id"] for f in spec] == [1000, 1001, 1002]
+
+    # per-file values: recompute from each data file's actual contents
+    plan = plan_iceberg_scan(dest)
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for m in [json.loads(s) for s in java_avro_records(
+            spark, md["snapshots"][-1]["manifest-list"])]:
+        if m.get("content", 0) != 0:
+            continue
+        for e in [json.loads(s) for s in java_avro_records(spark, m["manifest_path"])]:
+            part = e["data_file"]["partition"]
+            tbl = pq.read_table(e["data_file"]["file_path"], columns=["id", "ts", "amount"])
+            for i in range(tbl.num_rows):
+                rid = tbl.column("id")[i].as_py()
+                ts = tbl.column("ts")[i].as_py()
+                amt = tbl.column("amount")[i].as_py()
+                assert part["id_bucket"] == iceberg_bucket_py(murmur3_long(rid), 4)
+                assert part["ts_month"] == (ts.year - 1970) * 12 + ts.month - 1
+                assert part["amount_trunc"] == (amt // 100) * 100
+                checked += 1
+    assert checked == 40
+
+    # pruning: filter to one month — fewer files planned, same rows as a
+    # full-scan row filter
+    want_month = (2023 - 1970) * 12 + 0  # 2023-01
+    pruned_plan = plan_iceberg_scan(
+        dest, partition_filter={"ts_month": want_month}
+    )
+    assert len(pruned_plan["data_files"]) < len(plan["data_files"])
+    assert pruned_plan["pruned_files"] > 0
+    got = read_iceberg_table(
+        spark, dest, partition_filter={"ts_month": want_month}
+    ).filter("year(ts) = 2023 and month(ts) = 1")
+    exp = read_iceberg_table(spark, dest).filter(
+        "year(ts) = 2023 and month(ts) = 1"
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in exp.collect()
+    )
+    # bucket pruning round-trips a point lookup
+    b = iceberg_bucket_py(murmur3_long(7), 4)
+    got7 = read_iceberg_table(
+        spark, dest, partition_filter={"id_bucket": b}
+    ).filter("id = 7")
+    assert [r["id"] for r in got7.collect()] == [7]
+
+
+def test_spec_evolution_export_lineage(spark, warehouse, tmp_path):
+    """Engine partition-spec evolution publishes as Iceberg spec LINEAGE:
+    old-layout files move to a manifest under an unpartitioned spec id
+    (conservatively scanned, never wrongly pruned), new-layout files carry
+    the new spec's values, and re-publishes keep every spec listed."""
+    cat = LakeCatalog(warehouse)
+    df1 = spark.createDataFrame(
+        [(i, f"g{i % 2}", i) for i in range(10)], "id long, grp string, n long"
+    )
+    t = cat.create_table(
+        "ice", "ev_t", df1.schema, identifier_fields=["id"],
+        partition_spec="grp",
+    )
+    t.append(df1)
+    dest = str(tmp_path / "pub")
+    md1 = json.load(open(export_iceberg_table(t, dest)))
+    assert [f["name"] for f in md1["partition-specs"][md1["default-spec-id"]]["fields"]] == ["grp"]
+
+    t.update_partition_spec("bucket(2, id)")
+    df2 = spark.createDataFrame(
+        [(i, f"g{i % 2}", i) for i in range(10, 20)], "id long, grp string, n long"
+    )
+    t.append(df2)
+    md2 = json.load(open(export_iceberg_table(t, dest)))
+
+    specs = {s["spec-id"]: s["fields"] for s in md2["partition-specs"]}
+    cur = specs[md2["default-spec-id"]]
+    assert [f["transform"] for f in cur] == ["bucket[2]"]
+    # old identity spec and the unpartitioned spec both remain listed
+    assert any(f and f[0]["name"] == "grp" for f in specs.values())
+    assert [] in specs.values()
+    # field ids never reused across specs
+    all_fids = [f["field-id"] for s in specs.values() for f in s]
+    assert len(all_fids) == len(set(all_fids))
+
+    # the old-layout files live in a manifest stamped with the
+    # unpartitioned spec id; every row still readable
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        plan_iceberg_scan,
+    )
+    unpart_id = next(k for k, v in specs.items() if v == [])
+    mrows = [json.loads(s) for s in java_avro_records(
+        spark, md2["snapshots"][-1]["manifest-list"])]
+    spec_ids = {m["partition_spec_id"] for m in mrows if m.get("content", 0) == 0}
+    assert unpart_id in spec_ids and md2["default-spec-id"] in spec_ids
+    assert read_iceberg_table(spark, dest).count() == 20
+    # pruning on the NEW spec never drops old-layout files
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+        iceberg_bucket_py, murmur3_long,
+    )
+    b = iceberg_bucket_py(murmur3_long(3), 2)
+    got = read_iceberg_table(spark, dest, partition_filter={"id_bucket": b})
+    assert {r["id"] for r in got.collect()} >= ({3} | set(range(10)))
+
+
+def test_export_path_with_space_delete_joins(spark, warehouse, tmp_path):
+    """A warehouse/dest path containing a space exercises the URI
+    percent-encoding fix: _metadata.file_path is URI-escaped while
+    manifests record plain paths — without symmetric decoding the
+    equality-delete join drops every row and position deletes silently
+    skip (ADVICE r7)."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    wh = str(tmp_path / "ware house")
+    cat = LakeCatalog(wh)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(8)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "sp_t", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame(
+        [(2, "upd", "u"), (5, "gone", "d")], "id long, v string, __op string"
+    )
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    assert t.current_deletes(), "precondition: live equality-delete files"
+    dest = str(tmp_path / "pub lished")
+    export_iceberg_table(t, dest)
+    got = sorted(
+        (r["id"], r["v"]) for r in read_iceberg_table(spark, dest).collect()
+    )
+    native = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
+    # multiset compare: a broken path join resurrects the OLD versions of
+    # ids 2 and 5 (duplicates a dict compare would mask)
+    assert got == native
+    assert (2, "v2") not in got and (5, "v5") not in got
+    assert (2, "upd") in got

@@ -1,0 +1,102 @@
+"""Iceberg bucket hash (Murmur3 x86 32, seed 0) — spec vectors + the Spark
+expression vs the pure-Python from-spec implementation.
+
+The spec's published vectors (Appendix B) pin the PYTHON side to Iceberg;
+randomized batches then pin the SPARK expressions to the Python side, so
+both faces are transitively spec-exact."""
+
+import datetime as dt
+import random
+import string
+import struct
+
+from pyspark.sql import functions as F
+
+from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+    iceberg_bucket_col,
+    iceberg_bucket_py,
+    mm3_long_col,
+    mm3_utf8_col,
+    murmur3_32,
+    murmur3_long,
+    murmur3_utf8,
+)
+
+
+def test_spec_vectors_python():
+    # Iceberg spec, Appendix B "32-bit Hash Requirements"
+    assert murmur3_long(34) == 2017239379          # int and long agree
+    assert murmur3_utf8("iceberg") == 1210000089
+    d = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert murmur3_long(d) == -653330422
+    micros = int(
+        dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert murmur3_long(micros) == -2047944441
+    bits = struct.unpack("<q", struct.pack("<d", 1.0))[0]
+    assert murmur3_32(struct.pack("<q", bits)) == -142385009
+    assert murmur3_32(b"") == 0
+
+
+def test_long_expression_matches_python(spark):  # noqa: F811
+    rng = random.Random(7)
+    vals = [0, 1, -1, 34, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(300)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select(
+        "v", mm3_long_col(F.col("v")).alias("h")).collect()}
+    assert all(got[v] == murmur3_long(v) for v in vals)
+
+
+def test_utf8_expression_matches_python(spark):  # noqa: F811
+    rng = random.Random(11)
+    vals = ["", "a", "ab", "abc", "abcd", "iceberg", "héllo wörld",
+            "日本語テスト", "x" * 257] + [
+        "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in vals], "s string")
+    got = [(r["s"], r["h"]) for r in df.select(
+        "s", mm3_utf8_col(F.col("s")).alias("h")).collect()]
+    assert all(h == murmur3_utf8(s) for s, h in got)
+
+
+def test_bucket_col_types_and_nulls(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [(34, "iceberg", dt.date(2017, 11, 16),
+          dt.datetime(2017, 11, 16, 22, 31, 8)),
+         (None, None, None, None)],
+        "i long, s string, d date, t timestamp",
+    )
+    out = df.select(
+        iceberg_bucket_col(F.col("i"), "long", 16).alias("bi"),
+        iceberg_bucket_col(F.col("s"), "string", 16).alias("bs"),
+        iceberg_bucket_col(F.col("d"), "date", 16).alias("bd"),
+        iceberg_bucket_col(F.col("t"), "timestamp", 16).alias("bt"),
+    ).collect()
+    assert out[0]["bi"] == iceberg_bucket_py(2017239379, 16)
+    assert out[0]["bs"] == iceberg_bucket_py(1210000089, 16)
+    assert out[0]["bd"] == iceberg_bucket_py(-653330422, 16)
+    assert out[0]["bt"] == iceberg_bucket_py(-2047944441, 16)
+    assert all(out[1][c] is None for c in ("bi", "bs", "bd", "bt"))
+
+
+def test_bucket_col_refuses_unhashable_types():
+    import pytest
+
+    with pytest.raises(ValueError):
+        iceberg_bucket_col(F.col("x"), "double", 8)
+
+
+def test_expression_plan_size_bounded(spark):  # noqa: F811
+    """The utf8 hash must stay a small expression (lambda-bound subtrees,
+    not multiplicative duplication) — the naive composition serialized to
+    a ~60 MB task binary."""
+    df = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("s")
+    )
+    plan = df.select(mm3_utf8_col(F.col("s")).alias("h"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(plan) < 200_000, f"plan string {len(plan)} chars — tree blowup"
