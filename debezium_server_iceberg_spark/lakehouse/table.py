@@ -1237,7 +1237,8 @@ class LakeTable:
         return self._read(spark, meta, files, deletes, lineage=lineage)
 
     def changed_rows_since(
-        self, spark: SparkSession, snapshot_id: int
+        self, spark: SparkSession, snapshot_id: int,
+        include_deletes: bool = False,
     ) -> DataFrame:
         """Changed-row scan on v3 row lineage: the CURRENT post-image of
         every row created or updated after ``snapshot_id``, exactly once,
@@ -1247,10 +1248,16 @@ class LakeTable:
         across rewrites): this one reads through merge-on-read deletes and
         survives compaction, because identity comes from the row-level
         ``_last_updated_sequence_number``, not from which file a row sits
-        in.  Rows deleted since ``snapshot_id`` do not surface (no delete
-        images — downstream MERGEs key on ``_row_id`` for upserts and need
-        a full-outer pass for hard deletes, as with Iceberg's
-        changed-rows-only changelog granularity).
+        in.
+
+        ``include_deletes=True`` adds a ``_change_type`` column
+        (``'upsert'`` on post-images) and emits one ``'delete'`` row —
+        the PRE-image as of ``snapshot_id``, with its lineage columns —
+        for every key live at the snapshot whose key no longer exists
+        (Iceberg changelog semantics; a CDC consumer republishing
+        downstream replays these as DELETEs).  Requires identifier
+        fields.  A key deleted and re-inserted surfaces as an upsert
+        only, like a MERGE would treat it.
 
         Scale: manifest pruning does the heavy lifting — a data file whose
         sequence number is ≤ ``snapshot_id`` can only hold rows last
@@ -1259,7 +1266,14 @@ class LakeTable:
         the rewrite's sequence), so only files committed after the
         snapshot are scanned: cost ∝ new + rewritten data, not table
         size.  The residual filter drops pre-existing rows that rewrites
-        carried into new files."""
+        carried into new files.  Delete images are bounded the same way:
+        candidate victims come only from delete files committed after the
+        snapshot, files those deletes target, and files removed from the
+        manifest since (CoW / materializing rewrites); both snapshot
+        scans are then key-bounds-pruned to candidate ranges.  As with
+        Iceberg changelogs, compaction between the two snapshots widens
+        the candidate set to the rewritten files — tail changelogs before
+        compacting."""
         meta = self.metadata()
         if not self._lineage_on(meta):
             # without per-row lineage a rewrite re-sequences every carried
@@ -1270,12 +1284,103 @@ class LakeTable:
         by_id = {s.snapshot_id: s for s in meta.snapshots}
         if snapshot_id not in by_id:
             raise ValueError(f"no snapshot {snapshot_id} in table history")
-        files = [
-            f for f in self._manifest_files(meta) if f.seq > snapshot_id
+        cur_files = self._manifest_files(meta)
+        cur_deletes = self._manifest_deletes(meta)
+        files = [f for f in cur_files if f.seq > snapshot_id]
+        post = self._read(spark, meta, files, cur_deletes, lineage=True).filter(
+            F.col(LAST_SEQ_COL) > snapshot_id
+        )
+        if not include_deletes:
+            return post
+        key_cols = [
+            c for c in meta.identifier_fields
+            if c in {f.name for f in meta.schema.fields}
         ]
-        deletes = self._manifest_deletes(meta)
-        df = self._read(spark, meta, files, deletes, lineage=True)
-        return df.filter(F.col(LAST_SEQ_COL) > snapshot_id)
+        if not key_cols:
+            raise ValueError(
+                "include_deletes requires identifier fields (delete images "
+                "are keyed on the primary key)"
+            )
+        post = post.withColumn("_change_type", F.lit("upsert"))
+
+        # ---- candidate victim keys (∝ change volume, not table size)
+        old_files = self._manifest_files(meta, snapshot_id)
+        old_deletes = self._manifest_deletes(meta, snapshot_id)
+        cur_paths = {f.path for f in cur_files}
+        removed = [f for f in old_files if f.path not in cur_paths]
+        new_dels = [d for d in cur_deletes if d.seq > snapshot_id]
+        cand_parts = []
+        eq_dels = [d for d in new_dels if d.content == "equality"]
+        if eq_dels:
+            key_schema = T.StructType(
+                [f for f in meta.schema.fields if f.name in key_cols]
+            )
+            cand_parts.append(
+                spark.read.schema(key_schema)
+                .parquet(*[d.path for d in eq_dels])
+                .select(*key_cols)
+            )
+        pos_dels = [d for d in new_dels if d.content == "position"]
+        pos_targets: list[DataFile] = []
+        if pos_dels:
+            import pyarrow.parquet as _pq
+
+            targeted = set()
+            for d in pos_dels:
+                targeted.update(
+                    _pq.read_table(d.path, columns=["file_name"])
+                    .column("file_name").to_pylist()
+                )
+            pos_targets = [
+                f for f in old_files
+                if os.path.basename(f.path) in targeted
+            ]
+        # keys of targeted/removed files over-approximate the victims; the
+        # anti-join against live keys screens out survivors
+        for fl in (pos_targets, removed):
+            if fl:
+                cand_parts.append(
+                    self._read(spark, meta, fl, []).select(*key_cols)
+                )
+        if not cand_parts:
+            return post
+        cand = cand_parts[0]
+        for p in cand_parts[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.dropDuplicates(key_cols)
+
+        # bounds-prune both snapshot scans to the candidate key ranges
+        # (the MERGE planner's model: one tiny agg, then manifest math)
+        stat = cand.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
+        ).collect()[0]
+        lo = {c: bound_key(stat[f"_lo_{c}"]) for c in key_cols}
+        hi = {c: bound_key(stat[f"_hi_{c}"]) for c in key_cols}
+
+        def _overlaps(f: DataFile) -> bool:
+            for c in key_cols:
+                b = f.bounds.get(c)
+                if b is None or lo[c] is None:
+                    continue
+                if bound_key(b[1]) < lo[c] or bound_key(b[0]) > hi[c]:
+                    return False
+            return True
+
+        old_pruned = [f for f in old_files if _overlaps(f)]
+        cur_pruned = [f for f in cur_files if _overlaps(f)]
+        old_rows = self._read(
+            spark, meta, old_pruned, old_deletes, lineage=True
+        )
+        live_keys = self._read(
+            spark, meta, cur_pruned, cur_deletes
+        ).select(*key_cols)
+        deleted = (
+            old_rows.join(cand, key_cols, "left_semi")
+            .join(live_keys, key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        return post.unionByName(deleted)
 
     def incremental_scan(
         self,

@@ -1265,6 +1265,94 @@ def changed_rows_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "changed_rows_with_deletes",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 30 = 0
+    ),
+    changes AS (
+      SELECT 'upsert' AS change_type, 'X' AS o_orderstatus, o_orderkey
+      FROM base WHERE o_orderkey % 300 = 0
+      UNION ALL
+      SELECT 'delete', o_orderstatus, o_orderkey
+      FROM base WHERE o_orderkey % 90 = 0 AND o_orderkey % 300 <> 0
+      UNION ALL
+      SELECT 'upsert', 'N', o_orderkey
+      FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey % 30 <> 0
+    )
+    SELECT change_type, o_orderstatus, count(*) AS n_rows
+    FROM changes GROUP BY 1, 2
+    """,
+)
+def changed_rows_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full changelog granularity (Iceberg ``create_changelog_view``
+    semantics — the reference's consumers chain pipelines off such feeds):
+    after a MERGE with updates, HARD deletes and inserts,
+    ``changed_rows_since(sid, include_deletes=True)`` must emit post-image
+    upserts AND pre-image delete rows, exactly once each.  The oracle
+    replays the lifecycle in SQL — grouping by (change_type,
+    o_orderstatus) pins that delete images carry the ORIGINAL column
+    values, not the tombstone's; a leaked unchanged row, a missing delete
+    image, or a post-image-valued delete all hash-mismatch."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .operators.merge import merge_into
+
+    orders = _t(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_orderkey") % 30 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    wh = _tf.mkdtemp(prefix="chgdel_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_chgdel",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            properties={"format-version": "3"},
+        )
+        t.append(sub)                                     # snapshot 1
+        upd = (
+            sub.filter(F.col("o_orderkey") % 300 == 0)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("__op", F.lit("u"))
+        )
+        dels = (
+            sub.filter(
+                (F.col("o_orderkey") % 90 == 0)
+                & (F.col("o_orderkey") % 300 != 0)
+            )
+            .withColumn("__op", F.lit("d"))
+        )
+        ins = (
+            orders.filter(
+                (F.col("o_orderkey") % 31 == 0)
+                & (F.col("o_orderkey") % 30 != 0)
+            )
+            .select(
+                "o_orderkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit("c").alias("__op"),
+            )
+        )
+        merge_into(
+            t, upd.unionByName(dels).unionByName(ins), keep_deletes=False
+        )                                                 # snapshot 2
+        return (
+            t.changed_rows_since(spark, 1, include_deletes=True)
+            .groupBy(
+                F.col("_change_type").alias("change_type"), "o_orderstatus"
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "incremental_append_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders,

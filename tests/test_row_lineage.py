@@ -302,3 +302,77 @@ def test_v2_to_v3_upgrade_starts_lineage(spark, tmp_path):
     assert sorted(
         r[ROW_ID_COL] for r in rows.values() if r[ROW_ID_COL] is not None
     ) == [0, 1, 2]
+
+
+def test_changed_rows_with_delete_images_equality(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))       # sid 1
+    src = spark.createDataFrame(
+        [(3, "X", "u"), (5, "-", "d"), (8, "-", "d"), (99, "new", "c")],
+        "id long, val string, __op string",
+    )
+    merge_into(t, src, keep_deletes=False, delete_style="equality")  # sid 2
+    out = t.changed_rows_since(spark, 1, include_deletes=True).collect()
+    got = sorted((r.id, r.val, r["_change_type"]) for r in out)
+    # deletes carry the PRE-image (v5/v8), upserts the post-image
+    assert got == [
+        (3, "X", "upsert"), (5, "v5", "delete"), (8, "v8", "delete"),
+        (99, "new", "upsert"),
+    ]
+    # delete images keep their original lineage
+    by_id = {r.id: r for r in out}
+    assert by_id[5][LAST_SEQ_COL] == 1 and by_id[5][ROW_ID_COL] is not None
+    assert by_id[3][LAST_SEQ_COL] == 2
+
+
+def test_changed_rows_with_delete_images_position_then_compact(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(6)]))        # sid 1
+    src = spark.createDataFrame(
+        [(2, "-", "d")], "id long, val string, __op string"
+    )
+    merge_into(t, src, keep_deletes=False, delete_style="position")  # sid 2
+    out = t.changed_rows_since(spark, 1, include_deletes=True).collect()
+    assert sorted((r.id, r.val, r["_change_type"]) for r in out) == [
+        (2, "v2", "delete")
+    ]
+    # compaction MATERIALIZES the delete (victim row and delete file both
+    # vanish) — the removed-file candidates must still surface the image
+    t.compact(spark, target_file_bytes=512 * 1024 * 1024)         # rewrite
+    assert not t.current_deletes()
+    out2 = t.changed_rows_since(spark, 1, include_deletes=True).collect()
+    assert sorted((r.id, r.val, r["_change_type"]) for r in out2) == [
+        (2, "v2", "delete")
+    ]
+
+
+def test_changed_rows_delete_then_reinsert_is_upsert_only(spark, tmp_path):
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                    # sid 1
+    merge_into(
+        t,
+        spark.createDataFrame([(1, "-", "d")], "id long, val string, __op string"),
+        keep_deletes=False,
+    )                                                             # sid 2
+    merge_into(
+        t,
+        spark.createDataFrame([(1, "back", "c")], "id long, val string, __op string"),
+    )                                                             # sid 3
+    out = t.changed_rows_since(spark, 1, include_deletes=True).collect()
+    assert sorted((r.id, r.val, r["_change_type"]) for r in out) == [
+        (1, "back", "upsert")
+    ]
+
+
+def test_changed_rows_include_deletes_no_changes(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(_df(spark, [(1, "a")]))                              # sid 1
+    out = t.changed_rows_since(spark, 1, include_deletes=True)
+    assert out.count() == 0
+    assert "_change_type" in out.columns
