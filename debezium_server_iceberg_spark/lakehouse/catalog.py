@@ -32,8 +32,11 @@ class NoSuchTableError(KeyError):
 
 class LakeCatalog:
     def __init__(self, warehouse: str) -> None:
-        self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        # absolute from the start: table locations and data-file paths are
+        # recorded in metadata, and a relative warehouse would bake in
+        # paths that break on cwd change or rename_table's path rewrite
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
 
     def _loc(self, namespace: str, name: str) -> str:
         return os.path.join(self.warehouse, namespace, name)
@@ -87,6 +90,9 @@ class LakeCatalog:
         no data file is touched or copied).  Not safe against a writer
         committing mid-rename (real Iceberg renames are catalog-pointer
         swaps; a filesystem catalog cannot do better than move+rewrite)."""
+        import json as _json
+        import uuid as _uuid
+
         src = self._loc(namespace, name)
         if not LakeTable.exists(src):
             raise NoSuchTableError(f"{namespace}.{name}")
@@ -96,15 +102,38 @@ class LakeCatalog:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         old_abs, new_abs = os.path.abspath(src), os.path.abspath(dst)
+
+        def _repath(p):
+            # rewrite ONLY path-prefix matches — never substring hits
+            # inside unrelated values (a column bound that happens to
+            # contain the path text must stay untouched)
+            if isinstance(p, str) and (
+                p == old_abs or p.startswith(old_abs + os.sep)
+            ):
+                return new_abs + p[len(old_abs):]
+            return p
+
         meta_dir = os.path.join(dst, "metadata")
         for fn in os.listdir(meta_dir):
             if not fn.endswith(".json"):
                 continue
             p = os.path.join(meta_dir, fn)
             with open(p) as fh:
-                text = fh.read()
-            with open(p, "w") as fh:
-                fh.write(text.replace(old_abs, new_abs))
+                doc = _json.load(fh)
+            if fn.endswith(".metadata.json"):
+                # table metadata: 'location' is the only path field
+                doc["location"] = _repath(doc.get("location"))
+            else:
+                # manifest: data/delete file 'path' fields
+                for key in ("files", "delete_files"):
+                    for f in doc.get(key, []):
+                        f["path"] = _repath(f.get("path"))
+            # temp + atomic replace: a crash mid-loop leaves every file
+            # either fully old or fully new, never truncated
+            tmp = os.path.join(meta_dir, f".rn.{_uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(doc, fh)
+            os.replace(tmp, p)
         return LakeTable(dst)
 
     def list_tables(self, namespace: str) -> list[str]:

@@ -220,31 +220,43 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
-def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
-    """v2 manifest_entry Avro schema.  ``partition_fields`` are the r102
-    fields for a partitioned spec (empty record when unpartitioned)."""
+def manifest_entry_schema(
+    partition_fields: list[dict] | None = None,
+    with_first_row_id: bool = False,
+) -> dict:
+    """v2/v3 manifest_entry Avro schema.  ``partition_fields`` are the r102
+    fields for a partitioned spec (empty record when unpartitioned);
+    ``with_first_row_id`` adds the v3 row-lineage field (each data file's
+    explicit starting ``_row_id`` — readers derive
+    ``_row_id = first_row_id + position`` for rows without a materialized
+    value, spec: Row Lineage)."""
+    data_file_fields = [
+        _field("content", "int", 134),
+        _field("file_path", "string", 100),
+        _field("file_format", "string", 101),
+        _field(
+            "partition",
+            {"type": "record", "name": "r102", "fields": partition_fields or []},
+            102,
+        ),
+        _field("record_count", "long", 103),
+        _field("file_size_in_bytes", "long", 104),
+        # equality-delete files name their key columns by schema field id
+        _field(
+            "equality_ids",
+            _opt({"type": "array", "items": "int", "element-id": 136}),
+            135,
+            default_null=True,
+        ),
+    ]
+    if with_first_row_id:
+        data_file_fields.append(
+            _field("first_row_id", _opt("long"), 142, default_null=True)
+        )
     data_file = {
         "type": "record",
         "name": "r2",
-        "fields": [
-            _field("content", "int", 134),
-            _field("file_path", "string", 100),
-            _field("file_format", "string", 101),
-            _field(
-                "partition",
-                {"type": "record", "name": "r102", "fields": partition_fields or []},
-                102,
-            ),
-            _field("record_count", "long", 103),
-            _field("file_size_in_bytes", "long", 104),
-            # equality-delete files name their key columns by schema field id
-            _field(
-                "equality_ids",
-                _opt({"type": "array", "items": "int", "element-id": 136}),
-                135,
-                default_null=True,
-            ),
-        ],
+        "fields": data_file_fields,
     }
     return {
         "type": "record",
@@ -451,6 +463,25 @@ def export_iceberg_table(
         meta.schema, meta.identifier_fields
     )
 
+    # ---- format version: v3 when the engine table tracks row lineage, so
+    # the export carries next-row-id + per-file first_row_id and external
+    # readers can derive _row_id.  Spec constraint: v3 tables may not
+    # contain position-delete FILES (v3 replaced them with deletion
+    # vectors) — with live position deletes the table publishes as v2
+    # (no lineage; compact() materializes the deletes, after which the
+    # next publish upgrades to v3).  A table already published at v3
+    # cannot downgrade, so there the position deletes are refused.
+    v3_engine = False
+    try:
+        v3_engine = int(meta.properties.get("format-version", "2")) >= 3
+    except (TypeError, ValueError):
+        pass
+    has_pos = any(d.content == "position" for d in deletes)
+    lineage_export = v3_engine and not has_pos and all(
+        f.first_row_id is not None for f in files
+    )
+    fmt = 3 if lineage_export else 2
+
     degraded_spec = ""
     part_spec = list(meta.partition_spec)
     if degrade_partitions and any(
@@ -479,6 +510,15 @@ def export_iceberg_table(
             prev_version = int(fh.read().strip())
         with open(os.path.join(meta_dir, f"v{prev_version}.metadata.json")) as fh:
             prev_doc = json.load(fh)
+
+    if prev_doc and prev_doc["format-version"] == 3:
+        if has_pos:
+            raise ValueError(
+                "cannot publish position-delete files into a "
+                "format-version 3 export (v3 forbids them); compact() to "
+                "materialize the deletes, then republish"
+            )
+        fmt = 3  # format version never downgrades
 
     # ---- partition-spec lineage: reuse field ids for (source, transform)
     # pairs any prior spec assigned (Iceberg forbids re-numbering); a field
@@ -661,7 +701,9 @@ def export_iceberg_table(
     # partition values; files written under an older engine spec (or with
     # unconvertible values) go to a separate manifest under an
     # UNPARTITIONED spec id — scanned by every query, never wrongly pruned.
-    entry_schema = manifest_entry_schema(part_avro_fields)
+    entry_schema = manifest_entry_schema(
+        part_avro_fields, with_first_row_id=fmt == 3
+    )
     entries: list[dict] = []
     degraded_entries: list[dict] = []
     n_added = added_rows = 0
@@ -686,20 +728,25 @@ def export_iceberg_table(
             except (ValueError, TypeError):
                 faithful = False
                 break
+        data_file = {
+            "content": 0,
+            "file_path": p,
+            "file_format": "PARQUET",
+            "partition": part_values if faithful else {},
+            "record_count": int(f.rows),
+            "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
+            "equality_ids": None,
+        }
+        if fmt == 3:
+            # explicit per-file row-lineage base (spec: Row Lineage);
+            # readers derive _row_id = first_row_id + position
+            data_file["first_row_id"] = f.first_row_id
         entry = {
             "status": 0 if carried else 1,  # EXISTING / ADDED
             "snapshot_id": prev_snap_by_path.get(p, snapshot_id),
             "sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
             "file_sequence_number": prev_seq_by_path.get(p, seqmap.get(f.seq, seq)),
-            "data_file": {
-                "content": 0,
-                "file_path": p,
-                "file_format": "PARQUET",
-                "partition": part_values if faithful else {},
-                "record_count": int(f.rows),
-                "file_size_in_bytes": int(f.bytes or os.path.getsize(f.path)),
-                "equality_ids": None,
-            },
+            "data_file": data_file,
         }
         (entries if faithful else degraded_entries).append(entry)
 
@@ -722,7 +769,7 @@ def export_iceberg_table(
                 "schema-id": str(schema_id),
                 "partition-spec": json.dumps(fields_json),
                 "partition-spec-id": str(spec_id),
-                "format-version": "2",
+                "format-version": str(fmt),
                 "content": "data",
             },
         )
@@ -764,7 +811,10 @@ def export_iceberg_table(
     if degraded_entries:
         deg_path = os.path.join(meta_dir, f"{commit_uuid}-m2.avro")
         deg_len = _write_data_manifest(
-            deg_path, manifest_entry_schema([]), degraded_entries, [],
+            deg_path,
+            manifest_entry_schema([], with_first_row_id=fmt == 3),
+            degraded_entries,
+            [],
             unpart_spec_id,
         )
         data_manifest_rows.append(
@@ -831,7 +881,7 @@ def export_iceberg_table(
                 "schema-id": str(schema_id),
                 "partition-spec": json.dumps([]),
                 "partition-spec-id": str(unpart_spec_id),
-                "format-version": "2",
+                "format-version": str(fmt),
                 "content": "deletes",
             },
         )
@@ -849,7 +899,7 @@ def export_iceberg_table(
         MANIFEST_LIST_SCHEMA,
         data_manifest_rows
         + ([delete_manifest_row] if delete_manifest_row else []),
-        metadata={"format-version": "2"},
+        metadata={"format-version": str(fmt)},
     )
 
     # ---- table metadata (TableMetadataV2 required fields)
@@ -881,6 +931,19 @@ def export_iceberg_table(
         "manifest-list": os.path.abspath(list_path),
         "schema-id": schema_id,
     }
+    if fmt == 3:
+        # v3 row lineage: the snapshot's starting row id (min over files
+        # it added; falls back to the table's next-row-id for no-op
+        # publishes) and the table-wide next-row-id counter
+        added_frids = [
+            e["data_file"].get("first_row_id")
+            for e in entries + degraded_entries
+            if e["status"] == 1
+            and e["data_file"].get("first_row_id") is not None
+        ]
+        new_snapshot["first-row-id"] = (
+            min(added_frids) if added_frids else meta.next_row_id
+        )
     snapshot_log = (list(prev_doc["snapshot-log"]) if prev_doc else []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
@@ -895,7 +958,7 @@ def export_iceberg_table(
             }
         )
     doc = {
-        "format-version": 2,
+        "format-version": fmt,
         "table-uuid": (
             prev_doc["table-uuid"]
             if prev_doc
@@ -912,6 +975,7 @@ def export_iceberg_table(
         "default-spec-id": cur_spec_id,
         "partition-specs": prev_specs,
         "last-partition-id": last_partition_id,
+        **({"next-row-id": meta.next_row_id} if fmt == 3 else {}),
         "default-sort-order-id": 1 if sort_fields else 0,
         "sort-orders": (
             [{"order-id": 1, "fields": sort_fields}]
@@ -973,7 +1037,7 @@ def plan_iceberg_scan(
         version = int(fh.read().strip())
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
         doc = json.load(fh)
-    if doc["format-version"] not in (1, 2):
+    if doc["format-version"] not in (1, 2, 3):
         raise ValueError(f"unsupported format-version {doc['format-version']}")
     want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
@@ -990,7 +1054,7 @@ def plan_iceberg_scan(
         return set(vals) if isinstance(vals, (list, tuple, set)) else {vals}
 
     _, manifests, _ = read_container(snap["manifest-list"])
-    data_files: list[tuple[str, int]] = []      # (path, data sequence)
+    data_files: list[tuple[str, int, int | None]] = []  # (path, seq, first_row_id)
     pos_deletes: list[tuple[str, int]] = []     # (path, delete sequence)
     eq_deletes: list[tuple[str, int, list[int]]] = []
     pruned = 0
@@ -1024,7 +1088,9 @@ def plan_iceberg_scan(
                     if skip:
                         pruned += 1
                         continue
-                data_files.append((df_rec["file_path"], eseq))
+                data_files.append(
+                    (df_rec["file_path"], eseq, df_rec.get("first_row_id"))
+                )
             elif content == 1:
                 pos_deletes.append((df_rec["file_path"], eseq))
             elif content == 2:
@@ -1046,6 +1112,7 @@ def read_iceberg_table(
     location: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table by walking ONLY its standard metadata —
     version-hint → vN.metadata.json → snapshot's manifest list →
@@ -1057,16 +1124,37 @@ def read_iceberg_table(
     values before any Spark job runs (see :func:`plan_iceberg_scan`).
 
     NOTE: ``partition_filter`` is FILE pruning, not a row filter — caller
-    still applies the row predicate (exactly how engine pruning works)."""
+    still applies the row predicate (exactly how engine pruning works).
+
+    ``lineage=True`` (format-version 3 exports) attaches the spec's
+    row-lineage columns: ``_row_id`` = a file's explicit ``first_row_id``
+    + row position (a value materialized IN the parquet, as rewrites do,
+    wins), ``_last_updated_sequence_number`` = the entry's data sequence
+    unless materialized."""
+    from .table import LAST_SEQ_COL, ROW_ID_COL
+
     plan = plan_iceberg_scan(location, snapshot_id, partition_filter)
     schema_json = plan["schema_json"]
     data_files = plan["data_files"]
     pos_deletes, eq_deletes = plan["pos_deletes"], plan["eq_deletes"]
     spark_schema = iceberg_schema_to_spark(schema_json)
+    if lineage and plan["doc"]["format-version"] < 3:
+        raise ValueError("row lineage requires a format-version 3 export")
+    read_schema = spark_schema
+    if lineage:
+        read_schema = T.StructType(
+            list(spark_schema.fields)
+            + [
+                T.StructField(ROW_ID_COL, T.LongType()),
+                T.StructField(LAST_SEQ_COL, T.LongType()),
+            ]
+        )
     if not data_files:
-        return spark.createDataFrame([], spark_schema)
-    df = spark.read.schema(spark_schema).parquet(*[p for p, _ in data_files])
-    if not pos_deletes and not eq_deletes:
+        return spark.createDataFrame([], read_schema)
+    df = spark.read.schema(read_schema).parquet(
+        *[p for p, _s, _r in data_files]
+    )
+    if not pos_deletes and not eq_deletes and not lineage:
         return df
 
     # delete application, spec semantics: position deletes name exact
@@ -1110,7 +1198,7 @@ def read_iceberg_table(
     if eq_deletes:
         id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
         smap = spark.createDataFrame(
-            data_files, "_fpath2 string, _dataseq long"
+            data_files, "_fpath2 string, _dataseq long, _frid0 long"
         ).select(_norm(F.col("_fpath2")).alias("_fpath2"), "_dataseq")
         df = df.join(
             F.broadcast(smap), F.col("_fpath") == F.col("_fpath2")
@@ -1144,7 +1232,20 @@ def read_iceberg_table(
             for c in cols:
                 cond = cond & (F.col(c) == F.col(f"_d_{c}"))
             df = df.join(F.broadcast(dels), cond, "left_anti")
-    return df.select(*[f.name for f in spark_schema.fields])
+    keep = [f.name for f in spark_schema.fields]
+    if lineage:
+        fmap = spark.createDataFrame(
+            data_files, "_fp string, _seq long, _frid long"
+        ).select(_norm(F.col("_fp")).alias("_fp"), "_seq", "_frid")
+        df = df.join(F.broadcast(fmap), F.col("_fpath") == F.col("_fp"))
+        df = df.withColumn(
+            ROW_ID_COL,
+            F.coalesce(F.col(ROW_ID_COL), F.col("_frid") + F.col("_pos")),
+        ).withColumn(
+            LAST_SEQ_COL, F.coalesce(F.col(LAST_SEQ_COL), F.col("_seq"))
+        )
+        keep = keep + [ROW_ID_COL, LAST_SEQ_COL]
+    return df.select(*keep)
 
 
 def java_avro_records(spark: SparkSession, path: str) -> list[str]:

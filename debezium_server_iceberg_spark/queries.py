@@ -1157,6 +1157,90 @@ def row_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_export_lineage_roundtrip",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, (o_orderkey % 400 = 0) AS updated
+      FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderstatus, updated,
+           count(*) AS n_rows,
+           count(*) AS n_distinct_ids,
+           CAST(CASE WHEN updated THEN count(*) ELSE 0 END AS BIGINT) AS n_fresh_ids
+    FROM t GROUP BY o_orderstatus, updated
+    """,
+)
+def iceberg_export_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 METADATA export of row lineage: the same invariants as
+    ``row_lineage_upsert``, but read through the standard Iceberg
+    metadata chain (format-version 3 doc + per-file ``first_row_id`` in
+    the Avro manifests + ``read_iceberg_table(lineage=True)`` deriving
+    ``_row_id``), not the engine's native manifests.  A missing or wrong
+    first_row_id, a lineage column lost in export, or a derivation bug
+    breaks uniqueness/freshness counts and hash-mismatches.  Mid-query
+    assert pins the chain lineage EQUAL to the engine's native lineage
+    read, row for row."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.iceberg_export import (
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+    from .lakehouse.table import LAST_SEQ_COL, ROW_ID_COL
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="lin_exp_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_linexp",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            properties={"format-version": "3"},
+        )
+        n_before = t.append(sub)
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "__op", F.lit("u")
+        )
+        # equality deletes: position-delete files are v2-only constructs,
+        # a v3 export would refuse them (spec: v3 uses deletion vectors)
+        merge_into(t, upd, delete_style="equality")
+        dest = _os.path.join(wh, "published")
+        export_iceberg_table(t, dest)
+        out = read_iceberg_table(spark, dest, lineage=True)
+        native = {
+            r["o_orderkey"]: (r[ROW_ID_COL], r[LAST_SEQ_COL])
+            for r in t.to_df(spark, lineage=True).collect()
+        }
+        chain = {
+            r["o_orderkey"]: (r[ROW_ID_COL], r[LAST_SEQ_COL])
+            for r in out.collect()
+        }
+        assert chain == native, "chain lineage diverges from engine lineage"
+        updated = (F.col(LAST_SEQ_COL) == 2).alias("updated")
+        fresh = F.col(ROW_ID_COL) >= n_before
+        return (
+            out.groupBy("o_orderstatus", updated)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(ROW_ID_COL).alias("n_distinct_ids"),
+                F.sum(F.when(fresh, 1).otherwise(0)).alias("n_fresh_ids"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "sql_read_surface",
     """
     WITH t AS (
@@ -4469,70 +4553,72 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # CDC / engine semantics (A1/A2, W4, P1/P2/P4, schema evolution)
-    "cdc_upsert_orders",
-    "cdc_dedup_last_wins",
-    "cdc_dedup_op_priority",
-    "cdc_route_by_destination",
-    "cdc_soft_delete_orders",
-    "cdc_envelope_roundtrip",
-    "cdc_struct_roundtrip",
-    "cdc_schema_evolution",
-    # writer fidelity: real Iceberg v2 metadata, v3 row lineage,
-    # write-audit-publish branches, incremental changelog scans
-    "iceberg_export_roundtrip",
-    "iceberg_export_mor_roundtrip",
-    "row_lineage_upsert",
-    "wap_branch_publish",
-    "incremental_append_scan",
-    # TPC-H relational core (scan/filter/join/agg/semi/anti/having/subquery)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_or_of_ands",
-    "q22_idle_balances",
-    # relational operators beyond joins
-    "topk_orders_per_priority",
-    "setops_customer_status",
-    "grouping_sets_revenue",
-    "anti_customers_without_orders",
-    "window_rank_functions",
-    # event-time / temporal
-    "events_hourly_rollup",
-    "sessionize_events",
-    "asof_last_click_before_purchase",
-    "range_join_order_overlaps",
-    "interval_join_attribution",
-    # text analysis
-    "quality_score",
-    "lang_id",
-    "token_count_bpe",
-    "json_props_extract",
-    "variant_props_extract",
-    # training-data shaping (chunking / sampling / redaction)
-    "doc_chunking",
-    "stratified_sample_docs",
-    "pii_redact_docs",
-    "decontaminate_docs",
-    # corpus curation
-    "segment_dedup_docs",
-    "gopher_rules_filter",
-    "temperature_mixture_sample",
-    "kmeans_lloyd_step",
-    # dedup family (incremental_minhash_pairs subsumes the one-shot
-    # minhash_near_dup: same machinery + the persistent lakehouse index,
-    # checked against the same oracle)
-    "dedup_exact",
-    "incremental_minhash_pairs",
-    "dedup_canonical_clusters",
-    "simhash_near_dup",
-    "semantic_dedup_embeddings",
-    # similarity / approximate
-    "ann_cosine_topk",
-    # multimodal (oracle-backed: real BMP/WAV decode)
-    "multimodal_image_features",
+    # ROUND-8 ROTATION (VERDICT r7 item 4): the driver checks the first 50
+    # registry entries; 55 gates had never received a driver-side green row
+    # (covered locally + by the judge's spot checks only), so this round
+    # they go first.  Round 9 rotates back so every gate cycles through
+    # independent driver confirmation.  New gates lead.
+    "changed_rows_with_deletes",
+    "iceberg_export_partitioned_roundtrip",
+    "changed_rows_scan",
+    "sql_read_surface",
+    "rollup_revenue",
+    # TPC-H remainder
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # relational / window / scalar
+    "pivot_user_event_matrix",
+    "cube_order_stats",
+    "percentiles_order_value",
+    "window_running_revenue",
+    "window_navigation_functions",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "decorrelated_above_avg",
+    "skew_salted_join_agg",
+    # temporal / events
+    "asof_join_purchases_clicks",
+    "funnel_signup_click_purchase",
+    "events_sliding_counts",
+    # dedup / similarity variants
+    "minhash_near_dup",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_near_dup",
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    "ann_lsh_topk",
+    "approx_distinct_parts",
+    # text / corpus family
+    "token_stats",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "corpus_top_ngrams",
+    "repetition_filter_docs",
+    "length_histogram_docs",
+    "unigram_logprob_docs",
+    "curriculum_rank_shards",
+    "reservoir_sample_per_lang",
+    "sequence_packing",
+    "mixture_sample_sources",
+    "pipeline_end_to_end",
+    # multimodal decode variants
+    "multimodal_audio_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

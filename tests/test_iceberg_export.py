@@ -724,3 +724,113 @@ def test_export_path_with_space_delete_joins(spark, warehouse, tmp_path):
     assert got == native
     assert (2, "v2") not in got and (5, "v5") not in got
     assert (2, "upd") in got
+
+
+def test_v3_lineage_export_roundtrip(spark, warehouse, tmp_path):
+    """format-version 3 engine tables publish v3 metadata: next-row-id,
+    per-file first_row_id in manifests, and the chain reader's
+    lineage=True derives _row_id/_last_updated_sequence_number that match
+    the engine's own lineage read — including materialized values after
+    compaction (which win over derivation)."""
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        LAST_SEQ_COL, ROW_ID_COL,
+    )
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id long, v string"
+    )
+    t = cat.create_table(
+        "ice", "v3_t", df.schema, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    t.append(df.filter("id < 6"))
+    t.append(df.filter("id >= 6"))
+    dest = str(tmp_path / "pub")
+    md = json.load(open(export_iceberg_table(t, dest)))
+    assert md["format-version"] == 3
+    assert md["next-row-id"] == 12
+    assert md["snapshots"][-1]["first-row-id"] == 0
+    list_recs = [json.loads(s) for s in java_avro_records(
+        spark, md["snapshots"][-1]["manifest-list"])]
+    ents = [json.loads(s) for s in java_avro_records(
+        spark, list_recs[0]["manifest_path"])]
+    assert sorted(e["data_file"]["first_row_id"] for e in ents) == [0, 6]
+
+    def _lineage_map(d):
+        return {r["id"]: (r[ROW_ID_COL], r[LAST_SEQ_COL]) for r in d.collect()}
+
+    chain = _lineage_map(read_iceberg_table(spark, dest, lineage=True))
+    native = _lineage_map(t.to_df(spark, lineage=True))
+    assert chain == native and len(chain) == 12
+
+    # upsert via EQUALITY deletes stays v3-exportable
+    merge_into(
+        t,
+        spark.createDataFrame([(3, "X", "u")], "id long, v string, __op string"),
+        delete_style="equality",
+    )
+    md2 = json.load(open(export_iceberg_table(t, dest)))
+    assert md2["format-version"] == 3
+    chain2 = _lineage_map(read_iceberg_table(spark, dest, lineage=True))
+    assert chain2 == _lineage_map(t.to_df(spark, lineage=True))
+    assert chain2[3][1] == 3  # fresh sequence on the upserted row
+
+    # compaction materializes lineage INTO the files; chain read must
+    # prefer the materialized values over first_row_id + position
+    t.compact(spark, target_file_bytes=512 * 1024 * 1024)
+    md3 = json.load(open(export_iceberg_table(t, dest)))
+    assert md3["format-version"] == 3
+    chain3 = _lineage_map(read_iceberg_table(spark, dest, lineage=True))
+    assert chain3 == _lineage_map(t.to_df(spark, lineage=True)) == chain2
+
+
+def test_v3_export_with_position_deletes_degrades_or_refuses(spark, warehouse, tmp_path):
+    """v3 forbids position-delete FILES: a first publish falls back to a
+    correct v2 export (no lineage), but a table already published at v3
+    refuses (no format downgrade) until deletes are compacted away."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table(
+        "ice", "v3_pos", df.schema, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    merge_into(t, df, mode="merge-on-read")
+    merge_into(
+        t,
+        spark.createDataFrame([(2, "u", "u")], "id long, v string, __op string"),
+        mode="merge-on-read",
+        delete_style="position",
+    )
+    assert any(d.content == "position" for d in t.current_deletes())
+    dest = str(tmp_path / "pub")
+    md = json.load(open(export_iceberg_table(t, dest)))
+    assert md["format-version"] == 2              # honest fallback
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    assert got[2] == "u" and len(got) == 6
+
+    # publish v3 first elsewhere, then position deletes must refuse
+    t2 = cat.create_table(
+        "ice", "v3_pos2", df.schema, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    dest2 = str(tmp_path / "pub2")
+    merge_into(t2, df, mode="merge-on-read")
+    t2.compact(spark, target_file_bytes=512 * 1024 * 1024)
+    assert json.load(open(export_iceberg_table(t2, dest2)))["format-version"] == 3
+    merge_into(
+        t2,
+        spark.createDataFrame([(1, "u", "u")], "id long, v string, __op string"),
+        mode="merge-on-read",
+        delete_style="position",
+    )
+    with pytest.raises(ValueError, match="compact"):
+        export_iceberg_table(t2, dest2)
+    t2.compact(spark, target_file_bytes=512 * 1024 * 1024)
+    md3 = json.load(open(export_iceberg_table(t2, dest2)))
+    assert md3["format-version"] == 3

@@ -285,3 +285,33 @@ def test_rename_table_preserves_contents_and_history(spark, tmp_path):
     import pytest as _p
     with _p.raises(FileExistsError):
         cat.create_table("b", "moved", df.schema)
+
+
+def test_rename_table_structured_rewrite(spark, tmp_path, monkeypatch):
+    """ADVICE r7: the rename rewrite must be field-targeted, not a blind
+    substring replace — a STRING VALUE equal to the old table path (e.g. a
+    column bound of a path-valued column) survives untouched; a relative
+    warehouse path still renames correctly (catalog normalizes to
+    absolute)."""
+    import os
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+
+    monkeypatch.chdir(tmp_path)
+    cat = LakeCatalog("rel_wh")                         # RELATIVE on purpose
+    old_loc = os.path.join(str(tmp_path), "rel_wh", "a", "pt")
+    df = spark.createDataFrame(
+        [(1, old_loc), (2, old_loc + "/sub")], "id long, p string"
+    )
+    t = cat.create_table("a", "pt", df.schema, identifier_fields=["id"])
+    t.append(df)
+    # identifier bounds put the path-valued strings into manifest bounds
+    t2 = cat.rename_table("a", "pt", "a", "pt2")
+    rows = {r.id: r.p for r in t2.to_df(spark).collect()}
+    # user DATA must keep the old path string verbatim
+    assert rows == {1: old_loc, 2: old_loc + "/sub"}
+    # metadata location and data-file paths moved
+    assert t2.metadata().location.endswith(os.path.join("rel_wh", "a", "pt2"))
+    for f in t2.current_files():
+        assert os.path.isabs(f.path) and "/pt2/" in f.path
+        assert os.path.exists(f.path)
