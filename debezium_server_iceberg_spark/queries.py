@@ -3683,11 +3683,15 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21 waiting-suppliers (ship-vs-order lag > 60 days standing in for
-    the missing receipt-vs-commit columns): EXISTS as LEFT SEMI and NOT
-    EXISTS as LEFT ANTI with the non-equi ``suppkey <>`` residual — the
-    exact physical strategies Catalyst picks for the SQL form, written
-    explicitly.  All three legs key on l_orderkey, so AQE coalesces them
-    onto one exchange lineage; supplier broadcasts at the end."""
+    the missing receipt-vs-commit columns), decorrelated to AGGREGATES:
+    ``EXISTS (other supplier on the order)`` ⇔ the order's distinct
+    supplier count ≥ 2, and ``NOT EXISTS (other LATE supplier)`` ⇔ the
+    order's distinct LATE-supplier count = 1 — so instead of two
+    sort-merge self-joins of raw lineitem (whose per-task sorts OOM'd a
+    1 GB-heap vanilla session on the sf1 slice), lineitem is hash-
+    aggregated once per key and only ORDER-sized relations join after.
+    Row multiplicity is preserved exactly (numwait sums the late
+    (order, supplier) row counts, = the SQL's count of l1 rows)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
@@ -3696,27 +3700,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    waited = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    late_g = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    per_order_late = late_g.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late_supp")
+    )
+    per_order_all = (
+        li.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+    qual = (
+        late_g.join(per_order_late, "l_orderkey")
+        .filter(F.col("n_late_supp") == 1)
+        .join(per_order_all, "l_orderkey")
+        .filter(F.col("n_supp") >= 2)
     )
     return (
-        waited.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        qual.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_rows").alias("numwait"))
     )
 
 

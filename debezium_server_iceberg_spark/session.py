@@ -7,6 +7,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode JVM heap from the machine, not a constant.
+
+    In ``local[N]`` the driver heap IS the executor heap: N concurrent
+    task slots share it, so a fixed small default that is fine at sf0.1
+    OOMs sort-heavy joins at sf1 (surfaced by q21 on the 10x slice).  A
+    quarter of physical RAM (floor 8g, cap 48g) mirrors what a cluster
+    deployment would give each executor JVM; explicit
+    ``SPARK_DRIVER_MEMORY`` always wins."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(fh.readline().split()[1])
+        gb = max(8, min(48, kb // (4 * 1024 * 1024)))
+        return f"{gb}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "debezium_server_iceberg_spark",
     master: str | None = None,
@@ -36,7 +57,7 @@ def get_spark(
         # casts and diverges from the verified plans)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
