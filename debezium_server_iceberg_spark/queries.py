@@ -302,8 +302,8 @@ def cdc_route_by_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(sum(qty) AS DOUBLE) AS sum_qty,
            CAST(sum(price) AS DOUBLE) AS sum_base_price,
-           CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(price * (1 - disc)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE), 2) AS sum_charge,
            round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
            round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*) AS count_order
@@ -320,11 +320,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _rate(F.col("l_discount"))
     tax = _rate(F.col("l_tax"))
     one = F.lit(1).cast("decimal(3,2)")
+    # wide-scale decimal sums: the exact sf1 sums need 17 significant
+    # digits, where engines' decimal->double conversions legally differ by
+    # 1 ulp (DuckDB converts int128->double then divides by 10^scale —
+    # two roundings).  round(double, 2) on BOTH sides absorbs the ulp
+    # (a decimal-scale-2 pre-cast would instead hit Spark-HALF_UP vs
+    # DuckDB-half-even tie breaks on the frequent exact .xx5 sums)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(price * (one - disc) * (one + tax)).cast("double"), 2).alias("sum_charge"),
         F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
         F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),

@@ -75,6 +75,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--out", default=None, help="write driver-shaped results JSON here")
+    ap.add_argument(
+        "--driver-memory",
+        default=None,
+        help="JVM heap for the (otherwise vanilla) session. Leave unset to "
+        "mirror the driver harness exactly (its 1g default); set e.g. 8g "
+        "for sf1+ runs, where a 1g heap fails legitimate broadcast builds "
+        "that any real deployment would have memory for — capacity, not "
+        "query semantics",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -95,14 +104,16 @@ def main() -> int:
     for live in (SparkSession.getActiveSession(), SparkSession._instantiatedSession):
         if live is not None:
             live.stop()
-    spark = (
+    builder = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
         .config("spark.sql.shuffle.partitions", "32")
         .appName("check_correctness")
-        .getOrCreate()
     )
+    if args.driver_memory:
+        builder = builder.config("spark.driver.memory", args.driver_memory)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
