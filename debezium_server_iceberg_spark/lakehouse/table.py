@@ -1708,28 +1708,38 @@ def _auto_write_partitions(
     returns None when the JVM estimate is unreachable (keep Spark's
     default fan-out).
 
-    ``materialize=True`` (the caller persisted ``df``): run a count first
-    so the cache fills and the stat read sees the MATERIALIZED in-memory
-    size, not a pre-execution Catalyst guess — a selective-filter
-    underestimate must not collapse a genuinely large keyed append into a
-    single-file, single-task write.  Cost is ~zero on the write path: the
-    range shuffle's sampling pass would compute the plan into the cache
-    immediately afterwards anyway."""
+    ``materialize=True`` (the caller persisted ``df``): when the plan
+    estimate lands in the collapse zone (< 4 files), run a count so the
+    cache fills and the stat read sees the MATERIALIZED in-memory size,
+    not a pre-execution Catalyst guess — a selective-filter underestimate
+    must not collapse a genuinely large keyed append into a single-file,
+    single-task write.  Estimates ABOVE the zone skip the extra pass: an
+    underestimate there still fans out adequately, and the range
+    shuffle's sampling pass re-reads the cache right after anyway."""
     try:
-        if materialize and df.is_cached:
+        target = int(
+            meta.properties.get(
+                "write.target-file-size-bytes", 512 * 1024 * 1024
+            )
+        )
+
+        def _read_est(frame: DataFrame) -> int:
+            return int(
+                frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+
+        est = _read_est(df)
+        if materialize and df.is_cached and 0 < est < 4 * target:
             df.count()
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            # stats() memoizes per QueryExecution — the post-materialize
+            # read needs a fresh plan handle to see the cached size
+            est = _read_est(df.select("*"))
         # Catalyst reports ~Long.Max for plans with unknown stats (e.g.
         # local relations, some cached plans) — treat as unknown and let
         # AQE's shuffle coalescing pick the fan-out instead of pinning
         # the cap
         if est <= 0 or est >= 1 << 60:
             return None
-        target = int(
-            meta.properties.get(
-                "write.target-file-size-bytes", 512 * 1024 * 1024
-            )
-        )
         cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         return max(1, min(-(-est // target), cap))
     except Exception:

@@ -88,10 +88,19 @@ def test_funnel_is_single_plan(spark, fns):
     assert plan.count("Scan parquet") >= 3  # stages read events in-plan
 
 
-def test_q21_exists_as_semi_and_anti(spark, fns):
+def test_q21_decorrelated_to_aggregates(spark, fns):
+    """q21's EXISTS / NOT EXISTS run as per-order AGGREGATES (distinct
+    supplier counts), not sort-merge self-joins of raw lineitem — the
+    rewrite that keeps the query inside a 1 GB vanilla heap at sf1.
+    Raw-lineitem relations must never meet in a join: joins happen only
+    between aggregated, order-sized relations."""
     opt = _optimized(fns["q21_waiting_suppliers"](spark, SF))
-    assert "LeftSemi" in opt
-    assert "LeftAnti" in opt
+    assert "LeftSemi" not in opt and "LeftAnti" not in opt
+    # the distinct-supplier-count aggregate exists
+    assert "count(distinct l_suppkey" in opt or "n_supp" in opt
+    plan = _plan(fns["q21_waiting_suppliers"](spark, SF))
+    # partial aggregation (map-side combine) before each exchange
+    assert plan.count("HashAggregate") >= 4
 
 
 def test_q9_part_filter_pushed_and_dims_broadcast(spark, fns):
