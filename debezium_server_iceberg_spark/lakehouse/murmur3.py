@@ -77,6 +77,16 @@ def murmur3_utf8(s: str) -> int:
     return murmur3_32(s.encode("utf-8"))
 
 
+def murmur3_decimal(unscaled: int) -> int:
+    """Iceberg ``hashBytes`` of a decimal's unscaled value in minimal
+    big-endian two's-complement form (= Java BigInteger.toByteArray).
+    Python's ``bit_length`` is magnitude-based, so the sign-aware length
+    uses ``~v`` for negatives (-128 → one byte 0x80, not FF80)."""
+    mag = unscaled if unscaled >= 0 else ~unscaled
+    n = mag.bit_length() // 8 + 1
+    return murmur3_32(unscaled.to_bytes(n, "big", signed=True))
+
+
 def iceberg_bucket_py(hash_value: int, n: int) -> int:
     """Spec bucket assignment: ``(hash & Integer.MAX_VALUE) % N``."""
     return (hash_value & 0x7FFFFFFF) % n
@@ -146,13 +156,14 @@ def mm3_long_col(col: Column) -> Column:
     )
 
 
-def mm3_utf8_col(col: Column) -> Column:
-    """Murmur3 x86 32 (seed 0) of a string's UTF-8 bytes.
+def mm3_hex_col(hex_expr: Column) -> Column:
+    """Murmur3 x86 32 (seed 0) of the BYTE STRING whose hex form is
+    ``hex_expr`` (2 chars/byte, any case).
 
-    Byte access goes through ``hex()`` (2 chars/byte); each 4-byte block
-    is little-endian-reassembled with ``substr`` + ``conv`` and folded
-    with ``aggregate`` (interpreted, not codegen — acceptable: bucket
-    computation runs once per written row, not in scan hot paths).
+    Each 4-byte block is little-endian-reassembled with ``substr`` +
+    ``conv`` and folded with ``aggregate`` (interpreted, not codegen —
+    acceptable: bucket computation runs once per written row, not in
+    scan hot paths).
 
     Expression-size discipline: naive composition duplicates subtrees
     multiplicatively (the raw form serialized to a 60 MB task binary and
@@ -205,10 +216,38 @@ def mm3_utf8_col(col: Column) -> Column:
         )
 
     return F.aggregate(
-        F.array(F.hex(F.encode(col, "UTF-8"))),
+        F.array(hex_expr),
         F.lit(0).cast("long"),
         lambda _acc, hx: _hash_of_hex(hx),
     )
+
+
+def mm3_utf8_col(col: Column) -> Column:
+    """Murmur3 x86 32 (seed 0) of a string's UTF-8 bytes."""
+    return mm3_hex_col(F.hex(F.encode(col, "UTF-8")))
+
+
+def mm3_decimal_col(col: Column, precision: int, scale: int) -> Column:
+    """Iceberg decimal hash: ``hashBytes`` of the unscaled value's
+    minimal big-endian two's-complement form (Java
+    ``BigInteger.toByteArray``).  Precision ≤ 18 only (unscaled fits a
+    long); the minimal form is carved out of the full 16-hex-char two's
+    complement with backtracking regexes — strip leading ``00`` pairs
+    while the next nibble keeps the sign bit clear, leading ``FF`` pairs
+    while it keeps it set."""
+    if precision > 18:
+        raise ValueError(
+            f"iceberg bucket on decimal({precision},{scale}) unsupported "
+            "(unscaled value exceeds 64 bits)"
+        )
+    unscaled = (col * F.lit(10 ** scale)).cast("long")
+    h16 = F.lpad(F.hex(unscaled), 16, "0")
+    minimal = F.regexp_replace(
+        F.regexp_replace(h16, "^(00)+(?=[0-7])", ""),
+        "^(FF)+(?=[89A-F])",
+        "",
+    )
+    return mm3_hex_col(minimal)
 
 
 def iceberg_bucket_col(col: Column, source_type: str | None, n: int) -> Column:
@@ -226,6 +265,14 @@ def iceberg_bucket_col(col: Column, source_type: str | None, n: int) -> Column:
         h = mm3_long_col(F.unix_micros(col.cast("timestamp")))
     elif t == "string":
         h = mm3_utf8_col(col)
+    elif t.startswith("decimal"):
+        try:
+            p, s = (
+                int(x) for x in t[t.index("(") + 1 : t.index(")")].split(",")
+            )
+        except ValueError:
+            raise ValueError(f"malformed decimal type {t!r}") from None
+        h = mm3_decimal_col(col, p, s)
     else:
         raise ValueError(
             f"iceberg bucket transform unsupported for source type {t!r}"

@@ -476,7 +476,9 @@ class LakeTable:
         """
         schema = meta.schema
         table_cols = [f.name for f in schema.fields]
-        src_types = {f.name: f.dataType.typeName() for f in schema.fields}
+        # simpleString, not typeName: decimal needs its (p,s) for the
+        # spec bucket hash ("decimal(18,2)" vs bare "decimal")
+        src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
         out = df
         pcols: list[str] = []
         for pf in meta.partition_spec:

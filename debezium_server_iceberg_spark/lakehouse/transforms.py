@@ -15,7 +15,8 @@ Transform outputs are deterministic and engine-independent:
   bytes) & Int.MAX) % n`` (lakehouse/murmur3.py), so the physical file
   grouping IS the Iceberg bucket value and metadata export keeps
   external partition pruning faithful.  Supported source types are the
-  spec's: int/long/date/timestamp/string.
+  spec's: int/long/date/timestamp/string/decimal(p≤18) — decimals hash
+  their unscaled value's minimal big-endian two's-complement bytes.
 - truncate(w, col): substring for strings, floor-div*w for numerics
   (Iceberg truncate semantics).
 """
@@ -54,7 +55,7 @@ class PartitionField:
     def column(self, source_type: str | None = None) -> Column:
         """Spark expression computing the partition value.
 
-        ``source_type`` is the Spark ``typeName()`` of the source column —
+        ``source_type`` is the Spark ``simpleString()`` of the source column —
         needed only by ``truncate`` (string prefix vs numeric floor-div).
         """
         c = F.col(self.source)

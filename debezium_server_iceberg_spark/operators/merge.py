@@ -137,7 +137,7 @@ def merge_into(
         # distinct source-partition set is tiny (partitions touched by one
         # CDC batch), so the driver-side intersection is cheap.
         if meta.partition_spec:
-            src_types = {f.name: f.dataType.typeName() for f in schema.fields}
+            src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
             pcols = [
                 pf.column(src_types.get(pf.source)).alias(pf.name)
                 for pf in meta.partition_spec
