@@ -1214,6 +1214,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         ref: str | None = None,
         lineage: bool = False,
+        row_filter: dict | None = None,
     ) -> DataFrame:
         """Current (or time-travel / ref) table contents as a DataFrame.
 
@@ -1228,7 +1229,19 @@ class LakeTable:
         values written by a rewrite win, else they are derived in-plan as
         ``first_row_id + parquet row position`` / the file's data sequence
         number (the v3 inheritance rule).  Rows from files committed before
-        the table carried ``format-version>=3`` surface null ids."""
+        the table carried ``format-version>=3`` surface null ids.
+
+        ``row_filter`` is Iceberg's planFiles model: a dict of
+        ``column -> scalar`` (equality) or ``column -> (lo, hi)``
+        (inclusive range) predicates.  Files are pruned DRIVER-SIDE before
+        any Spark job using (a) hidden-partition transform values —
+        equality on a bucket column computes the murmur3 bucket, temporal
+        transforms map value ranges to their path encodings — and (b)
+        per-file column min/max bounds; the residual predicate is then
+        applied in-plan, so results are EXACTLY ``to_df().filter(...)``
+        while a point lookup touches only the files that can match.  At
+        100 TB this is the difference between a manifest scan and a
+        table scan."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -1236,7 +1249,16 @@ class LakeTable:
         meta = self.metadata()
         files = self._manifest_files(meta, snapshot_id)
         deletes = self._manifest_deletes(meta, snapshot_id)
-        return self._read(spark, meta, files, deletes, lineage=lineage)
+        if row_filter:
+            files = _prune_files_by_filter(meta, files, row_filter)
+        df = self._read(spark, meta, files, deletes, lineage=lineage)
+        if row_filter:
+            for col, want in row_filter.items():
+                if isinstance(want, tuple):
+                    df = df.filter(F.col(col).between(want[0], want[1]))
+                else:
+                    df = df.filter(F.col(col) == F.lit(want))
+        return df
 
     def changed_rows_since(
         self, spark: SparkSession, snapshot_id: int,
@@ -1846,6 +1868,137 @@ def _bounds_intersect(
         if ba[0] is not None and bb[1] is not None and ba[0] > bb[1]:
             return False
     return True
+
+
+def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
+    """The engine's path-encoded partition value for source value ``v``
+    under transform ``pf`` — what ``DataFile.partition`` holds, so a
+    filter value can be compared against manifests without reading data.
+    Returns NotImplemented when the transform can't be evaluated for this
+    value/type (caller keeps the file)."""
+    import datetime as _dt
+
+    t = pf.transform
+    if t == "identity":
+        return v
+    if t == "bucket":
+        from .murmur3 import (
+            iceberg_bucket_py,
+            murmur3_decimal,
+            murmur3_long,
+            murmur3_utf8,
+        )
+        from decimal import Decimal as _Dec
+
+        if isinstance(v, bool):
+            return NotImplemented
+        if isinstance(v, int):
+            h = murmur3_long(v)
+        elif isinstance(v, str):
+            h = murmur3_utf8(v)
+        elif isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            micros = int(
+                (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+            h = murmur3_long(micros)
+        elif isinstance(v, _dt.date):
+            h = murmur3_long((v - _dt.date(1970, 1, 1)).days)
+        elif isinstance(v, _Dec):
+            st = source_type or ""
+            if "(" not in st:
+                return NotImplemented
+            _p, s = (int(x) for x in st[st.index("(") + 1 : st.index(")")].split(","))
+            h = murmur3_decimal(int(v.scaleb(s)))
+        else:
+            return NotImplemented
+        return iceberg_bucket_py(h, pf.param)
+    # temporal transforms: the engine encodes in the session's UTC wall
+    # clock; naive datetimes are assumed UTC to match
+    if t in ("year", "month", "day", "hour"):
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if not isinstance(v, (_dt.date, _dt.datetime)):
+            return NotImplemented
+        if t == "year":
+            return v.year
+        if t == "month":
+            return f"{v.year:04d}-{v.month:02d}"
+        if t == "day":
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+        hh = v.hour if isinstance(v, _dt.datetime) else 0
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{hh:02d}"
+    if t == "truncate":
+        if isinstance(v, str):
+            return v[: pf.param]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return (v // pf.param) * pf.param
+        return NotImplemented
+    return NotImplemented
+
+
+def _prune_files_by_filter(
+    meta: TableMetadata, files: list[DataFile], row_filter: dict
+) -> list[DataFile]:
+    """Driver-side Iceberg-planFiles pruning: keep a file only if every
+    predicate MIGHT match it, judged from hidden-partition transform
+    values and per-file column min/max bounds.  Strictly conservative:
+    missing bounds, old-spec layouts, and untranslatable transform values
+    keep the file; correctness comes from the residual in-plan filter."""
+    src_types = {f.name: f.dataType.simpleString() for f in meta.schema.fields}
+    pf_by_source: dict[str, list[PartitionField]] = {}
+    for pf in meta.partition_spec:
+        pf_by_source.setdefault(pf.source, []).append(pf)
+
+    def _file_might_match(f: DataFile) -> bool:
+        for col, want in row_filter.items():
+            lo, hi = (want if isinstance(want, tuple) else (want, want))
+            if lo is None or hi is None:
+                continue  # null-bounded predicates: no pruning
+            # column bounds (incomparable representations — e.g. decimal
+            # bounds stored as strings — conservatively keep the file)
+            b = f.bounds.get(col)
+            if b is not None and b[0] is not None and b[1] is not None:
+                try:
+                    if bound_key(b[1]) < bound_key(lo) or bound_key(
+                        b[0]
+                    ) > bound_key(hi):
+                        return False
+                except TypeError:
+                    pass
+            # partition transform values
+            for pf in pf_by_source.get(col, []):
+                if pf.name not in f.partition:
+                    continue  # old-spec layout: unprunable
+                have = f.partition[pf.name]
+                if have is None or have == "__HIVE_DEFAULT_PARTITION__":
+                    continue
+                st = src_types.get(col, "")
+                if not isinstance(want, tuple):
+                    exp = _engine_partition_value(pf, want, st)
+                    if exp is NotImplemented:
+                        continue
+                    if str(have) != str(exp):
+                        return False
+                elif pf.transform in ("identity", "year", "month", "day",
+                                      "hour", "truncate"):
+                    # monotonic transforms: a value range maps to a
+                    # transform-value range (bucket is not monotonic)
+                    elo = _engine_partition_value(pf, lo, st)
+                    ehi = _engine_partition_value(pf, hi, st)
+                    if elo is NotImplemented or ehi is NotImplemented:
+                        continue
+                    try:
+                        if bound_key(have) < bound_key(elo) or bound_key(
+                            have
+                        ) > bound_key(ehi):
+                            return False
+                    except TypeError:
+                        pass
+        return True
+
+    return [f for f in files if _file_might_match(f)]
 
 
 def bound_key(v: Any) -> Any:

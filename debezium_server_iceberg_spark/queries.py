@@ -1163,6 +1163,78 @@ def row_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pruned_point_lookup",
+    """
+    WITH k AS (
+      SELECT min(o_custkey) AS ck FROM orders WHERE o_custkey % 7 = 3
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders, k
+    WHERE o_custkey = k.ck
+      AND o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY 1
+    """,
+)
+def pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg planFiles on the ENGINE read path: a point lookup against a
+    bucket+year partitioned table goes through ``to_df(row_filter=...)``,
+    which prunes files driver-side from hidden-partition transform values
+    (murmur3 bucket of the key, year encodings for the date range) and
+    column bounds, then applies the residual filter in-plan — identical
+    results to a full-scan filter, manifest-planning cost.  Mid-query
+    asserts prove files were actually pruned; the oracle recomputes from
+    the raw rows, so over-pruning (lost rows) hash-mismatches."""
+    import shutil as _sh
+    import tempfile as _tf
+    from datetime import datetime as _dtt
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.table import _prune_files_by_filter
+
+    orders = _t(spark, sf_dir, "orders")
+    # deterministic existing key (planning-scale fetch, like a threshold)
+    ck = orders.filter(F.col("o_custkey") % 7 == 3).agg(
+        F.min("o_custkey")
+    ).collect()[0][0]
+    sub = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        _money(F.col("o_totalprice")).alias("price"),
+    )
+    wh = _tf.mkdtemp(prefix="lookup_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_lookup",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            partition_spec="bucket(8, o_custkey), year(o_orderdate)",
+        )
+        t.append(sub)
+        flt = {
+            "o_custkey": ck,
+            "o_orderdate": (
+                _dtt(1993, 1, 1), _dtt(1997, 12, 31, 23, 59, 59)
+            ),
+        }
+        files = t.current_files()
+        kept = _prune_files_by_filter(t.metadata(), files, flt)
+        assert len(kept) < len(files), "row_filter pruned nothing"
+        return (
+            t.to_df(spark, row_filter=flt)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "iceberg_export_lineage_roundtrip",
     """
     WITH t AS (

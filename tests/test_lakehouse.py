@@ -315,3 +315,75 @@ def test_rename_table_structured_rewrite(spark, tmp_path, monkeypatch):
     for f in t2.current_files():
         assert os.path.isabs(f.path) and "/pt2/" in f.path
         assert os.path.exists(f.path)
+
+
+def test_row_filter_prunes_files_and_matches_plain_filter(spark, tmp_path):
+    """to_df(row_filter=...) is Iceberg's planFiles: driver-side file
+    pruning from partition transform values + column bounds, with the
+    residual filter making results EXACTLY equal to a plain .filter()."""
+    import datetime as dt
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        _prune_files_by_filter,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    rows = [
+        (i, dt.datetime(2023 + i % 2, 1 + i % 12, 3, 6), f"g{i % 3}", i * 5)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, grp string, n long")
+    t = cat.create_table(
+        "ns", "pt", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id), month(ts)",
+    )
+    t.append(df)
+    meta, files = t.metadata(), t.current_files()
+    assert len(files) > 4
+
+    # bucket equality on the partition source prunes to one bucket's files
+    kept = _prune_files_by_filter(meta, files, {"id": 17})
+    assert 0 < len(kept) < len(files)
+    got = t.to_df(spark, row_filter={"id": 17}).collect()
+    exp = t.to_df(spark).filter("id = 17").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+
+    # temporal range prunes by month encoding
+    lo, hi = dt.datetime(2023, 2, 1), dt.datetime(2023, 3, 31)
+    kept2 = _prune_files_by_filter(meta, files, {"ts": (lo, hi)})
+    assert 0 < len(kept2) < len(files)
+    a = sorted(r["id"] for r in t.to_df(spark, row_filter={"ts": (lo, hi)}).collect())
+    b = sorted(
+        r["id"] for r in t.to_df(spark).filter(
+            (F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()
+    )
+    assert a == b and a
+
+    # key-bounds pruning works on NON-partition columns too (range-
+    # clustered identifier bounds), and never loses rows
+    a2 = sorted(r["id"] for r in t.to_df(spark, row_filter={"n": (100, 120)}).collect())
+    b2 = sorted(r["id"] for r in t.to_df(spark).filter("n between 100 and 120").collect())
+    assert a2 == b2 and a2
+
+
+def test_row_filter_survives_spec_evolution(spark, tmp_path):
+    """Old-spec files have no current-spec partition values — they must
+    stay in every pruned scan (conservative), so results never change."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(10)], "id long, grp string"
+    )
+    t = cat.create_table(
+        "ns", "ev", df1.schema, identifier_fields=["id"], partition_spec="grp",
+    )
+    t.append(df1)
+    t.update_partition_spec("bucket(2, id)")
+    t.append(spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(10, 20)], "id long, grp string"
+    ))
+    for probe in (3, 15):
+        got = sorted(r["id"] for r in t.to_df(spark, row_filter={"id": probe}).collect())
+        assert got == [probe]
