@@ -1989,6 +1989,16 @@ def _prune_files_by_filter(
                     ehi = _engine_partition_value(pf, hi, st)
                     if elo is NotImplemented or ehi is NotImplemented:
                         continue
+                    if isinstance(elo, int):
+                        # path values are raw strings; numeric transform
+                        # outputs (year, truncate) compare as ints
+                        try:
+                            have_n = int(have)
+                        except (TypeError, ValueError):
+                            continue
+                        if have_n < elo or have_n > ehi:
+                            return False
+                        continue
                     try:
                         if bound_key(have) < bound_key(elo) or bound_key(
                             have
@@ -2042,9 +2052,11 @@ def _partition_values_from_path(path: str, spec: list[PartitionField]) -> dict[s
         if "=" in comp:
             k, _, v = comp.partition("=")
             if k in names:
-                v = unquote(v)
-                try:
-                    vals[k] = int(v)
-                except ValueError:
-                    vals[k] = v
+                # RAW string, never int-parsed: the path is type-blind, and
+                # coercing "007" (a legitimate STRING partition value) to 7
+                # would export a wrong value and wrongly prune merges.
+                # Consumers normalize per declared type (int()/str() both
+                # accept these strings; computed values stringify to the
+                # same canonical form Spark wrote into the path).
+                vals[k] = unquote(v)
     return vals

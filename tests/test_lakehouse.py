@@ -73,7 +73,8 @@ def test_partitioned_write_and_manifest_pruning(spark, warehouse):
         assert "_p_bucket4_id" in f_.partition
         assert "id" in f_.bounds
     assert t.to_df(spark).count() == 20
-    years = {f_.partition["_p_year_ts"] for f_ in files}
+    # path values are raw strings (type-blind parse; consumers normalize)
+    years = {int(f_.partition["_p_year_ts"]) for f_ in files}
     assert years == {2020, 2021, 2022}
 
 
@@ -387,3 +388,54 @@ def test_row_filter_survives_spec_evolution(spark, tmp_path):
     for probe in (3, 15):
         got = sorted(r["id"] for r in t.to_df(spark, row_filter={"id": probe}).collect())
         assert got == [probe]
+
+
+def test_string_partition_value_with_leading_zeros(spark, tmp_path):
+    """A STRING identity-partition value like '007' must stay '007'
+    through the type-blind path parse — coercion to int 7 would export a
+    wrong partition value and make merge pruning skip the file."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        export_iceberg_table, java_avro_records, plan_iceberg_scan,
+        read_iceberg_table,
+    )
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+    import json as _json
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "007", "a"), (2, "7", "b"), (3, "042", "c")],
+        "id long, code string, v string",
+    )
+    t = cat.create_table(
+        "ns", "codes", df.schema, identifier_fields=["id"],
+        partition_spec="code",
+    )
+    t.append(df)
+    codes = {f.partition["_p_code"] for f in t.current_files()}
+    assert codes == {"007", "7", "042"}
+
+    # merge touching code='007' must not be pruned away from its file
+    upd = spark.createDataFrame(
+        [(1, "007", "updated", "u")], "id long, code string, v string, __op string"
+    )
+    merge_into(t, upd)
+    got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == {1: "updated", 2: "b", 3: "c"}
+
+    # export keeps the exact string partition values
+    dest = str(tmp_path / "pub")
+    export_iceberg_table(t, dest)
+    md = _json.load(open(dest + "/metadata/v1.metadata.json"))
+    vals = set()
+    for m in [_json.loads(s) for s in java_avro_records(
+            spark, md["snapshots"][-1]["manifest-list"])]:
+        if m.get("content", 0) != 0:
+            continue
+        for e in [_json.loads(s) for s in java_avro_records(spark, m["manifest_path"])]:
+            vals.add(e["data_file"]["partition"]["code"])
+    assert "007" in vals and "042" in vals
+    # pruned read distinguishes '007' from '7'
+    assert {r["id"] for r in read_iceberg_table(
+        spark, dest, partition_filter={"code": "007"}).filter("code = '007'").collect()} == {1}
+    assert plan_iceberg_scan(dest, partition_filter={"code": "007"})["pruned_files"] > 0
