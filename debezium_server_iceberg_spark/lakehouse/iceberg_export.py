@@ -1159,24 +1159,30 @@ def read_iceberg_table(
 
     # delete application, spec semantics: position deletes name exact
     # (file_path, pos) rows; equality deletes remove key matches in data
-    # files with a STRICTLY lower data sequence number
+    # files with a STRICTLY lower data sequence number.
     # _metadata.file_path is a URI ("file:/a/b" locally, "file:///a/b" or
-    # "s3://bucket/a/b" elsewhere) and URI-escaped ("a b" -> "a%20b");
-    # manifests record plain absolute paths — normalize both to "/"-rooted
-    # DECODED form.  The decode is conditional on '%' and applied to BOTH
-    # sides, so a literal '%' in a plain path transforms identically on
-    # each side and the join still matches.
-    def _norm(col: F.Column) -> F.Column:
+    # "s3://bucket/a/b" elsewhere) and URI-ESCAPED ("a b" -> "a%20b", a
+    # literal "%" -> "%25"); manifests and delete files record plain
+    # paths.  So the URI side percent-DECODES unconditionally (it is
+    # always encoded — decoding restores literal "%xx" sequences exactly
+    # once) while the plain side must NOT decode: a warehouse dir
+    # literally named "my%20dir" would otherwise decode to "my dir" on
+    # one side only and every delete join would silently miss.
+    def _norm_uri(col: F.Column) -> F.Column:
         raw = F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
-        dec = F.when(
-            raw.contains("%"),
+        return F.concat(
+            F.lit("/"),
             F.coalesce(F.call_function("try_url_decode", raw), raw),
-        ).otherwise(raw)
-        return F.concat(F.lit("/"), dec)
+        )
 
-    df = df.withColumn("_fpath", _norm(F.col("_metadata.file_path"))).withColumn(
-        "_pos", F.col("_metadata.row_index")
-    )
+    def _norm(col: F.Column) -> F.Column:
+        return F.concat(
+            F.lit("/"), F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
+        )
+
+    df = df.withColumn(
+        "_fpath", _norm_uri(F.col("_metadata.file_path"))
+    ).withColumn("_pos", F.col("_metadata.row_index"))
     if pos_deletes:
         # alias + normalize the delete side: real Iceberg writers may record
         # URI-form paths, and a user column named "pos"/"file_path" must not

@@ -1385,10 +1385,15 @@ class LakeTable:
         def _overlaps(f: DataFile) -> bool:
             for c in key_cols:
                 b = f.bounds.get(c)
-                if b is None or lo[c] is None:
+                if b is None or b[0] is None or b[1] is None or lo[c] is None:
                     continue
-                if bound_key(b[1]) < lo[c] or bound_key(b[0]) > hi[c]:
-                    return False
+                try:
+                    if bound_key(b[1]) < lo[c] or bound_key(b[0]) > hi[c]:
+                        return False
+                except TypeError:
+                    # incomparable representations (e.g. decimal bounds
+                    # persisted as strings): keep the file
+                    continue
             return True
 
         old_pruned = [f for f in old_files if _overlaps(f)]
@@ -1879,8 +1884,26 @@ def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
     import datetime as _dt
 
     t = pf.transform
+    st = (source_type or "").lower()
     if t == "identity":
-        return v
+        # prune only for types whose str() provably equals Spark's path
+        # encoding: ints and raw strings.  Decimals normalize to the
+        # declared scale ('7' vs path '7.00'); temporal encodings trim
+        # trailing zeros differently — skip, bounds still prune.
+        from decimal import Decimal as _Dec
+
+        if st in ("int", "bigint", "smallint", "tinyint"):
+            return int(v) if isinstance(v, int) and not isinstance(v, bool) \
+                else NotImplemented
+        if st == "string":
+            return v if isinstance(v, str) else NotImplemented
+        if st.startswith("decimal") and "(" in st:
+            _p, s = (int(x) for x in st[st.index("(") + 1 : st.index(")")].split(","))
+            try:
+                return str(_Dec(v).quantize(_Dec(1).scaleb(-s)))
+            except Exception:
+                return NotImplemented
+        return NotImplemented
     if t == "bucket":
         from .murmur3 import (
             iceberg_bucket_py,
@@ -1890,27 +1913,40 @@ def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
         )
         from decimal import Decimal as _Dec
 
+        # dispatch on the DECLARED column type, not the filter value's
+        # Python type: an int filter on a decimal column must hash the
+        # unscaled bytes the write path hashed, or pruning drops the file
         if isinstance(v, bool):
             return NotImplemented
-        if isinstance(v, int):
+        if st in ("int", "bigint", "smallint", "tinyint"):
+            if not isinstance(v, int):
+                return NotImplemented
             h = murmur3_long(v)
-        elif isinstance(v, str):
+        elif st == "string":
+            if not isinstance(v, str):
+                return NotImplemented
             h = murmur3_utf8(v)
-        elif isinstance(v, _dt.datetime):
+        elif st.startswith("timestamp"):
+            if not isinstance(v, _dt.datetime):
+                return NotImplemented
             if v.tzinfo is not None:
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            micros = int(
-                (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-            )
+            d = v - _dt.datetime(1970, 1, 1)
+            # exact integer micros: float total_seconds() is 1 us off for
+            # ~1% of microsecond timestamps — enough to hash a wrong
+            # bucket and silently prune the matching file
+            micros = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
             h = murmur3_long(micros)
-        elif isinstance(v, _dt.date):
-            h = murmur3_long((v - _dt.date(1970, 1, 1)).days)
-        elif isinstance(v, _Dec):
-            st = source_type or ""
-            if "(" not in st:
+        elif st == "date":
+            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
                 return NotImplemented
+            h = murmur3_long((v - _dt.date(1970, 1, 1)).days)
+        elif st.startswith("decimal") and "(" in st:
             _p, s = (int(x) for x in st[st.index("(") + 1 : st.index(")")].split(","))
-            h = murmur3_decimal(int(v.scaleb(s)))
+            try:
+                h = murmur3_decimal(int(_Dec(v).scaleb(s)))
+            except Exception:
+                return NotImplemented
         else:
             return NotImplemented
         return iceberg_bucket_py(h, pf.param)

@@ -834,3 +834,31 @@ def test_v3_export_with_position_deletes_degrades_or_refuses(spark, warehouse, t
     t2.compact(spark, target_file_bytes=512 * 1024 * 1024)
     md3 = json.load(open(export_iceberg_table(t2, dest2)))
     assert md3["format-version"] == 3
+
+
+def test_export_path_with_literal_percent_sequence(spark, tmp_path):
+    """A directory literally named with a %hex sequence ('my%20dir'): the
+    URI side escapes the '%' to %2520 and must decode exactly once, the
+    plain manifest side must NOT decode — one-sided decoding would turn
+    'my%20dir' into 'my dir' on one side and every delete join would
+    silently miss (review r8)."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    wh = str(tmp_path / "my%20dir")
+    cat = LakeCatalog(wh)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "pct_t", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame(
+        [(3, "upd", "u")], "id long, v string, __op string"
+    )
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    assert t.current_deletes()
+    dest = str(tmp_path / "pub%25out")
+    export_iceberg_table(t, dest)
+    got = sorted((r["id"], r["v"]) for r in read_iceberg_table(spark, dest).collect())
+    native = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
+    assert got == native
+    assert (3, "v3") not in got and (3, "upd") in got

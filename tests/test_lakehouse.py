@@ -439,3 +439,79 @@ def test_string_partition_value_with_leading_zeros(spark, tmp_path):
     assert {r["id"] for r in read_iceberg_table(
         spark, dest, partition_filter={"code": "007"}).filter("code = '007'").collect()} == {1}
     assert plan_iceberg_scan(dest, partition_filter={"code": "007"})["pruned_files"] > 0
+
+
+def test_row_filter_type_mismatches_stay_conservative(spark, tmp_path):
+    """Review r8 findings: bucket hashing dispatches on the DECLARED
+    column type (an int filter on a decimal column must match
+    Decimal-stored rows), timestamp micros hash exactly (float
+    total_seconds() is 1us off for ~1% of values), and identity-decimal
+    equality normalizes to the declared scale."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    rows = [
+        (i, Decimal(i).quantize(Decimal("0.01")),
+         dt.datetime(2024, 1, 1 + i % 20, 8, 29, 2, 646319 + i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, price decimal(9,2), ts timestamp")
+    t = cat.create_table(
+        "ns", "tm", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, price), bucket(4, ts)",
+    )
+    t.append(df)
+
+    # int filter value on the DECIMAL bucket column
+    got = t.to_df(spark, row_filter={"price": 7}).collect()
+    assert [r["id"] for r in got] == [7]
+    # Decimal at a different scale
+    got2 = t.to_df(spark, row_filter={"price": Decimal("7")}).collect()
+    assert [r["id"] for r in got2] == [7]
+    # microsecond-precision timestamp bucket equality
+    probe = rows[13][2]
+    got3 = t.to_df(spark, row_filter={"ts": probe}).collect()
+    assert [r["id"] for r in got3] == [13]
+
+    # identity-decimal partition: '7' vs path '7.00'
+    t2 = cat.create_table(
+        "ns", "tid", df.schema, identifier_fields=["id"],
+        partition_spec="price",
+    )
+    t2.append(df)
+    assert [r["id"] for r in t2.to_df(
+        spark, row_filter={"price": Decimal("7")}).collect()] == [7]
+    assert [r["id"] for r in t2.to_df(spark, row_filter={"price": 7}).collect()] == [7]
+
+
+def test_changed_rows_delete_images_decimal_keys(spark, tmp_path):
+    """Decimal identifier bounds persist as strings; the candidate
+    key-bounds pruning must stay conservative, not TypeError."""
+    from decimal import Decimal
+
+    from debezium_server_iceberg_spark.lakehouse.table import LakeTable
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("pk", T.DecimalType(9, 2)),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, identifier_fields=["pk"],
+        properties={"format-version": "3"},
+    )
+    t.append(spark.createDataFrame(
+        [(Decimal(i).quantize(Decimal("0.01")), f"v{i}") for i in range(6)], schema
+    ))
+    src = spark.createDataFrame(
+        [(Decimal("2.00"), "-", "d")], "pk decimal(9,2), v string, __op string"
+    )
+    merge_into(t, src, keep_deletes=False, delete_style="equality")
+    out = t.changed_rows_since(spark, 1, include_deletes=True).collect()
+    assert [(str(r["pk"]), r["v"], r["_change_type"]) for r in out] == [
+        ("2.00", "v2", "delete")
+    ]
