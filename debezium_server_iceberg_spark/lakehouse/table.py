@@ -1782,14 +1782,18 @@ def _uniquify_staged(staging: str) -> None:
 
     Iceberg writers embed a task UUID in every data-file name
     (IcebergTableWriterFactory.java:42-46 via OutputFileFactory); Spark's
-    ``part-*`` names are only unique per write job. A commit-scoped UUID
-    prefix guarantees no basename collision across snapshots regardless of
-    how files are later listed, compacted, or copied between directories.
+    ``part-*`` names are only unique per write job. The prefix must be
+    PER FILE, not per commit: one task writing several hive partition
+    directories emits the same ``part-NNNNN-<jobUUID>`` name in each dir,
+    and several read-path maps key on basename (``_read``'s file→seq/
+    first_row_id broadcast, delete-file resolution, export's
+    name→path map) — a commit-scoped tag left those colliding, which
+    QUADRUPLED rows in lineage/MoR reads of partitioned tables.
     Driver-side renames within one directory tree — no data movement."""
-    tag = uuidlib.uuid4().hex[:12]
     for root, _dirs, names in os.walk(staging):
         for n in names:
             if n.endswith(".parquet") and not n.startswith("."):
+                tag = uuidlib.uuid4().hex[:12]
                 os.rename(
                     os.path.join(root, n), os.path.join(root, f"{tag}-{n}")
                 )

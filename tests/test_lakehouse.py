@@ -515,3 +515,72 @@ def test_changed_rows_delete_images_decimal_keys(spark, tmp_path):
     assert [(str(r["pk"]), r["v"], r["_change_type"]) for r in out] == [
         ("2.00", "v2", "delete")
     ]
+
+
+def test_row_filter_physical_scan_excludes_pruned_files(spark, tmp_path):
+    """The pruning is real file-list surgery, not advisory: a pruned
+    file's name must not appear anywhere in the physical scan plan."""
+    import os
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        _prune_files_by_filter,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, v string"
+    )
+    t = cat.create_table(
+        "ns", "pp", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id)",
+    )
+    t.append(df)
+    files = t.current_files()
+    kept = {os.path.basename(f.path) for f in _prune_files_by_filter(
+        t.metadata(), files, {"id": 11})}
+    pruned = {os.path.basename(f.path) for f in files} - kept
+    assert kept and pruned
+    scanned = {
+        os.path.basename(p)
+        for p in t.to_df(spark, row_filter={"id": 11}).inputFiles()
+    }
+    assert scanned == kept
+    assert not (scanned & pruned)
+
+
+def test_partitioned_lineage_read_no_basename_collisions(spark, tmp_path):
+    """One task writing several hive partition dirs used to emit the same
+    part-file basename in each — and the read path's per-file broadcast
+    maps key on basename, QUADRUPLING rows in lineage/MoR reads of
+    partitioned tables. Basenames must be globally unique per file."""
+    import os
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    t = cat.create_table(
+        "ns", "pl", df.schema, identifier_fields=["id"],
+        partition_spec="bucket(4, id)",
+        properties={"format-version": "3"},
+    )
+    # force collisions-if-commit-scoped: coalesce to ONE task so all four
+    # partition dirs are written by the same part number
+    t.append(df.coalesce(1))
+    names = [os.path.basename(f.path) for f in t.current_files()]
+    assert len(names) == len(set(names)), f"basename collision: {names}"
+    assert t.to_df(spark).count() == 40
+    out = t.to_df(spark, lineage=True)
+    assert out.count() == 40
+    ids = [r["_row_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(40))
+    # MoR delete on the partitioned table reads exactly once too
+    merge_into(
+        t,
+        spark.createDataFrame([(7, "X", "u")], "id long, v string, __op string"),
+        delete_style="equality",
+    )
+    got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert len(got) == 40 and got[7] == "X"
