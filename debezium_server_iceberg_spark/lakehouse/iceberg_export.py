@@ -223,13 +223,16 @@ MANIFEST_LIST_SCHEMA = {
 def manifest_entry_schema(
     partition_fields: list[dict] | None = None,
     with_first_row_id: bool = False,
+    with_dv_fields: bool = False,
 ) -> dict:
     """v2/v3 manifest_entry Avro schema.  ``partition_fields`` are the r102
     fields for a partitioned spec (empty record when unpartitioned);
     ``with_first_row_id`` adds the v3 row-lineage field (each data file's
     explicit starting ``_row_id`` — readers derive
     ``_row_id = first_row_id + position`` for rows without a materialized
-    value, spec: Row Lineage)."""
+    value, spec: Row Lineage); ``with_dv_fields`` adds the v3
+    deletion-vector fields (spec data_file ids 143-145: the referenced
+    data file plus the blob's offset/length inside the puffin file)."""
     data_file_fields = [
         _field("content", "int", 134),
         _field("file_path", "string", 100),
@@ -253,6 +256,14 @@ def manifest_entry_schema(
         data_file_fields.append(
             _field("first_row_id", _opt("long"), 142, default_null=True)
         )
+    if with_dv_fields:
+        data_file_fields += [
+            _field("referenced_data_file", _opt("string"), 143,
+                   default_null=True),
+            _field("content_offset", _opt("long"), 144, default_null=True),
+            _field("content_size_in_bytes", _opt("long"), 145,
+                   default_null=True),
+        ]
     data_file = {
         "type": "record",
         "name": "r2",
@@ -467,17 +478,16 @@ def export_iceberg_table(
     # the export carries next-row-id + per-file first_row_id and external
     # readers can derive _row_id.  Spec constraint: v3 tables may not
     # contain position-delete FILES (v3 replaced them with deletion
-    # vectors) — with live position deletes the table publishes as v2
-    # (no lineage; compact() materializes the deletes, after which the
-    # next publish upgrades to v3).  A table already published at v3
-    # cannot downgrade, so there the position deletes are refused.
+    # vectors) — live engine position deletes therefore convert to
+    # puffin deletion-vector-v1 blobs at publish (puffin.py), one DV per
+    # referenced data file, exactly as the spec requires.  v2 exports
+    # keep them as position-delete parquet.
     v3_engine = False
     try:
         v3_engine = int(meta.properties.get("format-version", "2")) >= 3
     except (TypeError, ValueError):
         pass
-    has_pos = any(d.content == "position" for d in deletes)
-    lineage_export = v3_engine and not has_pos and all(
+    lineage_export = v3_engine and all(
         f.first_row_id is not None for f in files
     )
     fmt = 3 if lineage_export else 2
@@ -512,12 +522,6 @@ def export_iceberg_table(
             prev_doc = json.load(fh)
 
     if prev_doc and prev_doc["format-version"] == 3:
-        if has_pos:
-            raise ValueError(
-                "cannot publish position-delete files into a "
-                "format-version 3 export (v3 forbids them); compact() to "
-                "materialize the deletes, then republish"
-            )
         fmt = 3  # format version never downgrades
 
     # ---- partition-spec lineage: reuse field ids for (source, transform)
@@ -587,6 +591,7 @@ def export_iceberg_table(
     prev_seq_by_path: dict[str, int] = {}
     prev_snap_by_path: dict[str, int] = {}
     prev_delete_by_path: dict[str, dict] = {}
+    prev_dv_entries: dict[str, list[dict]] = {}
     if prev_snapshots:
         _, prev_manifests, _ = read_container(prev_snapshots[-1]["manifest-list"])
         for m in prev_manifests:
@@ -602,6 +607,12 @@ def export_iceberg_table(
                     prev_seq_by_path[p] = es if es is not None else 1
                     sid0 = e.get("snapshot_id")
                     prev_snap_by_path[p] = sid0 if sid0 is not None else snapshot_id
+                elif (
+                    e["data_file"].get("file_format") or ""
+                ).upper() == "PUFFIN":
+                    # deletion vectors: several entries (one per referenced
+                    # data file) share one puffin file_path
+                    prev_dv_entries.setdefault(p, []).append(e)
                 else:
                     prev_delete_by_path[p] = e
 
@@ -614,8 +625,19 @@ def export_iceberg_table(
     # detects carried delete files by path, like data files.
     data_dir = os.path.join(dest, "data")
     cur_paths = {os.path.abspath(f.path) for f in files}
+    # v3: live engine position deletes become puffin deletion vectors
+    # (one DV per referenced data file, union of all live positions);
+    # everything else exports as a rewritten parquet delete file
+    dv_sources = (
+        [d for d in deletes if d.content == "position"] if fmt == 3 else []
+    )
+    file_dels = [d for d in deletes if d not in dv_sources]
     # the naming scheme lives in ONE place: content-addressed by the
-    # engine delete file's name, so carried/new detection is by path
+    # engine delete file's name, so carried/new detection is by path.
+    # The puffin name hashes the SET of contributing engine delete files:
+    # an unchanged set re-derives the same path (carried), any new
+    # position delete produces a fresh puffin whose DVs replace the old
+    # ones (the spec's one-DV-per-file union rule).
     out_by_src = {
         d.path: os.path.abspath(
             os.path.join(
@@ -625,26 +647,41 @@ def export_iceberg_table(
                 + ".parquet",
             )
         )
-        for d in deletes
+        for d in file_dels
     }
+    puffin_path = None
+    if dv_sources:
+        dv_key = hashlib.md5(
+            "|".join(
+                sorted(os.path.basename(d.path) for d in dv_sources)
+            ).encode()
+        ).hexdigest()
+        puffin_path = os.path.abspath(
+            os.path.join(data_dir, f"deletes-dv-{dv_key}.puffin")
+        )
+    dv_carried = puffin_path is not None and puffin_path in prev_dv_entries
     new_deletes = [
         (d, out_by_src[d.path])
-        for d in deletes
+        for d in file_dels
         if out_by_src[d.path] not in prev_delete_by_path
     ]
     prev_last_seq = prev_doc["last-sequence-number"] if prev_doc else 0
     new_engine_seqs = sorted(
         {f.seq for f in files if os.path.abspath(f.path) not in prev_seq_by_path}
         | {d.seq for d, _ in new_deletes}
+        | ({d.seq for d in dv_sources} if dv_sources and not dv_carried else set())
     )
     seqmap = {
         es: prev_last_seq + i + 1 for i, es in enumerate(new_engine_seqs)
     }
     seq = prev_last_seq + max(1, len(new_engine_seqs))
+    cur_delete_outs = set(out_by_src.values()) | (
+        {puffin_path} if puffin_path else set()
+    )
     operation = (
         "append"
         if set(prev_seq_by_path) <= cur_paths
-        and set(prev_delete_by_path) <= set(out_by_src.values())
+        and set(prev_delete_by_path) | set(prev_dv_entries) <= cur_delete_outs
         else "overwrite"
     )
 
@@ -704,6 +741,20 @@ def export_iceberg_table(
     entry_schema = manifest_entry_schema(
         part_avro_fields, with_first_row_id=fmt == 3
     )
+    # layout-versioning guards: partition values written under a DIFFERENT
+    # bucket hash (table metadata lacks the murmur3 stamp) or temporal wall
+    # clocks rendered in a non-UTC write timezone are not the Iceberg
+    # transform values — exporting them as such would make external engines
+    # prune wrongly.  Those files publish through the unpartitioned-spec
+    # manifest instead (scanned by every query, never wrongly pruned).
+    from .table import _tz_sensitive_fields, bucket_hash_trusted, table_write_tz
+
+    force_degrade = (
+        any(pf.transform == "bucket" for pf in part_spec)
+        and not bucket_hash_trusted(meta)
+    ) or (
+        bool(_tz_sensitive_fields(meta)) and table_write_tz(meta) != "UTC"
+    )
     entries: list[dict] = []
     degraded_entries: list[dict] = []
     n_added = added_rows = 0
@@ -714,8 +765,8 @@ def export_iceberg_table(
             n_added += 1
             added_rows += int(f.rows)
         part_values: dict = {}
-        faithful = True
-        for key, name, conv in part_readers:
+        faithful = not force_degrade
+        for key, name, conv in part_readers if faithful else []:
             if key not in f.partition:
                 faithful = False
                 break
@@ -830,7 +881,7 @@ def export_iceberg_table(
     if deletes:
         os.makedirs(data_dir, exist_ok=True)
     new_delete_paths = {out for _, out in new_deletes}
-    for d in deletes:
+    for d in file_dels:
         out_path = out_by_src[d.path]
         carried = out_path not in new_delete_paths
         if not carried:
@@ -867,6 +918,67 @@ def export_iceberg_table(
                 },
             }
         )
+    if dv_sources:
+        # v3 deletion vectors: union every live position delete per
+        # referenced data file into ONE roaring bitmap (the spec's at-most-
+        # one-DV-per-file rule), written as deletion-vector-v1 blobs in a
+        # single content-addressed puffin file.  An unchanged delete set
+        # re-derives the same path, so republish carries the entries; any
+        # new position delete produces a replacement puffin whose DVs
+        # supersede the old ones.  Bitmaps build per referenced file —
+        # memory bounded by a file's row count, the same working set
+        # Iceberg's own DV writers hold.
+        if dv_carried:
+            delete_entries.extend(
+                {**e, "status": 0} for e in prev_dv_entries[puffin_path]
+            )
+        else:
+            from .puffin import write_puffin_dvs
+
+            per_file: dict[str, set] = {}
+            dv_seq_by_file: dict[str, int] = {}
+            for d in dv_sources:
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(d.path)
+                for nm, p in zip(
+                    t.column("file_name").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    abs_p = name_to_abs.get(nm)
+                    if abs_p is None:
+                        continue  # target compacted away: delete is moot
+                    per_file.setdefault(abs_p, set()).add(int(p))
+                    dv_seq_by_file[abs_p] = max(
+                        dv_seq_by_file.get(abs_p, d.seq), d.seq
+                    )
+            descs = write_puffin_dvs(
+                puffin_path,
+                [(p, sorted(v)) for p, v in sorted(per_file.items())],
+            )
+            puffin_size = os.path.getsize(puffin_path)
+            for desc in descs:
+                dseq = seqmap.get(dv_seq_by_file[desc["referenced"]], seq)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": dseq,
+                        "file_sequence_number": dseq,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": puffin_path,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": int(desc["cardinality"]),
+                            "file_size_in_bytes": int(puffin_size),
+                            "equality_ids": None,
+                            "referenced_data_file": desc["referenced"],
+                            "content_offset": int(desc["offset"]),
+                            "content_size_in_bytes": int(desc["length"]),
+                        },
+                    }
+                )
     delete_manifest_row = None
     if delete_entries:
         dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
@@ -874,7 +986,7 @@ def export_iceberg_table(
         # under the unpartitioned spec with an empty partition struct
         dm_len = write_container(
             dm_path,
-            manifest_entry_schema([]),
+            manifest_entry_schema([], with_dv_fields=fmt == 3),
             delete_entries,
             metadata={
                 "schema": json.dumps(schema_json),
@@ -1057,6 +1169,9 @@ def plan_iceberg_scan(
     data_files: list[tuple[str, int, int | None]] = []  # (path, seq, first_row_id)
     pos_deletes: list[tuple[str, int]] = []     # (path, delete sequence)
     eq_deletes: list[tuple[str, int, list[int]]] = []
+    # v3 deletion vectors: (puffin path, content_offset,
+    # content_size_in_bytes, referenced_data_file, delete sequence)
+    dv_deletes: list[tuple[str, int, int, str, int]] = []
     pruned = 0
     for m in manifests:
         spec_fields = spec_by_id.get(m.get("partition_spec_id"), [])
@@ -1092,7 +1207,18 @@ def plan_iceberg_scan(
                     (df_rec["file_path"], eseq, df_rec.get("first_row_id"))
                 )
             elif content == 1:
-                pos_deletes.append((df_rec["file_path"], eseq))
+                if (df_rec.get("file_format") or "").upper() == "PUFFIN":
+                    dv_deletes.append(
+                        (
+                            df_rec["file_path"],
+                            df_rec["content_offset"],
+                            df_rec["content_size_in_bytes"],
+                            df_rec["referenced_data_file"],
+                            eseq,
+                        )
+                    )
+                else:
+                    pos_deletes.append((df_rec["file_path"], eseq))
             elif content == 2:
                 eq_deletes.append(
                     (df_rec["file_path"], eseq, df_rec.get("equality_ids") or [])
@@ -1103,6 +1229,7 @@ def plan_iceberg_scan(
         "data_files": data_files,
         "pos_deletes": pos_deletes,
         "eq_deletes": eq_deletes,
+        "dv_deletes": dv_deletes,
         "pruned_files": pruned,
     }
 
@@ -1137,6 +1264,7 @@ def read_iceberg_table(
     schema_json = plan["schema_json"]
     data_files = plan["data_files"]
     pos_deletes, eq_deletes = plan["pos_deletes"], plan["eq_deletes"]
+    dv_deletes = plan.get("dv_deletes") or []
     spark_schema = iceberg_schema_to_spark(schema_json)
     if lineage and plan["doc"]["format-version"] < 3:
         raise ValueError("row lineage requires a format-version 3 export")
@@ -1154,7 +1282,7 @@ def read_iceberg_table(
     df = spark.read.schema(read_schema).parquet(
         *[p for p, _s, _r in data_files]
     )
-    if not pos_deletes and not eq_deletes and not lineage:
+    if not pos_deletes and not eq_deletes and not dv_deletes and not lineage:
         return df
 
     # delete application, spec semantics: position deletes name exact
@@ -1170,9 +1298,14 @@ def read_iceberg_table(
     # one side only and every delete join would silently miss.
     def _norm_uri(col: F.Column) -> F.Column:
         raw = F.regexp_replace(col, "^([a-zA-Z]+:)?/+", "")
+        # try_url_decode is FORM decoding ('+' -> space), but URI paths
+        # leave literal '+' unencoded — pre-escape it so a warehouse path
+        # containing '+' round-trips instead of silently mismatching the
+        # (undecoded) manifest side and dropping deletes/lineage rows
+        esc = F.regexp_replace(raw, r"\+", "%2B")
         return F.concat(
             F.lit("/"),
-            F.coalesce(F.call_function("try_url_decode", raw), raw),
+            F.coalesce(F.call_function("try_url_decode", esc), raw),
         )
 
     def _norm(col: F.Column) -> F.Column:
@@ -1197,6 +1330,47 @@ def read_iceberg_table(
         )
         df = df.join(
             F.broadcast(pd),
+            (F.col("_fpath") == F.col("_del_fp"))
+            & (F.col("_pos") == F.col("_del_pos")),
+            "left_anti",
+        )
+    if dv_deletes:
+        # v3 deletion vectors: each manifest entry names one puffin blob
+        # (content_offset/content_size_in_bytes) for one data file.  Blobs
+        # decode EXECUTOR-side — a DV's cardinality is bounded by its
+        # file's row count, and the per-blob seek+read never touches the
+        # driver — then apply exactly like position deletes.
+        specs = spark.createDataFrame(
+            [(p, int(o), int(ln), r) for p, o, ln, r, _s in dv_deletes],
+            "puffin string, off long, len long, referenced string",
+        ).repartition(max(1, min(len(dv_deletes), 64)))
+
+        def _decode_dvs(batches):
+            import pandas as _pd
+
+            from debezium_server_iceberg_spark.lakehouse.puffin import (
+                read_dv_positions,
+            )
+
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    yield _pd.DataFrame(
+                        {
+                            "file_path": row.referenced,
+                            "pos": read_dv_positions(
+                                row.puffin, row.off, row.len
+                            ),
+                        }
+                    )
+
+        dv_pd = specs.mapInPandas(
+            _decode_dvs, "file_path string, pos long"
+        ).select(
+            _norm(F.col("file_path")).alias("_del_fp"),
+            F.col("pos").alias("_del_pos"),
+        )
+        df = df.join(
+            F.broadcast(dv_pd),
             (F.col("_fpath") == F.col("_del_fp"))
             & (F.col("_pos") == F.col("_del_pos")),
             "left_anti",

@@ -46,6 +46,35 @@ from .transforms import PartitionField
 
 _HINT = "version-hint.text"
 
+# layout-versioning table properties (see LakeTable.create)
+BUCKET_HASH_PROP = "engine.bucket-hash"
+BUCKET_HASH = "murmur3"          # Iceberg-spec bucket hash since r8
+WRITE_TZ_PROP = "engine.write-timezone"
+
+
+def bucket_hash_trusted(meta: "TableMetadata") -> bool:
+    """True iff this table's bucket partition values are the current
+    (Iceberg murmur3) hash — i.e. safe to recompute for pruning/export."""
+    return meta.properties.get(BUCKET_HASH_PROP) == BUCKET_HASH
+
+
+def table_write_tz(meta: "TableMetadata") -> str:
+    """The timezone this table's temporal partition values render in."""
+    return meta.properties.get(WRITE_TZ_PROP, "UTC")
+
+
+def _tz_sensitive_fields(meta: "TableMetadata") -> "list[PartitionField]":
+    """Partition fields whose on-disk value depends on a timezone: temporal
+    transforms (and identity) over an ltz timestamp source.  date and
+    timestamp_ntz sources render the stored wall clock — tz-independent."""
+    src = {f.name: f.dataType.simpleString() for f in meta.schema.fields}
+    return [
+        pf
+        for pf in meta.partition_spec
+        if src.get(pf.source) == "timestamp"
+        and pf.transform in ("year", "month", "day", "hour", "identity")
+    ]
+
 # Iceberg v3 row-lineage reserved column names (spec: Row Lineage)
 ROW_ID_COL = "_row_id"
 LAST_SEQ_COL = "_last_updated_sequence_number"
@@ -205,6 +234,23 @@ class LakeTable:
         # (JsonSchemaConverter.java:262-280)
         names = {f.name for f in schema.fields}
         so = [c for c in (sort_order if sort_order is not None else ids) if c in names]
+        props = dict(properties or {})
+        # on-disk layout versioning: bucket partition values are hashes, so
+        # the hash function is part of the layout.  Tables created by this
+        # engine stamp it; a table WITHOUT the stamp was written by a build
+        # whose bucket hash differed (pre-murmur3 xxhash64), and its bucket
+        # values must never be interpreted as murmur3 ordinals — planners
+        # treat unstamped bucket fields as unprunable and the Iceberg
+        # exporter routes their files to the unpartitioned-spec manifest.
+        # compact() rewrites under the current engine, after which
+        # update_properties(**{BUCKET_HASH_PROP: BUCKET_HASH}) re-arms them.
+        props.setdefault(BUCKET_HASH_PROP, BUCKET_HASH)
+        # temporal partition values ("2024-05", "2024-05-03-07") are WALL
+        # CLOCKS of ltz timestamps, so the rendering timezone is part of the
+        # layout too.  Writes require the session timezone to match this
+        # declared value (refusal beats silently mixing encodings in one
+        # directory tree); planners convert filter instants into this zone.
+        props.setdefault(WRITE_TZ_PROP, "UTC")
         meta = TableMetadata(
             table_uuid=str(uuidlib.uuid4()),
             location=location,
@@ -212,7 +258,7 @@ class LakeTable:
             identifier_fields=ids,
             partition_spec=partition_spec or [],
             sort_order=so,
-            properties=properties or {},
+            properties=props,
             snapshots=[],
             current_snapshot_id=None,
             version=0,
@@ -479,6 +525,21 @@ class LakeTable:
         # simpleString, not typeName: decimal needs its (p,s) for the
         # spec bucket hash ("decimal(18,2)" vs bare "decimal")
         src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if _tz_sensitive_fields(meta):
+            # temporal transform expressions (date_format/year) render ltz
+            # timestamps in the SESSION timezone; the table's directory tree
+            # is declared in WRITE_TZ_PROP.  A mismatched write would mix
+            # two wall-clock encodings under one partition field — refuse.
+            sess_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+            want = table_write_tz(meta)
+            if sess_tz != want:
+                raise ValueError(
+                    f"session timezone {sess_tz!r} != table write timezone "
+                    f"{want!r} for a temporally-partitioned table; set "
+                    f"spark.sql.session.timeZone={want!r} (or create the "
+                    f"table with properties={{{WRITE_TZ_PROP!r}: "
+                    f"{sess_tz!r}}})"
+                )
         out = df
         pcols: list[str] = []
         for pf in meta.partition_spec:
@@ -1250,7 +1311,10 @@ class LakeTable:
         files = self._manifest_files(meta, snapshot_id)
         deletes = self._manifest_deletes(meta, snapshot_id)
         if row_filter:
-            files = _prune_files_by_filter(meta, files, row_filter)
+            files = _prune_files_by_filter(
+                meta, files, row_filter,
+                session_tz=spark.conf.get("spark.sql.session.timeZone"),
+            )
         df = self._read(spark, meta, files, deletes, lineage=lineage)
         if row_filter:
             for col, want in row_filter.items():
@@ -1879,12 +1943,70 @@ def _bounds_intersect(
     return True
 
 
-def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
+def _tz_instant(v, session_tz: str):
+    """Naive/aware datetime -> tz-aware instant, interpreting a naive value
+    the way Spark's residual filter will: as a wall clock in the session
+    timezone.  NotImplemented on DST-ambiguous/nonexistent wall clocks
+    (the two engines may legally resolve those differently — keep the
+    file) or unknown zones."""
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        return v
+    if session_tz == "UTC":
+        return v.replace(tzinfo=_dt.timezone.utc)
+    try:
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(session_tz)
+    except Exception:
+        return NotImplemented
+    a = v.replace(tzinfo=z, fold=0)
+    if a.utcoffset() != v.replace(tzinfo=z, fold=1).utcoffset():
+        return NotImplemented  # ambiguous (DST fall-back hour)
+    if a.astimezone(_dt.timezone.utc).astimezone(z).replace(
+        tzinfo=None
+    ) != v:
+        return NotImplemented  # nonexistent (DST spring-forward gap)
+    return a
+
+
+def _table_wall_clock(v, session_tz: str, table_tz: str):
+    """ltz-timestamp filter value -> the naive wall clock the WRITE path
+    rendered into the partition path (table_tz), or NotImplemented."""
+    import datetime as _dt
+
+    if v.tzinfo is None and session_tz == table_tz:
+        return v  # same zone both sides: wall clocks agree, no conversion
+    inst = _tz_instant(v, session_tz)
+    if inst is NotImplemented:
+        return NotImplemented
+    if table_tz == "UTC":
+        return inst.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    try:
+        from zoneinfo import ZoneInfo
+
+        return inst.astimezone(ZoneInfo(table_tz)).replace(tzinfo=None)
+    except Exception:
+        return NotImplemented
+
+
+def _engine_partition_value(
+    pf: PartitionField,
+    v: Any,
+    source_type: str,
+    session_tz: str = "UTC",
+    table_tz: str = "UTC",
+):
     """The engine's path-encoded partition value for source value ``v``
     under transform ``pf`` — what ``DataFile.partition`` holds, so a
     filter value can be compared against manifests without reading data.
     Returns NotImplemented when the transform can't be evaluated for this
-    value/type (caller keeps the file)."""
+    value/type (caller keeps the file).
+
+    ``session_tz`` is how a naive filter datetime is interpreted (matching
+    Spark's residual in-plan filter); ``table_tz`` is the zone the write
+    path rendered temporal path values in (WRITE_TZ_PROP)."""
     import datetime as _dt
 
     t = pf.transform
@@ -1933,7 +2055,17 @@ def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
         elif st.startswith("timestamp"):
             if not isinstance(v, _dt.datetime):
                 return NotImplemented
-            if v.tzinfo is not None:
+            if st == "timestamp_ntz":
+                # ntz stores the wall clock itself; zones never apply
+                if v.tzinfo is not None:
+                    return NotImplemented
+            else:
+                # ltz buckets hash the INSTANT's epoch micros (what the
+                # write-path column expression hashed), so a naive filter
+                # value resolves through the session timezone first
+                v = _tz_instant(v, session_tz)
+                if v is NotImplemented:
+                    return NotImplemented
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             d = v - _dt.datetime(1970, 1, 1)
             # exact integer micros: float total_seconds() is 1 us off for
@@ -1954,11 +2086,18 @@ def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
         else:
             return NotImplemented
         return iceberg_bucket_py(h, pf.param)
-    # temporal transforms: the engine encodes in the session's UTC wall
-    # clock; naive datetimes are assumed UTC to match
+    # temporal transforms: path values are wall clocks — of the value
+    # itself for date / timestamp_ntz sources, of the instant rendered in
+    # the table's declared write timezone for ltz timestamps
     if t in ("year", "month", "day", "hour"):
-        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(v, _dt.datetime):
+            if st == "timestamp_ntz":
+                if v.tzinfo is not None:
+                    return NotImplemented
+            else:
+                v = _table_wall_clock(v, session_tz, table_tz)
+                if v is NotImplemented:
+                    return NotImplemented
         if not isinstance(v, (_dt.date, _dt.datetime)):
             return NotImplemented
         if t == "year":
@@ -1979,16 +2118,25 @@ def _engine_partition_value(pf: PartitionField, v: Any, source_type: str):
 
 
 def _prune_files_by_filter(
-    meta: TableMetadata, files: list[DataFile], row_filter: dict
+    meta: TableMetadata,
+    files: list[DataFile],
+    row_filter: dict,
+    session_tz: str = "UTC",
 ) -> list[DataFile]:
     """Driver-side Iceberg-planFiles pruning: keep a file only if every
     predicate MIGHT match it, judged from hidden-partition transform
     values and per-file column min/max bounds.  Strictly conservative:
-    missing bounds, old-spec layouts, and untranslatable transform values
-    keep the file; correctness comes from the residual in-plan filter."""
+    missing bounds, old-spec layouts, untranslatable transform values,
+    bucket values from an unstamped (pre-murmur3) layout, and temporal
+    values under a foreign write timezone all keep the file; correctness
+    comes from the residual in-plan filter."""
     src_types = {f.name: f.dataType.simpleString() for f in meta.schema.fields}
+    table_tz = table_write_tz(meta)
+    trusted_bucket = bucket_hash_trusted(meta)
     pf_by_source: dict[str, list[PartitionField]] = {}
     for pf in meta.partition_spec:
+        if pf.transform == "bucket" and not trusted_bucket:
+            continue  # stale hash ordinals on disk: unprunable
         pf_by_source.setdefault(pf.source, []).append(pf)
 
     def _file_might_match(f: DataFile) -> bool:
@@ -2016,7 +2164,9 @@ def _prune_files_by_filter(
                     continue
                 st = src_types.get(col, "")
                 if not isinstance(want, tuple):
-                    exp = _engine_partition_value(pf, want, st)
+                    exp = _engine_partition_value(
+                        pf, want, st, session_tz, table_tz
+                    )
                     if exp is NotImplemented:
                         continue
                     if str(have) != str(exp):
@@ -2025,8 +2175,8 @@ def _prune_files_by_filter(
                                       "hour", "truncate"):
                     # monotonic transforms: a value range maps to a
                     # transform-value range (bucket is not monotonic)
-                    elo = _engine_partition_value(pf, lo, st)
-                    ehi = _engine_partition_value(pf, hi, st)
+                    elo = _engine_partition_value(pf, lo, st, session_tz, table_tz)
+                    ehi = _engine_partition_value(pf, hi, st, session_tz, table_tz)
                     if elo is NotImplemented or ehi is NotImplemented:
                         continue
                     if isinstance(elo, int):

@@ -137,15 +137,41 @@ def merge_into(
         # distinct source-partition set is tiny (partitions touched by one
         # CDC batch), so the driver-side intersection is cheap.
         if meta.partition_spec:
+            from ..lakehouse.table import (
+                _tz_sensitive_fields,
+                bucket_hash_trusted,
+                table_write_tz,
+            )
+
             src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
-            pcols = [
-                pf.column(src_types.get(pf.source)).alias(pf.name)
+            # layout-versioning guards: file partition values computed under
+            # a DIFFERENT bucket hash (unstamped pre-murmur3 table) or a
+            # different session timezone (temporal wall clocks) must not be
+            # compared against values computed NOW — those fields drop out
+            # of the pruning tuple (conservative; remaining fields still
+            # prune)
+            tz_ok = (
+                spark.conf.get("spark.sql.session.timeZone")
+                == table_write_tz(meta)
+            )
+            tz_unsafe = set() if tz_ok else {
+                pf.name for pf in _tz_sensitive_fields(meta)
+            }
+            bucket_ok = bucket_hash_trusted(meta)
+            prunable = [
+                pf
                 for pf in meta.partition_spec
                 if pf.source in {f.name for f in schema.fields}
+                and pf.name not in tz_unsafe
+                and (bucket_ok or pf.transform != "bucket")
             ]
-            if len(pcols) == len(meta.partition_spec):
+            pcols = [
+                pf.column(src_types.get(pf.source)).alias(pf.name)
+                for pf in prunable
+            ]
+            if pcols:
                 touched = {
-                    tuple(str(r[pf.name]) for pf in meta.partition_spec)
+                    tuple(str(r[pf.name]) for pf in prunable)
                     for r in source.select(*pcols).distinct().collect()
                 }
                 candidates = [
@@ -155,9 +181,9 @@ def merge_into(
                     # evolution) record different field names — they are
                     # unprunable here, never prunable-to-zero
                     if not f.partition
-                    or any(pf.name not in f.partition for pf in meta.partition_spec)
+                    or any(pf.name not in f.partition for pf in prunable)
                     or tuple(
-                        str(f.partition.get(pf.name)) for pf in meta.partition_spec
+                        str(f.partition.get(pf.name)) for pf in prunable
                     )
                     in touched
                 ]

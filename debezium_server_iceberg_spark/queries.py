@@ -62,6 +62,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   the TIMESTAMP plans every query was verified against.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # - session.timeZone=UTC: ltz timestamps render/parse in UTC wall clock
+    #   on any host, matching the DuckDB oracle (tz-free timestamps) and the
+    #   lakehouse tables' declared write timezone (WRITE_TZ_PROP) — a
+    #   non-UTC driver host would otherwise shift date_format/window results
+    #   and trip the temporally-partitioned write guard.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1294,15 +1300,17 @@ def iceberg_export_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         dest = _os.path.join(wh, "published")
         export_iceberg_table(t, dest)
         out = read_iceberg_table(spark, dest, lineage=True)
-        native = {
-            r["o_orderkey"]: (r[ROW_ID_COL], r[LAST_SEQ_COL])
-            for r in t.to_df(spark, lineage=True).collect()
-        }
-        chain = {
-            r["o_orderkey"]: (r[ROW_ID_COL], r[LAST_SEQ_COL])
-            for r in out.collect()
-        }
-        assert chain == native, "chain lineage diverges from engine lineage"
+        # distributed symmetric-difference emptiness check: pins chain
+        # lineage row-for-row equal to the engine's native lineage without
+        # materializing either side on the driver (multiset semantics —
+        # exceptAll catches duplicated rows a dict compare would mask)
+        cols = ["o_orderkey", ROW_ID_COL, LAST_SEQ_COL]
+        chain_l, native_l = out.select(*cols), t.to_df(
+            spark, lineage=True
+        ).select(*cols)
+        assert chain_l.exceptAll(native_l).union(
+            native_l.exceptAll(chain_l)
+        ).isEmpty(), "chain lineage diverges from engine lineage"
         updated = (F.col(LAST_SEQ_COL) == 2).alias("updated")
         fresh = F.col(ROW_ID_COL) >= n_before
         return (
@@ -4635,72 +4643,84 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-8 ROTATION (VERDICT r7 item 4): the driver checks the first 50
-    # registry entries; 55 gates had never received a driver-side green row
-    # (covered locally + by the judge's spot checks only), so this round
-    # they go first.  Round 9 rotates back so every gate cycles through
-    # independent driver confirmation.  New gates lead.
-    "changed_rows_with_deletes",
-    "iceberg_export_partitioned_roundtrip",
-    "changed_rows_scan",
-    "sql_read_surface",
-    "rollup_revenue",
-    # TPC-H remainder
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # relational / window / scalar
-    "pivot_user_event_matrix",
-    "cube_order_stats",
-    "percentiles_order_value",
-    "window_running_revenue",
-    "window_navigation_functions",
-    "string_functions_showcase",
-    "date_functions_showcase",
-    "decorrelated_above_avg",
-    "skew_salted_join_agg",
-    # temporal / events
-    "asof_join_purchases_clicks",
-    "funnel_signup_click_purchase",
-    "events_sliding_counts",
-    # dedup / similarity variants
-    "minhash_near_dup",
-    "simhash",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_near_dup",
-    "ann_ivf_topk",
-    "ann_ivf_index_topk",
-    "ann_lsh_topk",
-    "approx_distinct_parts",
-    # text / corpus family
-    "token_stats",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "corpus_top_ngrams",
-    "repetition_filter_docs",
-    "length_histogram_docs",
-    "unigram_logprob_docs",
-    "curriculum_rank_shards",
-    "reservoir_sample_per_lang",
-    "sequence_packing",
+    # ROUND-9 ROTATION (VERDICT r8 item 1): restore the round-7 driver
+    # window, seeded with the gates that have never received a driver-side
+    # green row — the 5 that fell past round 8's 50-entry cutoff plus the 2
+    # round-8-new gates that entered the registry after the fold, plus any
+    # round-9-new gates.  After this round, r8's window (50) ∪ r9's window
+    # covers the whole registry within the last two rounds except a handful
+    # of r7-confirmed tail entries (dedup/ANN family — which r8's window
+    # re-covered via its one-shot variants).
+    "iceberg_export_dv_roundtrip",
+    "pruned_point_lookup",
+    "iceberg_export_lineage_roundtrip",
     "mixture_sample_sources",
     "pipeline_end_to_end",
-    # multimodal decode variants
     "multimodal_audio_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # --- round-7 window below (see git history of this list) ---
+    # CDC / engine semantics (A1/A2, W4, P1/P2/P4, schema evolution)
+    "cdc_upsert_orders",
+    "cdc_dedup_last_wins",
+    "cdc_dedup_op_priority",
+    "cdc_route_by_destination",
+    "cdc_soft_delete_orders",
+    "cdc_envelope_roundtrip",
+    "cdc_struct_roundtrip",
+    "cdc_schema_evolution",
+    # writer fidelity: real Iceberg v2 metadata, v3 row lineage,
+    # write-audit-publish branches, incremental changelog scans
+    "iceberg_export_roundtrip",
+    "iceberg_export_mor_roundtrip",
+    "row_lineage_upsert",
+    "wap_branch_publish",
+    "incremental_append_scan",
+    # TPC-H relational core (scan/filter/join/agg/semi/anti/having/subquery)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_or_of_ands",
+    "q22_idle_balances",
+    # relational operators beyond joins
+    "topk_orders_per_priority",
+    "setops_customer_status",
+    "grouping_sets_revenue",
+    "anti_customers_without_orders",
+    "window_rank_functions",
+    # event-time / temporal
+    "events_hourly_rollup",
+    "sessionize_events",
+    "asof_last_click_before_purchase",
+    "range_join_order_overlaps",
+    "interval_join_attribution",
+    # text analysis
+    "quality_score",
+    "lang_id",
+    "token_count_bpe",
+    "json_props_extract",
+    "variant_props_extract",
+    # training-data shaping (chunking / sampling / redaction)
+    "doc_chunking",
+    "stratified_sample_docs",
+    "pii_redact_docs",
+    "decontaminate_docs",
+    # corpus curation
+    "segment_dedup_docs",
+    "gopher_rules_filter",
+    "temperature_mixture_sample",
+    "kmeans_lloyd_step",
+    # dedup family tail (r8's window confirmed the one-shot variants of the
+    # same machinery; these keep their r7 driver rows)
+    "dedup_exact",
+    "incremental_minhash_pairs",
+    "dedup_canonical_clusters",
+    "simhash_near_dup",
+    "semantic_dedup_embeddings",
+    "ann_cosine_topk",
+    "multimodal_image_features",
 ]
 
 

@@ -15,6 +15,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from debezium_server_iceberg_spark.lakehouse import LakeCatalog
 from debezium_server_iceberg_spark.lakehouse.avro_io import read_container
@@ -726,6 +727,37 @@ def test_export_path_with_space_delete_joins(spark, warehouse, tmp_path):
     assert (2, "upd") in got
 
 
+def test_export_path_with_plus_delete_joins(spark, warehouse, tmp_path):
+    """A path containing '+' hits the form-vs-URI decoding asymmetry:
+    _metadata.file_path leaves literal '+' unencoded, but try_url_decode
+    is FORM decoding ('+' -> space).  Without pre-escaping, the two sides
+    of the delete join normalize differently — deletes silently skip and
+    lineage joins drop rows (ADVICE r8)."""
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    wh = str(tmp_path / "ware+house")
+    cat = LakeCatalog(wh)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(8)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "plus_t", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame(
+        [(2, "upd", "u"), (5, "gone", "d")], "id long, v string, __op string"
+    )
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    assert t.current_deletes(), "precondition: live equality-delete files"
+    dest = str(tmp_path / "pub+lished")
+    export_iceberg_table(t, dest)
+    got = sorted(
+        (r["id"], r["v"]) for r in read_iceberg_table(spark, dest).collect()
+    )
+    native = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
+    assert got == native
+    assert (2, "v2") not in got and (5, "v5") not in got
+    assert (2, "upd") in got  # keep_deletes default retains (5, "gone")
+
+
 def test_v3_lineage_export_roundtrip(spark, warehouse, tmp_path):
     """format-version 3 engine tables publish v3 metadata: next-row-id,
     per-file first_row_id in manifests, and the chain reader's
@@ -786,10 +818,17 @@ def test_v3_lineage_export_roundtrip(spark, warehouse, tmp_path):
     assert chain3 == _lineage_map(t.to_df(spark, lineage=True)) == chain2
 
 
-def test_v3_export_with_position_deletes_degrades_or_refuses(spark, warehouse, tmp_path):
-    """v3 forbids position-delete FILES: a first publish falls back to a
-    correct v2 export (no lineage), but a table already published at v3
-    refuses (no format downgrade) until deletes are compacted away."""
+def test_v3_export_with_position_deletes_writes_deletion_vectors(
+    spark, warehouse, tmp_path
+):
+    """v3 forbids position-delete FILES: live engine position deletes
+    publish as puffin deletion-vector-v1 blobs (one DV per referenced
+    data file), the export stays format-version 3 WITH row lineage, and
+    the metadata-chain read applies the vectors."""
+    from debezium_server_iceberg_spark.lakehouse.puffin import (
+        read_puffin_footer,
+    )
+    from debezium_server_iceberg_spark.lakehouse.table import ROW_ID_COL
     from debezium_server_iceberg_spark.operators.merge import merge_into
 
     cat = LakeCatalog(warehouse)
@@ -810,30 +849,95 @@ def test_v3_export_with_position_deletes_degrades_or_refuses(spark, warehouse, t
     assert any(d.content == "position" for d in t.current_deletes())
     dest = str(tmp_path / "pub")
     md = json.load(open(export_iceberg_table(t, dest)))
-    assert md["format-version"] == 2              # honest fallback
+    assert md["format-version"] == 3              # no more v2 fallback
     got = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
     assert got[2] == "u" and len(got) == 6
+    # lineage read works through the DV-applied scan
+    lin = read_iceberg_table(spark, dest, lineage=True)
+    assert lin.filter(F.col(ROW_ID_COL).isNull()).count() == 0
 
-    # publish v3 first elsewhere, then position deletes must refuse
-    t2 = cat.create_table(
-        "ice", "v3_pos2", df.schema, identifier_fields=["id"],
-        properties={"format-version": "3"},
+    # manifest entries: content=1, PUFFIN format, per-file blob coords
+    list_recs = [json.loads(s) for s in java_avro_records(
+        spark, md["snapshots"][-1]["manifest-list"])]
+    dmani = [r for r in list_recs if r.get("content") == 1]
+    assert len(dmani) == 1
+    ents = [json.loads(s) for s in java_avro_records(
+        spark, dmani[0]["manifest_path"])]
+    dv_ents = [e for e in ents
+               if e["data_file"]["file_format"] == "PUFFIN"]
+    assert dv_ents and all(
+        e["data_file"]["content"] == 1
+        and e["data_file"]["referenced_data_file"]
+        and e["data_file"]["content_offset"] is not None
+        and e["data_file"]["content_size_in_bytes"] > 0
+        for e in dv_ents
     )
-    dest2 = str(tmp_path / "pub2")
+    # spec rule: at most one DV per data file
+    refs = [e["data_file"]["referenced_data_file"] for e in dv_ents]
+    assert len(refs) == len(set(refs))
+    # the puffin footer agrees with the manifest coordinates
+    footer = read_puffin_footer(dv_ents[0]["data_file"]["file_path"])
+    assert {b["properties"]["referenced-data-file"]
+            for b in footer["blobs"]} == set(refs)
+
+    # republish with an UNCHANGED delete set: same content-addressed
+    # puffin, entries carried as EXISTING
+    t.append(
+        spark.createDataFrame([(100, "x", "r")], "id long, v string, __op string")
+    )
+    md2 = json.load(open(export_iceberg_table(t, dest)))
+    assert md2["snapshots"][-1]["summary"]["operation"] == "append"
+    list2 = [json.loads(s) for s in java_avro_records(
+        spark, md2["snapshots"][-1]["manifest-list"])]
+    ents2 = [json.loads(s) for s in java_avro_records(
+        spark, [r for r in list2 if r.get("content") == 1][0]["manifest_path"])]
+    dv2 = [e for e in ents2 if e["data_file"]["file_format"] == "PUFFIN"]
+    assert dv2 and all(e["status"] == 0 for e in dv2)
+    assert {e["data_file"]["file_path"] for e in dv2} == {
+        dv_ents[0]["data_file"]["file_path"]
+    }
+
+    # a NEW position delete produces a replacement puffin (union DVs)
+    merge_into(
+        t,
+        spark.createDataFrame([(4, "u2", "u")], "id long, v string, __op string"),
+        mode="merge-on-read",
+        delete_style="position",
+    )
+    md3 = json.load(open(export_iceberg_table(t, dest)))
+    got3 = {r["id"]: r["v"] for r in read_iceberg_table(spark, dest).collect()}
+    native3 = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got3 == native3 and got3[4] == "u2" and got3[2] == "u"
+    list3 = [json.loads(s) for s in java_avro_records(
+        spark, md3["snapshots"][-1]["manifest-list"])]
+    ents3 = [json.loads(s) for s in java_avro_records(
+        spark, [r for r in list3 if r.get("content") == 1][0]["manifest_path"])]
+    paths3 = {e["data_file"]["file_path"] for e in ents3
+              if e["data_file"]["file_format"] == "PUFFIN"}
+    assert paths3 and paths3 != {dv_ents[0]["data_file"]["file_path"]}
+
+    # time travel: the FIRST snapshot still reads through its own puffin
+    got1 = {r["id"]: r["v"] for r in read_iceberg_table(
+        spark, dest, snapshot_id=md["current-snapshot-id"]).collect()}
+    assert got1[2] == "u" and got1[4] == "v4" and 100 not in got1
+
+    # engine v2 tables keep exporting position deletes as parquet
+    t2 = cat.create_table(
+        "ice", "v2_pos", df.schema, identifier_fields=["id"],
+    )
     merge_into(t2, df, mode="merge-on-read")
-    t2.compact(spark, target_file_bytes=512 * 1024 * 1024)
-    assert json.load(open(export_iceberg_table(t2, dest2)))["format-version"] == 3
     merge_into(
         t2,
         spark.createDataFrame([(1, "u", "u")], "id long, v string, __op string"),
         mode="merge-on-read",
         delete_style="position",
     )
-    with pytest.raises(ValueError, match="compact"):
-        export_iceberg_table(t2, dest2)
-    t2.compact(spark, target_file_bytes=512 * 1024 * 1024)
-    md3 = json.load(open(export_iceberg_table(t2, dest2)))
-    assert md3["format-version"] == 3
+    dest2 = str(tmp_path / "pub2")
+    md_v2 = json.load(open(export_iceberg_table(t2, dest2)))
+    assert md_v2["format-version"] == 2
+    got_v2 = {r["id"]: r["v"]
+              for r in read_iceberg_table(spark, dest2).collect()}
+    assert got_v2[1] == "u" and len(got_v2) == 6
 
 
 def test_export_path_with_literal_percent_sequence(spark, tmp_path):
