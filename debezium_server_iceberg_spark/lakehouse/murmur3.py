@@ -87,6 +87,21 @@ def murmur3_decimal(unscaled: int) -> int:
     return murmur3_32(unscaled.to_bytes(n, "big", signed=True))
 
 
+def murmur3_bytes(b: "bytes | bytearray") -> int:
+    """Iceberg ``hashBytes`` of raw bytes (fixed / binary source types)."""
+    return murmur3_32(bytes(b))
+
+
+def murmur3_uuid(u) -> int:
+    """Iceberg uuid hash: ``hashBytes`` of the UUID's 16-byte big-endian
+    form (accepts a uuid.UUID or its canonical string)."""
+    import uuid as _uuid
+
+    if not isinstance(u, _uuid.UUID):
+        u = _uuid.UUID(str(u))
+    return murmur3_32(u.bytes)
+
+
 def iceberg_bucket_py(hash_value: int, n: int) -> int:
     """Spec bucket assignment: ``(hash & Integer.MAX_VALUE) % N``."""
     return (hash_value & 0x7FFFFFFF) % n
@@ -227,19 +242,51 @@ def mm3_utf8_col(col: Column) -> Column:
     return mm3_hex_col(F.hex(F.encode(col, "UTF-8")))
 
 
+def mm3_binary_col(col: Column) -> Column:
+    """Iceberg ``hashBytes`` of a binary column's raw bytes (fixed /
+    binary source types) — ``hex()`` is JVM-side, so the whole hash stays
+    a column expression."""
+    return mm3_hex_col(F.hex(col))
+
+
+def mm3_uuid_col(col: Column) -> Column:
+    """Iceberg uuid hash as an expression: ``hashBytes`` of the 16-byte
+    big-endian form.  Spark has no uuid type, so the source is the
+    canonical 36-char string; stripping dashes leaves exactly the
+    big-endian hex."""
+    return mm3_hex_col(F.upper(F.regexp_replace(col.cast("string"), "-", "")))
+
+
 def mm3_decimal_col(col: Column, precision: int, scale: int) -> Column:
     """Iceberg decimal hash: ``hashBytes`` of the unscaled value's
     minimal big-endian two's-complement form (Java
-    ``BigInteger.toByteArray``).  Precision ≤ 18 only (unscaled fits a
-    long); the minimal form is carved out of the full 16-hex-char two's
-    complement with backtracking regexes — strip leading ``00`` pairs
-    while the next nibble keeps the sign bit clear, leading ``FF`` pairs
-    while it keeps it set."""
+    ``BigInteger.toByteArray``).
+
+    p ≤ 18 (unscaled fits a long): pure column expression — the minimal
+    form is carved out of the full 16-hex-char two's complement with
+    backtracking regexes (strip leading ``00`` pairs while the next
+    nibble keeps the sign bit clear, leading ``FF`` pairs while it keeps
+    it set).
+
+    p > 18 (unscaled up to 128 bits): Spark's integer expression surface
+    is 64-bit (``conv``/``hex``/``div`` all truncate), so the hash runs
+    in an Arrow-batched pandas UDF over exact Python ints — the one
+    non-codegen path in the bucket family, reserved for a type nobody
+    hot-paths, and still exact at every precision."""
     if precision > 18:
-        raise ValueError(
-            f"iceberg bucket on decimal({precision},{scale}) unsupported "
-            "(unscaled value exceeds 64 bits)"
-        )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _wide_dec_hash(s):
+            from decimal import Decimal as _D
+
+            return s.map(
+                lambda v: None
+                if v is None
+                else murmur3_decimal(int(_D(v).scaleb(scale)))
+            )
+
+        return _wide_dec_hash(col)
     unscaled = (col * F.lit(10 ** scale)).cast("long")
     h16 = F.lpad(F.hex(unscaled), 16, "0")
     minimal = F.regexp_replace(
@@ -252,9 +299,12 @@ def mm3_decimal_col(col: Column, precision: int, scale: int) -> Column:
 
 def iceberg_bucket_col(col: Column, source_type: str | None, n: int) -> Column:
     """Spec bucket transform as a Spark expression: hash the canonical
-    byte form per source type, then ``(hash & Int.MAX) % n``.  Raises on
-    types the spec buckets differently (decimal/uuid/fixed/binary) rather
-    than silently diverging."""
+    byte form per source type, then ``(hash & Int.MAX) % n``.  Covers the
+    spec's full bucket surface — int/long/date/timestamp/string/decimal
+    (any precision)/fixed/binary; a uuid stored in Spark's type system is
+    a string and hashes as one (``mm3_uuid_col`` exists for engines that
+    carry true uuid bytes).  Raises on types the spec does not bucket
+    (float/double/boolean) rather than silently diverging."""
     t = (source_type or "").lower()
     if t in ("integer", "int", "long", "bigint", "short", "smallint",
              "byte", "tinyint"):
@@ -265,6 +315,8 @@ def iceberg_bucket_col(col: Column, source_type: str | None, n: int) -> Column:
         h = mm3_long_col(F.unix_micros(col.cast("timestamp")))
     elif t == "string":
         h = mm3_utf8_col(col)
+    elif t == "binary":
+        h = mm3_binary_col(col)
     elif t.startswith("decimal"):
         try:
             p, s = (

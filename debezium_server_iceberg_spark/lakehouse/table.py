@@ -2033,6 +2033,7 @@ def _engine_partition_value(
     if t == "bucket":
         from .murmur3 import (
             iceberg_bucket_py,
+            murmur3_bytes,
             murmur3_decimal,
             murmur3_long,
             murmur3_utf8,
@@ -2052,6 +2053,10 @@ def _engine_partition_value(
             if not isinstance(v, str):
                 return NotImplemented
             h = murmur3_utf8(v)
+        elif st == "binary":
+            if not isinstance(v, (bytes, bytearray)):
+                return NotImplemented
+            h = murmur3_bytes(v)
         elif st.startswith("timestamp"):
             if not isinstance(v, _dt.datetime):
                 return NotImplemented

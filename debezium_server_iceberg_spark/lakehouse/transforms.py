@@ -15,8 +15,10 @@ Transform outputs are deterministic and engine-independent:
   bytes) & Int.MAX) % n`` (lakehouse/murmur3.py), so the physical file
   grouping IS the Iceberg bucket value and metadata export keeps
   external partition pruning faithful.  Supported source types are the
-  spec's: int/long/date/timestamp/string/decimal(p≤18) — decimals hash
-  their unscaled value's minimal big-endian two's-complement bytes.
+  spec's full bucket surface: int/long/date/timestamp/string/binary and
+  decimal at ANY precision — decimals hash their unscaled value's
+  minimal big-endian two's-complement bytes (p>18 via an Arrow-batched
+  UDF, everything else stays a JVM column expression).
 - truncate(w, col): substring for strings, floor-div*w for numerics
   (Iceberg truncate semantics).
 """

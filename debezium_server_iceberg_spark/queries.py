@@ -1327,6 +1327,102 @@ def iceberg_export_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_register(
+    "iceberg_export_dv_roundtrip",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 400 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 40 = 0 AND o_orderkey % 400 <> 200
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def iceberg_export_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 deletion-vector export (W17, final edge): a format-version 3
+    table with LIVE merge-on-read position deletes publishes them as
+    puffin ``deletion-vector-v1`` blobs — one DV per referenced data
+    file (spec rule), roaring-bitmap encoded (puffin.py, byte-validated
+    against Spark's org.roaringbitmap jar) — and the standard
+    metadata-chain read applies the vectors executor-side.  Mid-query
+    asserts pin that the plan carries PUFFIN DV entries (no
+    position-delete parquet, which v3 forbids) and that the chain read
+    equals the engine-native read row-for-row.  A wrong bitmap byte, a
+    bad blob offset, or a missed vector surfaces as a count/sum
+    mismatch against the oracle.
+
+    Reference: the reference engine inherits DV support from the Iceberg
+    library's puffin writers (iceberg-core); this engine owns the codec
+    (docs/iceberg.md:19-33 positions v3 support as core)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .lakehouse import LakeCatalog
+    from .lakehouse.iceberg_export import (
+        export_iceberg_table,
+        plan_iceberg_scan,
+        read_iceberg_table,
+    )
+    from .operators.merge import merge_into
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    wh = _tf.mkdtemp(prefix="dv_exp_")
+    try:
+        t = LakeCatalog(wh).create_table(
+            "ns",
+            "orders_dv",
+            sub.schema,
+            identifier_fields=["o_orderkey"],
+            properties={"format-version": "3"},
+        )
+        t.append(sub)
+        upd = sub.filter(F.col("o_orderkey") % 400 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        ).withColumn("__op", F.lit("u"))
+        dels = sub.filter(F.col("o_orderkey") % 400 == 200).withColumn(
+            "__op", F.lit("d")
+        )
+        merge_into(
+            t, upd.unionByName(dels), keep_deletes=False,
+            delete_style="position",
+        )
+        dest = _os.path.join(wh, "published")
+        export_iceberg_table(t, dest)
+        plan = plan_iceberg_scan(dest)
+        assert plan["doc"]["format-version"] == 3
+        assert plan["dv_deletes"] and not plan["pos_deletes"], (
+            "v3 export must carry puffin deletion vectors, "
+            "not position-delete parquet"
+        )
+        out = read_iceberg_table(spark, dest)
+        native = t.to_df(spark)
+        assert out.exceptAll(native).union(
+            native.exceptAll(out)
+        ).isEmpty(), "chain read diverges from engine read under DVs"
+        return (
+            out.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            # the source parquet lives in the tmpdir removed below
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "sql_read_surface",
     """
     WITH t AS (

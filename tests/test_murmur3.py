@@ -127,8 +127,114 @@ def test_decimal_bucket_type_dispatch_and_limits():
     import pytest
 
     assert iceberg_bucket_col(F.col("x"), "decimal(18,2)", 8) is not None
-    with pytest.raises(ValueError, match="64 bits"):
-        iceberg_bucket_col(F.col("x"), "decimal(38,10)", 8)
+    # p>18 routes through the Arrow-batched wide path instead of refusing
+    assert iceberg_bucket_col(F.col("x"), "decimal(38,10)", 8) is not None
+    with pytest.raises(ValueError, match="unsupported"):
+        iceberg_bucket_col(F.col("x"), "double", 8)
+
+
+def test_byte_path_spec_vectors():
+    """Iceberg spec Appendix B: uuid hashes its 16-byte big-endian form,
+    fixed/binary hash raw bytes."""
+    import uuid
+
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+        murmur3_bytes, murmur3_uuid,
+    )
+
+    assert murmur3_bytes(b"\x00\x01\x02\x03") == -188683207
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    assert murmur3_uuid(u) == 1488055340
+    assert murmur3_uuid(uuid.UUID(u)) == 1488055340
+
+
+def test_binary_and_uuid_expressions_match_python(spark):
+    import random
+    import uuid
+
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+        mm3_binary_col, mm3_uuid_col, murmur3_bytes, murmur3_uuid,
+    )
+
+    rng = random.Random(13)
+    bvals = [b"", b"\x00\x01\x02\x03", b"\xff" * 7] + [
+        bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in bvals], "b binary")
+    got = [(bytes(r["b"]), r["h"]) for r in df.select(
+        "b", mm3_binary_col(F.col("b")).alias("h")).collect()]
+    assert all(h == murmur3_bytes(b) for b, h in got)
+
+    uvals = ["f79c3e09-677c-4bbd-a479-3f349cb785e7"] + [
+        str(uuid.UUID(int=rng.getrandbits(128))) for _ in range(50)
+    ]
+    df2 = spark.createDataFrame([(u,) for u in uvals], "u string")
+    got2 = [(r["u"], r["h"]) for r in df2.select(
+        "u", mm3_uuid_col(F.col("u")).alias("h")).collect()]
+    assert all(h == murmur3_uuid(u) for u, h in got2)
+
+
+def test_wide_decimal_expression_matches_python(spark):
+    """p>18 decimals (128-bit unscaled): the Arrow-batched path equals
+    the from-spec Python hash at every magnitude and sign."""
+    import random
+    from decimal import Decimal
+
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import (
+        mm3_decimal_col, murmur3_decimal,
+    )
+
+    rng = random.Random(17)
+    vals = [Decimal("0.00"), Decimal("14.20"), Decimal("-0.01"),
+            Decimal("123456789012345678901234567890.12"),
+            Decimal("-123456789012345678901234567890.12")] + [
+        Decimal(rng.randint(-10**34, 10**34)) / 100 for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "d decimal(36,2)")
+    got = [(r["d"], r["h"]) for r in df.select(
+        "d", mm3_decimal_col(F.col("d"), 36, 2).alias("h")).collect()]
+    assert got and all(h == murmur3_decimal(int(d.scaleb(2))) for d, h in got)
+
+
+def test_binary_bucket_partition_roundtrip(spark, tmp_path):
+    """bucket(N, binary_col): write layout = spec hash of the raw bytes;
+    engine pruned reads and the faithful export both resolve a byte-string
+    probe to the right bucket."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        export_iceberg_table, plan_iceberg_scan, read_iceberg_table,
+    )
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import murmur3_bytes
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        _prune_files_by_filter,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    rows = [(i.to_bytes(4, "big"), i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k binary, n long")
+    t = cat.create_table(
+        "ns", "bin_t", df.schema, identifier_fields=["n"],
+        partition_spec="bucket(4, k)",
+    )
+    t.append(df)
+    probe = (7).to_bytes(4, "big")
+    meta, files = t.metadata(), t.current_files()
+    kept = _prune_files_by_filter(meta, files, {"k": probe})
+    assert 0 < len(kept) < len(files)
+    got = t.to_df(spark, row_filter={"k": probe}).collect()
+    assert len(got) == 1 and got[0]["n"] == 7
+
+    dest = str(tmp_path / "pub")
+    export_iceberg_table(t, dest)
+    b = (murmur3_bytes(probe) & 0x7FFFFFFF) % 4
+    plan = plan_iceberg_scan(dest, partition_filter={"k_bucket": b})
+    assert plan["pruned_files"] > 0
+    ext = read_iceberg_table(
+        spark, dest, partition_filter={"k_bucket": b}
+    ).filter(F.col("k") == F.lit(probe)).collect()
+    assert [r["n"] for r in ext] == [7]
+    assert read_iceberg_table(spark, dest).count() == 40
 
 
 def test_decimal_bucket_partition_exports_faithfully(spark, tmp_path):
