@@ -631,7 +631,9 @@ def export_iceberg_table(
     dv_sources = (
         [d for d in deletes if d.content == "position"] if fmt == 3 else []
     )
-    file_dels = [d for d in deletes if d not in dv_sources]
+    file_dels = [
+        d for d in deletes if fmt != 3 or d.content != "position"
+    ]
     # the naming scheme lives in ONE place: content-addressed by the
     # engine delete file's name, so carried/new detection is by path.
     # The puffin name hashes the SET of contributing engine delete files:

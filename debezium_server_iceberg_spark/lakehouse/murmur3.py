@@ -311,8 +311,28 @@ def iceberg_bucket_col(col: Column, source_type: str | None, n: int) -> Column:
         h = mm3_long_col(col)
     elif t == "date":
         h = mm3_long_col(F.datediff(col, F.lit("1970-01-01")))
-    elif t in ("timestamp", "timestamp_ntz"):
-        h = mm3_long_col(F.unix_micros(col.cast("timestamp")))
+    elif t == "timestamp":
+        # ltz stores the instant; unix_micros is timezone-independent
+        h = mm3_long_col(F.unix_micros(col))
+    elif t == "timestamp_ntz":
+        # ntz stores a wall clock; hash the wall clock's micros-since-
+        # epoch WITHOUT an ltz cast (casting routes through the session
+        # timezone, silently making the on-disk bucket layout depend on
+        # whoever wrote it).  All components below are wall-clock reads,
+        # exact under any session timezone; date_part SECOND is
+        # decimal(8,6) seconds incl. the microsecond fraction, so *1e6
+        # is an exact integer.
+        wall_micros = (
+            (
+                F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
+                * F.lit(1440)
+                + F.hour(col) * F.lit(60)
+                + F.minute(col)
+            )
+            * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+        )
+        h = mm3_long_col(wall_micros)
     elif t == "string":
         h = mm3_utf8_col(col)
     elif t == "binary":

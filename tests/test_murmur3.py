@@ -269,3 +269,37 @@ def test_decimal_bucket_partition_exports_faithfully(spark, tmp_path):
     ).filter(F.col("pk") == F.lit(probe)).collect()
     assert [r["v"] for r in got] == ["v7"]
     assert read_iceberg_table(spark, dest).count() == 40
+
+
+def test_ntz_bucket_hash_is_session_tz_independent(spark):
+    """An ntz timestamp stores a wall clock: its bucket hash must be the
+    wall clock's epoch micros under ANY session timezone (an ltz cast
+    would silently route through the session zone and change the on-disk
+    layout per writer)."""
+    import datetime as dt
+
+    from debezium_server_iceberg_spark.lakehouse.murmur3 import murmur3_long
+
+    vals = [dt.datetime(2017, 11, 16, 22, 31, 8),
+            dt.datetime(1969, 12, 31, 23, 59, 59, 123456),
+            dt.datetime(2024, 3, 10, 2, 30)]  # nonexistent in NY: ntz is fine
+    df = spark.createDataFrame([(v,) for v in vals], "t timestamp_ntz")
+    exp = {
+        v: iceberg_bucket_py(
+            murmur3_long(
+                (v - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+            ),
+            16,
+        )
+        for v in vals
+    }
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {r["t"]: r["b"] for r in df.select(
+                "t", iceberg_bucket_col(F.col("t"), "timestamp_ntz", 16)
+                .alias("b")).collect()}
+            assert got == exp, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
