@@ -248,3 +248,36 @@ def test_unigram_logprob_is_vocab_sized_aggregation(spark, fns):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "LOG2" in plan.upper()
+
+
+def test_dv_read_applies_vectors_via_broadcast_anti_join(spark, tmp_path):
+    """Deletion-vector application must stay a BROADCAST anti-join (the DV
+    side is bounded by deleted-row count) with executor-side blob decode —
+    a shuffle here would re-partition the whole table scan at 100 TB."""
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        export_iceberg_table, plan_iceberg_scan, read_iceberg_table,
+    )
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(12)], "id long, v string, __op string"
+    )
+    t = cat.create_table(
+        "ice", "dv_plan", df.schema, identifier_fields=["id"],
+        properties={"format-version": "3"},
+    )
+    merge_into(t, df, mode="merge-on-read")
+    merge_into(
+        t,
+        spark.createDataFrame([(3, "u", "u")], "id long, v string, __op string"),
+        mode="merge-on-read", delete_style="position",
+    )
+    dest = str(tmp_path / "pub")
+    export_iceberg_table(t, dest)
+    assert plan_iceberg_scan(dest)["dv_deletes"]
+    plan = _plan(read_iceberg_table(spark, dest))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), plan
+    assert "MapInPandas" in plan  # blob decode runs on executors
