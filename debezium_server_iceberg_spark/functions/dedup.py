@@ -451,3 +451,57 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(32)]
     )
     return votes.select(F.col("doc"), bits.alias("simhash"))
+
+
+def exact_substring_profile(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shared_frac_tenths: int = 3,
+) -> DataFrame:
+    """Exact-substring duplication profile — the word-window re-expression
+    of suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many of
+    its distinct k-token windows also appear VERBATIM in another document,
+    and a keep decision at ``max_shared_frac_tenths/10`` shared fraction.
+
+    The sequential formulation is a corpus-wide suffix array; the
+    distributed one is k-gram inversion, all narrow rows:
+      1. scan-stage explode to per-doc DISTINCT (id, md5(window)) pairs
+         (one shuffle),
+      2. windows occurring in >1 doc via a partial-aggregated groupBy on
+         the 16-byte hash (second shuffle),
+      3. left join back (AQE-planned; the shared side holds only
+         duplicated windows) + per-doc count (third shuffle).
+    No step carries document text past the scan, and a window shared by
+    millions of docs is an aggregation row, not a window-function
+    partition — skew-safe at corpus scale.
+
+    keep = (10 * n_shared <= max_shared_frac_tenths * n_grams): an exact
+    integer predicate, never a float boundary.
+    """
+    from .text import word_gram_hashes
+
+    grams = word_gram_hashes(df, k, text_col, id_col).dropDuplicates(
+        [id_col, "_h"]
+    )
+    shared = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h", F.lit(1).alias("_hit"))
+    )
+    joined = grams.join(shared, "_h", "left")
+    n_grams = F.count(F.lit(1))
+    n_shared = F.count("_hit")  # non-null only
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_shared.alias("n_shared"),
+        F.round(n_shared.cast("double") / n_grams.cast("double"), 4).alias(
+            "shared_frac"
+        ),
+        (
+            n_shared * F.lit(10) <= n_grams * F.lit(max_shared_frac_tenths)
+        ).alias("keep"),
+    )

@@ -2550,6 +2550,99 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontaminate_bloom_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE doc_id % 97 = 0 AND doc_id % 3 = 0
+    ), btoks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 97 = 0
+    ), bench AS (
+      SELECT DISTINCT array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM btoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    ), ttoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM corpus
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM ttoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    )
+    SELECT grams.doc_id, count(DISTINCT g) AS n_hits
+    FROM grams JOIN bench USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the SAME leakage contract as
+    ``decontaminate_docs`` (same planted-leak construction, same oracle —
+    the bloom is a prefilter whose false positives the verifying join
+    removes, so results are bit-identical to the exact operator), but the
+    100-TB plan kills non-candidate grams inside the scan stage via
+    ``might_contain`` on a broadcast ``bloom_filter_agg`` scalar instead
+    of streaming every corpus gram into the join."""
+    from .functions.text import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    return decontaminate_bloom(train, bench, n=8)
+
+
+@_register(
+    "exact_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM toks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    ), shared AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(s.g) AS BIGINT) AS n_shared,
+           round(CAST(count(s.g) AS DOUBLE) / count(*), 4) AS shared_frac,
+           (count(s.g) * 10 <= count(*) * 3) AS keep
+    FROM grams g LEFT JOIN shared s ON g.g = s.g
+    GROUP BY g.doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022, word-window
+    form): per document, the count of distinct 8-token windows occurring
+    verbatim in another document, the shared fraction, and keep at a 0.3
+    threshold (exact integer predicate).  Complements the approximate
+    families (minhash/simhash/ngram-jaccard): this is the VERBATIM-copy
+    detector — boilerplate, licenses, mirrored passages — that similarity
+    thresholds can miss or over-fire on.  k-gram inversion plan: distinct
+    (id, md5(window)) pairs, >1-doc windows via one hashed groupBy, AQE
+    join back; no step carries text past the scan."""
+    from .functions.dedup import exact_substring_profile
+
+    return exact_substring_profile(_t(spark, sf_dir, "documents"), k=8)
+
+
+@_register(
     "anti_customers_without_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers,
@@ -4748,6 +4841,8 @@ _CHECK_PRIORITY = [
     # of r7-confirmed tail entries (dedup/ANN family — which r8's window
     # re-covered via its one-shot variants).
     "iceberg_export_dv_roundtrip",
+    "exact_substring_dedup",
+    "decontaminate_bloom_docs",
     "pruned_point_lookup",
     "iceberg_export_lineage_roundtrip",
     "mixture_sample_sources",

@@ -268,3 +268,67 @@ def test_repetition_metrics_matches_naive_groupby(spark):
     for doc_id, (top, dup) in got.items():
         assert top == top_naive.get(doc_id, 0.0), doc_id
         assert dup == dup_naive.get(doc_id, 0.0), doc_id
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom prefilter must change the PLAN, never the result: on the
+    same planted-leak corpus the bloom variant returns exactly the exact
+    operator's rows (false positives die in the verifying join)."""
+    from debezium_server_iceberg_spark.functions.text import (
+        decontaminate, decontaminate_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(i, f"tok{i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(100 + i, f"tok{i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+         for i in range(0, 20, 3)]
+        + [(999, "clean document with its own distinct vocabulary entirely "
+                 "free of benchmark grams in every window")],
+        "doc_id long, text string",
+    )
+    exact = {(r["doc_id"], r["n_hits"])
+             for r in decontaminate(train, bench, n=8).collect()}
+    bloom = {(r["doc_id"], r["n_hits"])
+             for r in decontaminate_bloom(train, bench, n=8).collect()}
+    assert bloom == exact and exact  # non-vacuous
+
+
+def test_exact_substring_profile_hand_computed(spark):
+    """Two docs sharing a verbatim 8-token run, one clean doc, one with a
+    partial (7-token) overlap that must NOT count."""
+    from debezium_server_iceberg_spark.functions.dedup import (
+        exact_substring_profile,
+    )
+
+    shared = "one two three four five six seven eight"           # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),       # grams: 3 windows, 1 shared
+            (2, "head0 " + shared),             # grams: 2 windows, 1 shared
+            (3, "totally different words here that never repeat anything"),
+            # 7-token prefix of the shared run + a divergent 8th token:
+            # no full 8-token window matches
+            (4, "one two three four five six seven DIFFERENT x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"], r["keep"])
+           for r in exact_substring_profile(docs, k=8).collect()}
+    assert got[1] == (3, 1, False)   # 1/3 > 0.3 -> dropped
+    assert got[2] == (2, 1, False)
+    assert got[3][1] == 0 and got[3][2] is True
+    assert got[4][1] == 0 and got[4][2] is True
+    # a low shared fraction keeps (integer predicate, not float)
+    docs2 = spark.createDataFrame(
+        [(1, shared + " " + " ".join(f"a{j}" for j in range(15))),
+         (2, shared + " " + " ".join(f"b{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in exact_substring_profile(docs2, k=8).collect()}
+    # 23 tokens -> 16 windows each; only the leading window is shared
+    assert prof[1]["n_grams"] == 16 and prof[1]["n_shared"] == 1
+    assert prof[1]["keep"] is True  # 1/16 <= 0.3
