@@ -281,3 +281,24 @@ def test_dv_read_applies_vectors_via_broadcast_anti_join(spark, tmp_path):
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and all("Broadcast" in ln for ln in anti), plan
     assert "MapInPandas" in plan  # blob decode runs on executors
+
+
+def test_exact_substring_uses_aggregation_not_window(spark, fns):
+    """Shared-window detection must be a partial-aggregated groupBy on the
+    gram hash, never a window function — a window partition per gram is a
+    single-task hotspot when one boilerplate string spans millions of
+    docs."""
+    plan = _plan(fns["exact_substring_dedup"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final phases
+
+
+def test_bloom_prefilter_runs_before_verify_join(spark, fns):
+    """The bloom membership test (seeded xxhash64 probes against the
+    binary literal) must sit in the corpus-side Filter BELOW the
+    verifying broadcast join, so non-candidate grams die in the scan
+    stage."""
+    plan = _plan(fns["decontaminate_bloom_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    filt = plan.split("BroadcastHashJoin")[-1]  # below the join in -toString
+    assert "xxhash64" in filt and "substring" in filt
