@@ -311,13 +311,12 @@ def decontaminate_bloom(
 
     The exact operator's broadcast join still streams EVERY corpus gram
     into the join operator.  Here a bloom filter over the benchmark's
-    gram hashes (``bloom_filter_agg``, a few MB of bits built by one tiny
-    aggregation) is crossed in as a scalar and applied IN the corpus
-    projection (``might_contain``) — the overwhelming majority of corpus
-    grams die in the scan stage's codegen, and only bloom candidates
-    reach the verifying broadcast join, whose exactness removes the false
-    positives.  Output is therefore bit-identical to the exact operator
-    at any false-positive rate.
+    gram hashes is shipped as a scalar and applied IN the corpus
+    projection — the overwhelming majority of corpus grams die in the
+    scan stage's codegen, and only bloom candidates reach the verifying
+    broadcast join, whose exactness removes the false positives.  Output
+    is therefore bit-identical to the exact operator at any
+    false-positive rate.
 
     The bloom itself is hand-rolled from built-ins (Spark's internal
     ``bloom_filter_agg`` is not in the public function registry): k=4 bit
