@@ -2087,6 +2087,131 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "containment_near_dup",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS doc, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      -- duckdb list slices are inclusive: t[i:i+4] is a 5-token shingle
+      SELECT DISTINCT doc, array_to_string(t[i:i+4], ' ') AS tok
+      FROM tk, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+4], ' ') <> ''
+    ), freq AS (
+      SELECT tok, count(*) AS freq FROM sh GROUP BY tok
+    ), ranked AS (
+      SELECT s.doc, s.tok,
+             row_number() OVER (PARTITION BY s.doc ORDER BY f.freq, s.tok) AS rn,
+             count(*) OVER (PARTITION BY s.doc) AS sz
+      FROM sh s JOIN freq f USING (tok)
+    ), prefix AS (
+      -- m = ceil(0.8*sz) matches needed => prefix is the sz-m+1 rarest
+      SELECT doc, tok FROM ranked WHERE rn <= sz - ((4*sz + 4) // 5) + 1
+    ), cand AS (
+      SELECT DISTINCT p.doc AS doc_a, s.doc AS doc_b
+      FROM prefix p JOIN sh s USING (tok) WHERE p.doc <> s.doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+      FROM cand c
+        JOIN sh sa ON sa.doc = c.doc_a
+        JOIN sh sb ON sb.doc = c.doc_b AND sb.tok = sa.tok
+      GROUP BY c.doc_a, c.doc_b
+    ), sizes AS (
+      SELECT doc, count(*) AS size_a FROM sh GROUP BY doc
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size, z.size_a,
+           CAST(i.inter_size AS DOUBLE) / z.size_a AS containment
+    FROM inter i JOIN sizes z ON z.doc = i.doc_a
+    WHERE 5 * i.inter_size >= 4 * z.size_a
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment join (prefix filter): directed pairs
+    where >=80% of doc_a's 5-token shingles appear in doc_b — the
+    subset/quotation relationships symmetric Jaccard LSH can't see."""
+    from .functions.containment import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_overlap_matrix",
+    f"""
+    WITH tk AS (
+      SELECT source AS doc, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS tok
+      FROM tk, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+2], ' ') <> ''
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS source_a, b.doc AS source_b, count(*) AS inter_size
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.inter_size,
+           za.n AS size_a, zb.n AS size_b,
+           CAST(i.inter_size AS DOUBLE) / (za.n + zb.n - i.inter_size) AS jaccard,
+           CAST(i.inter_size AS DOUBLE) / za.n AS containment_a,
+           CAST(i.inter_size AS DOUBLE) / zb.n AS containment_b
+    FROM inter i JOIN sizes za ON za.doc = i.source_a
+                 JOIN sizes zb ON zb.doc = i.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix: distinct-shingle
+    intersection, Jaccard, and directed containments per source pair."""
+    from .functions.corpus import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_top_p_docs",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n,
+             len(list_distinct({_TOKENS_SQL})) AS nd,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             length(text) AS total
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round((0.5 * (CAST(nd AS DOUBLE) / n)
+                   + 0.3 * (CAST(least(n, 100) AS DOUBLE) / 100.0)
+                   + 0.2 * (CAST(alpha AS DOUBLE) / total)) * 10000, 0)
+                  AS BIGINT) AS milli
+      FROM feat
+    ), docs AS (
+      SELECT d.doc_id, d.lang, s.milli
+      FROM documents d JOIN scored s USING (doc_id)
+    ), grp AS (
+      SELECT lang, milli, CAST(sum(milli) AS BIGINT) AS mass
+      FROM docs GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, milli,
+             CAST(sum(mass) OVER (PARTITION BY lang ORDER BY milli DESC)
+                  - mass AS BIGINT) AS mass_before,
+             CAST(sum(mass) OVER (PARTITION BY lang) AS BIGINT) AS total_mass
+      FROM grp
+    ), sel AS (
+      SELECT lang, milli FROM cum WHERE 5 * mass_before < 4 * total_mass
+    )
+    SELECT d.doc_id, d.lang, d.milli FROM docs d JOIN sel USING (lang, milli)
+    """,
+)
+def quality_top_p_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) selection per language: highest-quality docs
+    carrying 80% of the language's quality mass, boundary score group
+    kept whole. Cutoff computed on the distinct-score distribution —
+    no per-document window over a language."""
+    from .functions.corpus import quality_top_p
+
+    return quality_top_p(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "embedding_cosine_near_dup",
     """
     WITH base AS (
@@ -4843,6 +4968,9 @@ _CHECK_PRIORITY = [
     "iceberg_export_dv_roundtrip",
     "exact_substring_dedup",
     "decontaminate_bloom_docs",
+    "containment_near_dup",
+    "source_overlap_matrix",
+    "quality_top_p_docs",
     "pruned_point_lookup",
     "iceberg_export_lineage_roundtrip",
     "mixture_sample_sources",

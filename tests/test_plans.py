@@ -302,3 +302,33 @@ def test_bloom_prefilter_runs_before_verify_join(spark, fns):
     assert "BroadcastHashJoin" in plan
     filt = plan.split("BroadcastHashJoin")[-1]  # below the join in -toString
     assert "xxhash64" in filt and "substring" in filt
+
+
+def test_containment_join_has_no_cartesian(spark, fns):
+    """Prefix-filter candidate generation and the verify intersection are
+    both equi-joins on shingle/doc keys — any nested-loop or cartesian
+    node here is the O(n^2) all-pairs cliff the prefix filter exists to
+    avoid."""
+    plan = _plan(fns["containment_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_overlap_sizes_are_broadcast(spark, fns):
+    """The per-source size table (n_sources rows) must join the pair
+    intersections as a broadcast on BOTH sides — shuffling the matrix
+    for a 20-row dimension is wasted I/O at any scale."""
+    plan = _plan(fns["source_overlap_matrix"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_top_p_window_is_over_score_groups(spark, fns):
+    """The cumulative-mass window must run on the (lang, milli) group
+    table — its input subtree contains the grouping aggregate — never on
+    per-document rows, where one dominant language becomes a single
+    sort-everything task at 100 TB."""
+    plan = _plan(fns["quality_top_p_docs"](spark, SF))
+    assert "Window" in plan
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window.split("Parquet")[0]
