@@ -399,6 +399,94 @@ def resize_images(
     return df.select(id_col, bin_col).mapInPandas(op, RESIZE_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash_hex", T.StringType(), True),
+        T.StructField("band0", T.IntegerType(), True),
+        T.StructField("band1", T.IntegerType(), True),
+        T.StructField("band2", T.IntegerType(), True),
+        T.StructField("band3", T.IntegerType(), True),
+        T.StructField("hasher", T.StringType(), True),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bin_col: str = "content",
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image in one Arrow-batched pass
+    — the standard visual-duplicate key (identical or near-identical
+    renderings collide; format/size/re-encode differences don't).
+
+    BMP inputs get the REAL pipeline: decode, true 8x8 nearest-neighbor
+    downsample (same index map as :func:`resize_images`), integer
+    grayscale ``(r+g+b)//3``, then bit ``j`` = 1 iff
+    ``64*gray_j >= sum(gray)`` — an integer-exact mean threshold (ties
+    high) a SQL oracle can replay closed-form for fixture images.  The 64
+    bits pack row-major MSB-first into ``ahash_hex`` (16 hex chars) plus
+    four 16-bit band ints for LSH-style banded joins (hamming <= 3 between
+    two hashes guarantees at least one equal band, by pigeonhole).
+
+    Non-BMP content falls back to a clearly-labeled deterministic fake
+    (sha256-derived, ``hasher='fake-deterministic'``) unless ``strict``.
+
+    100-TB shape: media bytes stay executor-side; output is 9 narrow
+    columns, so the dedup groupBy/band-join downstream shuffles ~40 bytes
+    per image regardless of media size.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, data in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(data) if data is not None else b""
+                bmp = decode_bmp(data) if data else None
+                if bmp is not None:
+                    w0, h0, _, px = bmp
+                    xs = (np.arange(8, dtype=np.int64) * w0) // 8
+                    ys = (np.arange(8, dtype=np.int64) * h0) // 8
+                    gray = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3
+                    total = int(gray.sum())
+                    bits = (64 * gray.reshape(-1) >= total).astype(np.uint8)
+                    packed = np.packbits(bits).tobytes()
+                    bands = [
+                        int.from_bytes(packed[2 * k : 2 * k + 2], "big")
+                        for k in range(4)
+                    ]
+                    out.append(
+                        (item_id, w0, h0, packed.hex(), *bands, "bmp-ahash")
+                    )
+                    continue
+                if data and strict:
+                    raise NotImplementedError(
+                        "no image decoder available in this environment; "
+                        "install PIL or run with strict=False"
+                    )
+                dg = hashlib.sha256(data).digest()[:8]
+                bands = [
+                    int.from_bytes(dg[2 * k : 2 * k + 2], "big") for k in range(4)
+                ]
+                out.append(
+                    (
+                        item_id,
+                        None,
+                        None,
+                        dg.hex(),
+                        *bands,
+                        "fake-deterministic" if data else "empty",
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.select(id_col, bin_col).mapInPandas(op, AHASH_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType(), False),

@@ -3551,6 +3551,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_ahash_clusters",
+    """
+    WITH d AS (
+      SELECT doc_id AS item_id, 4 + (doc_id // 16) % 16 AS h FROM documents
+    ), g AS (
+      SELECT item_id, y.y AS yd, (item_id + (y.y * h) // 8) % 256 AS gv
+      FROM d, UNNEST(range(8)) AS y(y)
+    ), bits AS (
+      SELECT item_id, yd,
+             CASE WHEN 8 * gv >= sum(gv) OVER (PARTITION BY item_id)
+                  THEN 'ff' ELSE '00' END AS b
+      FROM g
+    ), hx AS (
+      SELECT item_id, string_agg(b, '' ORDER BY yd) AS ahash_hex
+      FROM bits GROUP BY item_id
+    )
+    SELECT ahash_hex, count(*) AS n_items, min(item_id) AS canonical_id
+    FROM hx GROUP BY ahash_hex
+    """,
+)
+def image_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual-duplicate clusters by perceptual average-hash — the
+    multimodal counterpart of exact text dedup: every fixture image is
+    REALLY decoded (BMP parse), 8x8 nearest-neighbor downsampled,
+    grayscaled, and aHashed executor-side; clusters group by the hash
+    with the lowest item id as canonical.  The oracle replays the whole
+    decode->resize->threshold->pack pipeline closed-form from the fixture
+    formulas (gray of source row y of image i is (i+y)%256, so 8x8 sample
+    row yd reads (i + (yd*h)//8)%256; each hash byte is ff/00 since a
+    row's bits agree) — a defect anywhere in the chain (row order, index
+    map, grayscale, mean threshold, bit packing) hash-mismatches."""
+    from .functions.multimodal import image_ahash, synthesize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = image_ahash(synthesize_images(docs, "doc_id"))
+    return hashed.groupBy("ahash_hex").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("item_id").alias("canonical_id"),
+    )
+
+
+@_register(
     "approx_distinct_parts",
     """
     SELECT l_returnflag,
@@ -4971,6 +5013,7 @@ _CHECK_PRIORITY = [
     "containment_near_dup",
     "source_overlap_matrix",
     "quality_top_p_docs",
+    "image_ahash_clusters",
     "pruned_point_lookup",
     "iceberg_export_lineage_roundtrip",
     "mixture_sample_sources",

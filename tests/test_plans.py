@@ -332,3 +332,13 @@ def test_quality_top_p_window_is_over_score_groups(spark, fns):
     assert "Window" in plan
     below_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in below_window.split("Parquet")[0]
+
+
+def test_image_ahash_shuffles_hashes_not_media(spark, fns):
+    """The cluster groupBy must partial-aggregate the 16-char hash rows —
+    the media bytes live and die inside the MapInPandas stage; only
+    narrow hash columns cross the shuffle."""
+    plan = _plan(fns["image_ahash_clusters"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "content" not in plan.split("Exchange")[0]  # media never shuffles

@@ -350,3 +350,77 @@ def test_openlineage_emission_per_batch(spark, tmp_path):
     c2 = ChangeConsumer(cfg2)
     r = c2.handle_batch(read_events_jsonl(spark, str(tmp_path / "b1.jsonl")))
     assert r.tables_written == {"testc.inventory.customers_upsert": 3}
+
+
+def test_image_ahash_matches_independent_reimplementation(spark):
+    """Column-varying pixels (the synthetic fixtures are row-uniform, so
+    they can't catch x-axis packing mistakes) against a pure-python loop
+    reimplementation of resize -> gray -> threshold -> pack."""
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        encode_bmp,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
+
+    # independent reference: per-pixel loops, no numpy vector tricks
+    gray, total = {}, 0
+    for yd in range(8):
+        for xd in range(8):
+            sy, sx = (yd * 11) // 8, (xd * 13) // 8
+            g = (int(px[sy, sx, 0]) + int(px[sy, sx, 1]) + int(px[sy, sx, 2])) // 3
+            gray[(yd, xd)] = g
+            total += g
+    bits = 0
+    for yd in range(8):
+        for xd in range(8):
+            bits = (bits << 1) | (1 if 64 * gray[(yd, xd)] >= total else 0)
+    expected_hex = bits.to_bytes(8, "big").hex()
+
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(px)))], "item_id long, content binary")
+    row = image_ahash(df).collect()[0]
+    assert row.hasher == "bmp-ahash"
+    assert (row.width, row.height) == (13, 11)
+    assert row.ahash_hex == expected_hex
+    packed = bytes.fromhex(expected_hex)
+    for k in range(4):
+        assert row[f"band{k}"] == int.from_bytes(packed[2 * k : 2 * k + 2], "big")
+
+
+def test_image_ahash_invariant_under_nn_upscale(spark):
+    """An image and its 2x nearest-neighbor upscale must hash identically
+    — the property that makes aHash a dedup key across re-encodes."""
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        encode_bmp,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(encode_bmp(up)))],
+        "item_id long, content binary",
+    )
+    rows = {r.item_id: r for r in image_ahash(df).collect()}
+    assert rows[1].ahash_hex == rows[2].ahash_hex
+
+
+def test_image_ahash_fallbacks_and_strict(spark):
+    import pytest as _pytest
+
+    from debezium_server_iceberg_spark.functions.multimodal import image_ahash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-a-bmp")), (2, None)], "item_id long, content binary"
+    )
+    rows = {r.item_id: r for r in image_ahash(df).collect()}
+    assert rows[1].hasher == "fake-deterministic" and rows[1].width is None
+    assert rows[2].hasher == "empty"
+    with _pytest.raises(Exception):  # NotImplementedError surfaces via py4j
+        image_ahash(df, strict=True).collect()
