@@ -44,17 +44,34 @@ def containment_pairs(
     shingle_size: int = 5,
     tau_num: int = 4,
     tau_den: int = 5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Directed pairs ``(doc_a, doc_b)`` with
     ``|S(a) ∩ S(b)| / |S(a)| >= tau_num/tau_den`` and ``doc_a != doc_b``.
 
     Asymmetric by design: ``a`` contained in ``b`` does not imply the
     reverse. Returns ``(doc_a, doc_b, inter_size, size_a, containment)``.
+
+    ``max_shingle_freq`` is the skew escape hatch for boilerplate-heavy
+    corpora: shingles appearing in more than that many documents are
+    treated as stop-shingles and removed from the universe BEFORE sizes
+    are computed, so the result is the exact containment join over the
+    non-stop shingle sets (a documented, deterministic approximation of
+    the unfiltered semantics — not a silently skewed exact join). A
+    shingle shared by millions of docs carries no dedup signal but would
+    otherwise fan the candidate join out quadratically on one key.
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must be a fraction in (0, 1]")
+    if max_shingle_freq is not None and max_shingle_freq < 1:
+        raise ValueError("max_shingle_freq must be >= 1")
     shingles = _doc_shingles(df, text_col, id_col, shingle_size)
     freq = shingles.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    if max_shingle_freq is not None:
+        # drop stop-shingles from the universe itself: sizes, prefixes,
+        # candidates, and verification all see the same filtered sets
+        freq = freq.filter(F.col("freq") <= max_shingle_freq)
+        shingles = shingles.join(freq.select("tok"), "tok", "left_semi")
     # rarest-first rank + set size in one window shuffle (both keyed by doc)
     w_rank = Window.partitionBy("doc").orderBy("freq", "tok")
     w_all = Window.partitionBy("doc")

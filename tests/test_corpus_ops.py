@@ -169,3 +169,41 @@ def test_quality_top_p_rejects_bad_p(spark):
         quality_top_p(df, p_num=0, p_den=5)
     with pytest.raises(ValueError):
         quality_top_p(df, p_num=7, p_den=5)
+
+
+def test_containment_stop_shingle_cap(spark):
+    # "boil plate" appears in every doc; doc 6 consists of ONLY that
+    # shingle, so uncapped it is "contained" in everything — pure
+    # boilerplate signal. The cap removes it from the universe: doc 6
+    # has no shingles left and emits nothing, while real subset pairs
+    # (1 in 2) survive on their filtered sets.
+    df = _docs(
+        spark,
+        [
+            (1, "boil plate u1 u2 u3", "en", "web"),
+            (2, "boil plate u1 u2 u3 x y", "en", "web"),
+            (3, "boil plate a b c", "en", "web"),
+            (4, "boil plate d e f", "en", "web"),
+            (6, "boil plate", "en", "web"),
+        ],
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(df, shingle_size=2).collect()
+    }
+    assert any(p[0] == 6 for p in uncapped)  # boilerplate-only false positive
+    capped = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_pairs(
+            df, shingle_size=2, max_shingle_freq=4
+        ).collect()
+    }
+    assert all(p[0] != 6 and p[1] != 6 for p in capped)
+    r = capped[(1, 2)]  # real subset survives, sizes exclude the stop shingle
+    assert r.size_a == 3 and r.inter_size == 3 and r.containment == 1.0
+
+
+def test_containment_cap_validation(spark):
+    df = _docs(spark, [(1, "a b", "en", "w")])
+    with pytest.raises(ValueError):
+        containment_pairs(df, max_shingle_freq=0)
