@@ -72,6 +72,16 @@ def containment_pairs(
         # candidates, and verification all see the same filtered sets
         freq = freq.filter(F.col("freq") <= max_shingle_freq)
         shingles = shingles.join(freq.select("tok"), "tok", "left_semi")
+    # EVERY relation in this operator is corpus-sized (shingles explode the
+    # text, freq/sizes are one row per distinct shingle/doc, cand is the
+    # candidate pair set) — none may EVER be a static broadcast build side.
+    # Catalyst's size estimate for an exploded scan is the parquet file
+    # size, which lies by the fanout factor: at sf1 that underestimate
+    # chose broadcast and OOM'd the driver; at 100 TB it would kill any
+    # executor. The merge hints pin shuffled sort-merge joins — the plan
+    # whose memory is bounded at every scale.
+    shingles = shingles.hint("merge")
+    freq = freq.hint("merge")
     # rarest-first rank + set size in one window shuffle (both keyed by doc)
     w_rank = Window.partitionBy("doc").orderBy("freq", "tok")
     w_all = Window.partitionBy("doc")
@@ -93,6 +103,7 @@ def containment_pairs(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .hint("merge")
     )
     s_a = shingles.select(F.col("doc").alias("doc_a"), "tok")
     s_b = shingles.select(F.col("doc").alias("doc_b"), "tok")
@@ -102,7 +113,7 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("size_a"))
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("size_a")).hint("merge")
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
         .filter(tau_den * F.col("inter_size") >= tau_num * F.col("size_a"))

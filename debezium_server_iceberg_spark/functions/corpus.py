@@ -34,12 +34,19 @@ def source_overlap(
     thousands of sources swap the exact intersection for a theta/HLL
     sketch per source (same shape, sketch-merge instead of count).
     """
-    grams = _doc_shingles(
-        df.select(F.col(group_col).alias("_grp"), F.col(text_col)),
-        text_col,
-        "_grp",
-        shingle_size,
-    ).distinct()  # (doc=_grp, tok) distinct across the whole source
+    grams = (
+        _doc_shingles(
+            df.select(F.col(group_col).alias("_grp"), F.col(text_col)),
+            text_col,
+            "_grp",
+            shingle_size,
+        )
+        .distinct()  # (doc=_grp, tok) distinct across the whole source
+        # corpus-sized (one row per distinct gram per source): never a
+        # static broadcast build side — Catalyst's estimate for the
+        # exploded scan is the parquet file size, off by the gram fanout
+        .hint("merge")
+    )
     sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col("doc").alias("source_a"), "tok")
     b = grams.select(F.col("doc").alias("source_b"), "tok")
@@ -106,7 +113,11 @@ def quality_top_p(
     scored = quality_score(df, text_col, id_col).select(
         id_col, F.round(F.col("quality") * 10000, 0).cast("long").alias("milli")
     )
-    docs = df.select(id_col, F.col(lang_col).alias("lang")).join(scored, id_col)
+    # corpus-corpus self-join: neither side may static-broadcast (the
+    # projection's size estimate scales with the parquet file, not rows)
+    docs = df.select(id_col, F.col(lang_col).alias("lang")).join(
+        scored.hint("merge"), id_col
+    )
     groups = docs.groupBy("lang", "milli").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("milli").alias("mass"),
@@ -123,6 +134,8 @@ def quality_top_p(
     selected = cum.filter(
         p_den * F.col("mass_before") < p_num * F.col("total_mass")
     ).select("lang", "milli")
-    return docs.join(selected, ["lang", "milli"]).select(
+    # selected is bounded by the distinct-score space (<= 10^4 rows per
+    # language), so broadcasting it spares the corpus a second shuffle
+    return docs.join(F.broadcast(selected), ["lang", "milli"]).select(
         id_col, "lang", "milli"
     )

@@ -342,3 +342,19 @@ def test_image_ahash_shuffles_hashes_not_media(spark, fns):
     assert "MapInPandas" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "content" not in plan.split("Exchange")[0]  # media never shuffles
+
+
+def test_corpus_operators_never_static_broadcast(spark, fns):
+    """Catalyst's size estimate for an exploded scan is the parquet FILE
+    size — off by the whole shingle fanout — so at sf1 the static planner
+    chose to broadcast corpus-sized shingle relations and OOM'd the
+    driver. The merge hints pin shuffled joins for every unbounded
+    relation; the only broadcasts left are the intentionally bounded
+    dims (per-source sizes, selected score groups), and those exact
+    counts are pinned here."""
+    plan = _plan(fns["containment_near_dup"](spark, SF))
+    assert "BroadcastExchange" not in plan  # nothing bounded exists here
+    plan = _plan(fns["source_overlap_matrix"](spark, SF))
+    assert plan.count("BroadcastExchange") == 2  # the two size dims only
+    plan = _plan(fns["quality_top_p_docs"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1  # selected score groups
