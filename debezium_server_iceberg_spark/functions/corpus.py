@@ -19,7 +19,6 @@ def source_overlap(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    id_col: str = "doc_id",
     shingle_size: int = 3,
 ) -> DataFrame:
     """Pairwise n-gram overlap between sources: the corpus contamination

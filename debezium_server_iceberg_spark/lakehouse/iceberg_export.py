@@ -927,9 +927,12 @@ def export_iceberg_table(
         # single content-addressed puffin file.  An unchanged delete set
         # re-derives the same path, so republish carries the entries; any
         # new position delete produces a replacement puffin whose DVs
-        # supersede the old ones.  Bitmaps build per referenced file —
-        # memory bounded by a file's row count, the same working set
-        # Iceberg's own DV writers hold.
+        # supersede the old ones.  Publish-time memory: every live
+        # position rides ONCE in a sorted columnar Arrow buffer (8 B per
+        # position + dictionary-coded names); the Python-object bitmap
+        # handed to the blob encoder materializes one referenced data
+        # file at a time, so object memory is bounded by the largest
+        # single file's delete count, not the table's total.
         if dv_carried:
             delete_entries.extend(
                 {**e, "status": 0} for e in prev_dv_entries[puffin_path]
@@ -937,27 +940,55 @@ def export_iceberg_table(
         else:
             from .puffin import write_puffin_dvs
 
-            per_file: dict[str, set] = {}
-            dv_seq_by_file: dict[str, int] = {}
-            for d in dv_sources:
-                import pyarrow.parquet as _pq
+            import numpy as _np
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
 
-                t = _pq.read_table(d.path)
-                for nm, p in zip(
-                    t.column("file_name").to_pylist(),
-                    t.column("pos").to_pylist(),
-                ):
-                    abs_p = name_to_abs.get(nm)
-                    if abs_p is None:
-                        continue  # target compacted away: delete is moot
-                    per_file.setdefault(abs_p, set()).add(int(p))
-                    dv_seq_by_file[abs_p] = max(
-                        dv_seq_by_file.get(abs_p, d.seq), d.seq
+            parts = []
+            for d in dv_sources:
+                t = _pq.read_table(d.path, columns=["file_name", "pos"])
+                parts.append(
+                    t.append_column(
+                        "seq", _pa.array([int(d.seq)] * t.num_rows, _pa.int64())
                     )
-            descs = write_puffin_dvs(
-                puffin_path,
-                [(p, sorted(v)) for p, v in sorted(per_file.items())],
+                )
+            allt = _pa.concat_tables(parts)
+            uniq = _pc.unique(allt.column("file_name"))
+            abs_for_name = _pa.array(
+                [name_to_abs.get(nm) for nm in uniq.to_pylist()], _pa.string()
             )
+            allt = allt.append_column(
+                "abs",
+                _pc.take(
+                    abs_for_name, _pc.index_in(allt.column("file_name"), uniq)
+                ),
+            )
+            # null abs = target compacted away: delete is moot
+            allt = allt.filter(_pc.is_valid(allt.column("abs"))).sort_by(
+                [("abs", "ascending"), ("pos", "ascending")]
+            )
+            dv_seq_by_file: dict[str, int] = {}
+
+            def _dv_groups():
+                if allt.num_rows == 0:
+                    return
+                # post-sort unique preserves sorted order, so the code
+                # column is nondecreasing and group bounds are one diff
+                uniq_abs = _pc.unique(allt.column("abs"))
+                codes = _pc.index_in(allt.column("abs"), uniq_abs).to_numpy(
+                    zero_copy_only=False
+                )
+                pos_np = allt.column("pos").to_numpy(zero_copy_only=False)
+                seq_np = allt.column("seq").to_numpy(zero_copy_only=False)
+                bounds = _np.flatnonzero(_np.diff(codes)) + 1
+                starts = _np.concatenate(([0], bounds))
+                ends = _np.concatenate((bounds, [len(codes)]))
+                for s, e, p in zip(starts, ends, uniq_abs.to_pylist()):
+                    dv_seq_by_file[p] = int(seq_np[s:e].max())
+                    yield p, _np.unique(pos_np[s:e]).tolist()
+
+            descs = write_puffin_dvs(puffin_path, _dv_groups())
             puffin_size = os.path.getsize(puffin_path)
             for desc in descs:
                 dseq = seqmap.get(dv_seq_by_file[desc["referenced"]], seq)

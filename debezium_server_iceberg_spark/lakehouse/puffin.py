@@ -196,10 +196,13 @@ def decode_dv_blob(blob: bytes) -> "list[int]":
 
 
 def write_puffin_dvs(
-    path: str, dvs: "list[tuple[str, list[int]]]"
+    path: str, dvs: "Iterable[tuple[str, list[int]]]"
 ) -> "list[dict]":
     """Write one puffin file holding a deletion-vector-v1 blob per
-    ``(referenced_data_file, positions)``.  Returns blob descriptors:
+    ``(referenced_data_file, positions)``.  ``dvs`` may be a lazy
+    iterable — blobs are consumed and written one at a time, so callers
+    can stream per-file position lists without holding them all.
+    Returns blob descriptors:
     ``{referenced, offset, length, cardinality}`` — what the Iceberg
     manifest's DV entry records (content_offset / content_size_in_bytes).
 
