@@ -2133,6 +2133,78 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_t(spark, sf_dir, "documents"))
 
 
+_BOILER = " all rights reserved terms of service apply worldwide"
+_BOILER_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(concat(text,"
+    f" '{_BOILER}')), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@_register(
+    "containment_capped_near_dup",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS doc, {_BOILER_TOKS_SQL} AS t
+      FROM documents WHERE doc_id % 4 = 0
+    ), sh0 AS (
+      SELECT DISTINCT doc, array_to_string(t[i:i+4], ' ') AS tok
+      FROM tk, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+4], ' ') <> ''
+    ), cap AS (
+      SELECT greatest(count(*) // 2, 1) AS k FROM tk
+    ), kept AS (
+      -- stop-shingles leave the universe BEFORE sizes/prefixes/verify
+      SELECT tok, count(*) AS freq FROM sh0 GROUP BY tok
+      HAVING count(*) <= (SELECT k FROM cap)
+    ), sh AS (
+      SELECT s.doc, s.tok FROM sh0 s JOIN kept USING (tok)
+    ), ranked AS (
+      SELECT s.doc, s.tok,
+             row_number() OVER (PARTITION BY s.doc ORDER BY f.freq, s.tok) AS rn,
+             count(*) OVER (PARTITION BY s.doc) AS sz
+      FROM sh s JOIN kept f USING (tok)
+    ), prefix AS (
+      SELECT doc, tok FROM ranked WHERE rn <= sz - ((4*sz + 4) // 5) + 1
+    ), cand AS (
+      SELECT DISTINCT p.doc AS doc_a, s.doc AS doc_b
+      FROM prefix p JOIN sh s USING (tok) WHERE p.doc <> s.doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+      FROM cand c
+        JOIN sh sa ON sa.doc = c.doc_a
+        JOIN sh sb ON sb.doc = c.doc_b AND sb.tok = sa.tok
+      GROUP BY c.doc_a, c.doc_b
+    ), sizes AS (
+      SELECT doc, count(*) AS size_a FROM sh GROUP BY doc
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size, z.size_a,
+           CAST(i.inter_size AS DOUBLE) / z.size_a AS containment
+    FROM inter i JOIN sizes z ON z.doc = i.doc_a
+    WHERE 5 * i.inter_size >= 4 * z.size_a
+    """,
+)
+def containment_capped_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped containment join — the 100-TB boilerplate-skew
+    escape hatch, oracle-checked: every doc carries a planted boilerplate
+    footer whose pure-footer shingles appear corpus-wide; with
+    ``max_shingle_freq = n_docs/2`` they leave the shingle universe
+    BEFORE sizes are computed, so the join is the exact containment join
+    over the filtered sets (functions/containment.py:56-74).  A semantics
+    drift (cap applied after sizes, prefix ranks on unfiltered freq,
+    verify over unfiltered sets) hash-mismatches against the oracle's
+    filtered-universe replay."""
+    from .functions.containment import containment_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_BOILER)))
+    )
+    # planning-scale: one count of the quarter-slice fixes the cap
+    cap = max(docs.count() // 2, 1)
+    return containment_pairs(docs, max_shingle_freq=cap)
+
+
 @_register(
     "source_overlap_matrix",
     f"""
