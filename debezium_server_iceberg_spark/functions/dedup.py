@@ -368,36 +368,27 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col("doc"), bits.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-duplicate pairs under 64-bit SimHash Hamming distance — exact
-    for ``max_hamming <= 3``: the signature splits into 4 bands of 16 bits,
-    and by pigeonhole any pair differing in at most 3 bits shares at least
-    one untouched band, so the band equi-join loses no true pair; the exact
-    64-position popcount then decides. Candidate generation is an equi-join
-    on (band, band_bits) — the same shuffle shape as MinHash LSH, never
-    O(n²)."""
+def banded_hamming_pairs(sigi: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs ``(doc_a, doc_b, hamming)`` with Hamming distance at most
+    ``max_hamming`` over a 64-bit signature carried as four 16-bit band
+    integers (input columns ``doc, sb0..sb3``) — exact for
+    ``max_hamming <= 3``: by pigeonhole any pair differing in at most 3
+    bits shares at least one untouched band, so the band equi-join loses
+    no true pair; the exact popcount (4 ``bit_count(XOR)`` ops) then
+    decides.  Candidate generation is an equi-join on (band, band_bits) —
+    the same shuffle shape as MinHash LSH, never O(n²).  Shared by the
+    text (SimHash) and visual (aHash) near-dup detectors."""
     if max_hamming > 3:
         raise ValueError("banding is exact only for max_hamming <= 3")
-    # signature bands as 16-bit INTEGERS, not 16-char substrings: the band
-    # self-join shuffles (long, long) keys instead of strings, and the exact
-    # Hamming distance collapses to 4 bit_count(XOR) ops instead of 64
-    # positional string compares — results bit-identical to the string form
-    # (the DuckDB oracle keeps comparing the '0'/'1' signature).
-    sig = simhash64(df, text_col, id_col)
-    sigi = sig.select(
-        "doc",
-        *[
-            F.conv(F.substring("simhash", 16 * b + 1, 16), 2, 10)
-            .cast("long")
-            .alias(f"sb{b}")
-            for b in range(4)
-        ],
-    ).cache()
+    sigi = sigi.cache()
+    # BOTH sides of the band self-join are corpus-sized (4 rows per doc) —
+    # neither may ever be a static broadcast build side.  Catalyst's size
+    # estimate for the signature relation derives from the upstream
+    # id-column scan (tiny), not the per-doc fanout, so the static planner
+    # would happily broadcast the whole corpus's bands: driver OOM at
+    # scale.  The merge hint pins a shuffled sort-merge join — memory-
+    # bounded at every scale (same failure class as the containment-join
+    # sf1 OOM caught in round 9).
     bands = sigi.select(
         "doc", "sb0", "sb1", "sb2", "sb3",
         F.explode(
@@ -408,11 +399,11 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "sb0", "sb1", "sb2", "sb3", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    ).select("doc", "sb0", "sb1", "sb2", "sb3", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")).hint("merge")
     right = bands.select(
         F.col("doc").alias("doc_b"), "band", "bits",
         *[F.col(f"sb{b}").alias(f"tb{b}") for b in range(4)],
-    )
+    ).hint("merge")
     cand = (
         bands.join(right, on=["band", "bits"])
         .filter(F.col("doc") < F.col("doc_b"))
@@ -430,6 +421,33 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under 64-bit SimHash Hamming distance — the
+    banded join machinery in :func:`banded_hamming_pairs` over the text
+    signature."""
+    # signature bands as 16-bit INTEGERS, not 16-char substrings: the band
+    # self-join shuffles (long, long) keys instead of strings, and the exact
+    # Hamming distance collapses to 4 bit_count(XOR) ops instead of 64
+    # positional string compares — results bit-identical to the string form
+    # (the DuckDB oracle keeps comparing the '0'/'1' signature).
+    sig = simhash64(df, text_col, id_col)
+    sigi = sig.select(
+        "doc",
+        *[
+            F.conv(F.substring("simhash", 16 * b + 1, 16), 2, 10)
+            .cast("long")
+            .alias(f"sb{b}")
+            for b in range(4)
+        ],
+    )
+    return banded_hamming_pairs(sigi, max_hamming)
 
 
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

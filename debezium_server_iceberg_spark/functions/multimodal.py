@@ -214,6 +214,44 @@ def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthesize(df, id_col, _synth_video_bytes)
 
 
+def _ahash_plan_bits(i: int) -> "np.ndarray":
+    """Planned 64-bit aHash pattern for near-dup fixture id ``i``: base
+    bits are the md5 digit parities of the GROUP id (g = i//4, digits of
+    md5(str(g)) then md5('x:'+str(g)), >= '8' means 1); the member
+    j = i%4 flips bits at positions g%61 .. g%61+j-1 (distinct, no mod-64
+    wrap since g%61 <= 60 and j <= 3)."""
+    g, j = i // 4, i % 4
+    digits = (
+        hashlib.md5(str(g).encode()).hexdigest()
+        + hashlib.md5(f"x:{g}".encode()).hexdigest()
+    )
+    bits = np.array([int(d, 16) >= 8 for d in digits[:64]], dtype=np.uint8)
+    p = g % 61
+    bits[p : p + j] ^= 1
+    return bits
+
+
+def _synth_near_dup_bmp_bytes(i: int) -> bytes:
+    """8x8 BMP whose aHash is exactly :func:`_ahash_plan_bits`: pixel
+    (x, y) gray is 255*bit[y*8+x] (downsample is the identity on 8x8, and
+    the integer mean threshold passes a {0,255} pattern through)."""
+    bits = _ahash_plan_bits(i)
+    px = np.repeat(
+        (bits * np.uint8(255)).reshape(8, 8)[:, :, None], 3, axis=2
+    )
+    return encode_bmp(np.ascontiguousarray(px))
+
+
+def synthesize_near_dup_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Visual NEAR-duplicate fixtures (the perceptual-hash use case: the
+    same image re-encoded or slightly edited, not byte-identical): ids in
+    a group of 4 share an md5-derived base pattern and differ pairwise by
+    |j_a - j_b| <= 3 hash bits, so every within-group pair is a banded-
+    hamming hit; cross-group patterns differ by ~32 bits.  All formulas
+    are closed-form SQL-replayable for the correctness oracle."""
+    return _synthesize(df, id_col, _synth_near_dup_bmp_bytes)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType(), False),

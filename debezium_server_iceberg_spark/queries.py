@@ -3665,6 +3665,85 @@ def image_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_ahash_near_dup",
+    """
+    WITH d AS (
+      SELECT doc_id AS item, doc_id // 4 AS g, doc_id % 4 AS j FROM documents
+    ), base AS (
+      SELECT item, g, j, i.i AS i,
+             CASE WHEN i.i < 32
+               THEN CASE WHEN strpos('89abcdef',
+                      substr(md5(CAST(g AS VARCHAR)), CAST(i.i + 1 AS INT), 1)) > 0
+                    THEN 1 ELSE 0 END
+               ELSE CASE WHEN strpos('89abcdef',
+                      substr(md5(concat('x:', CAST(g AS VARCHAR))), CAST(i.i - 31 AS INT), 1)) > 0
+                    THEN 1 ELSE 0 END
+             END AS b0
+      FROM d, UNNEST(range(64)) AS i(i)
+    ), planned AS (
+      SELECT item, i,
+             CASE WHEN i >= g % 61 AND i < g % 61 + j THEN 1 - b0 ELSE b0 END AS pb
+      FROM base
+    ), th AS (
+      -- replay the decoder's integer mean threshold over the {0,255} grays
+      SELECT item, i,
+             CASE WHEN 64 * 255 * pb >= sum(255 * pb) OVER (PARTITION BY item)
+                  THEN 1 ELSE 0 END AS bit
+      FROM planned
+    ), bands AS (
+      SELECT item, CAST(i // 16 AS INT) AS band,
+             CAST(sum(bit << CAST(15 - i % 16 AS INT)) AS BIGINT) AS bits
+      FROM th GROUP BY item, i // 16
+    ), wide AS (
+      SELECT item,
+             max(CASE WHEN band = 0 THEN bits END) AS b0,
+             max(CASE WHEN band = 1 THEN bits END) AS b1,
+             max(CASE WHEN band = 2 THEN bits END) AS b2,
+             max(CASE WHEN band = 3 THEN bits END) AS b3
+      FROM bands GROUP BY item
+    ), cand AS (
+      SELECT DISTINCT a.item AS item_a, b.item AS item_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bits = b.bits
+                                AND a.item < b.item
+    )
+    SELECT c.item_a, c.item_b,
+           CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+                AS INT) AS hamming
+    FROM cand c JOIN wide wa ON wa.item = c.item_a
+                JOIN wide wb ON wb.item = c.item_b
+    WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) <= 3
+    """,
+)
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual NEAR-dup pairs by perceptual hash — what aHash is FOR
+    (re-encodes and slight edits, not byte-identical copies): fixture
+    groups of 4 images share an md5-derived 8x8 pattern differing by
+    <= 3 planted bit flips; the REAL pipeline (BMP decode -> threshold ->
+    64-bit pack -> 16-bit bands) feeds the same banded-hamming join the
+    SimHash detector uses (functions/dedup.py banded_hamming_pairs).
+    The oracle replays bit planning, mean threshold, band packing, band
+    equi-join candidates, and the exact popcount closed-form — a defect
+    in any stage (decode, packing order, band extraction, join, XOR
+    popcount) hash-mismatches."""
+    from .functions.dedup import banded_hamming_pairs
+    from .functions.multimodal import image_ahash, synthesize_near_dup_images
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = image_ahash(synthesize_near_dup_images(docs, "doc_id"))
+    sigi = hashed.select(
+        F.col("item_id").alias("doc"),
+        *[F.col(f"band{b}").cast("long").alias(f"sb{b}") for b in range(4)],
+    )
+    return banded_hamming_pairs(sigi).select(
+        F.col("doc_a").alias("item_a"),
+        F.col("doc_b").alias("item_b"),
+        "hamming",
+    )
+
+
+@_register(
     "approx_distinct_parts",
     """
     SELECT l_returnflag,

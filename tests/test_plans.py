@@ -344,6 +344,23 @@ def test_image_ahash_shuffles_hashes_not_media(spark, fns):
     assert "content" not in plan.split("Exchange")[0]  # media never shuffles
 
 
+def test_banded_hamming_join_is_merge_not_broadcast(spark, fns):
+    """The band self-join's two sides are both corpus-sized (4 rows per
+    item) but their size estimate derives from the upstream id-only scan,
+    so the static planner would broadcast the whole corpus's bands —
+    driver OOM at scale.  Both the visual (aHash) and text (SimHash)
+    detectors must show a band equi-join with zero broadcasts."""
+    for gate in ("image_ahash_near_dup", "simhash_near_dup"):
+        plan = _plan(fns[gate](spark, SF))
+        assert "BroadcastExchange" not in plan, gate
+        assert "CartesianProduct" not in plan, gate
+        assert "SortMergeJoin [band" in plan, gate  # the band equi-join
+    # media bytes never cross a shuffle in the visual path
+    plan = _plan(fns["image_ahash_near_dup"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "content" not in plan.split("Exchange")[0]
+
+
 def test_corpus_operators_never_static_broadcast(spark, fns):
     """Catalyst's size estimate for an exploded scan is the parquet FILE
     size — off by the whole shingle fanout — so at sf1 the static planner

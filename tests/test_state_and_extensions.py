@@ -424,3 +424,49 @@ def test_image_ahash_fallbacks_and_strict(spark):
     assert rows[2].hasher == "empty"
     with _pytest.raises(Exception):  # NotImplementedError surfaces via py4j
         image_ahash(df, strict=True).collect()
+
+
+def test_ahash_near_dup_fixture_pairs(spark):
+    """The near-dup fixture contract end-to-end through the REAL pipeline:
+    within a group of 4 the planted flips are nested, so pair (a, b) has
+    hamming |j_a - j_b| <= 3 and every within-group pair is found; the
+    md5-derived base patterns keep distinct groups ~32 bits apart."""
+    from debezium_server_iceberg_spark.functions.dedup import (
+        banded_hamming_pairs,
+    )
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        image_ahash,
+        synthesize_near_dup_images,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 16).withColumnRenamed("id", "doc_id")  # 4 groups
+    hashed = image_ahash(synthesize_near_dup_images(ids, "doc_id"))
+    assert {r.hasher for r in hashed.select("hasher").distinct().collect()} == {
+        "bmp-ahash"
+    }
+    sigi = hashed.select(
+        F.col("item_id").alias("doc"),
+        *[F.col(f"band{b}").cast("long").alias(f"sb{b}") for b in range(4)],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in banded_hamming_pairs(sigi).collect()
+    }
+    expected = {
+        (g * 4 + a, g * 4 + b): b - a
+        for g in range(4)
+        for a in range(4)
+        for b in range(a + 1, 4)
+    }
+    assert pairs == expected
+
+
+def test_banded_hamming_rejects_loose_threshold():
+    import pytest as _pytest
+
+    from debezium_server_iceberg_spark.functions.dedup import (
+        banded_hamming_pairs,
+    )
+
+    with _pytest.raises(ValueError):
+        banded_hamming_pairs(None, max_hamming=4)
