@@ -20,6 +20,7 @@ def source_overlap(
     text_col: str = "text",
     group_col: str = "source",
     shingle_size: int = 3,
+    sketch_k: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram overlap between sources: the corpus contamination
     matrix (which feeds dedup priorities and mixture design).
@@ -29,9 +30,15 @@ def source_overlap(
 
     Scale: one distinct-shuffle to (source, shingle); the pair join fans
     each shingle out to at most ``n_sources - 1`` partners, so the
-    intermediate is bounded by ``|distinct shingles| * n_sources`` — for
-    thousands of sources swap the exact intersection for a theta/HLL
-    sketch per source (same shape, sketch-merge instead of count).
+    intermediate is bounded by ``|distinct shingles| * n_sources`` — the
+    exact mode's working set, fine for hundreds of sources.  For
+    THOUSANDS of sources pass ``sketch_k``: a KMV/theta sketch per
+    source (the k smallest distinct 60-bit md5 hash values) replaces the
+    raw-shingle pair join with a join of k-row sketches, bounded by
+    ``k * n_sources`` regardless of corpus size; same output schema plus
+    ``is_estimate`` (sizes stay exact, intersection-derived columns are
+    estimates; exact ``sketch_k=None`` output carries
+    ``is_estimate=false`` semantics implicitly by omitting the column).
     """
     grams = (
         _doc_shingles(
@@ -47,6 +54,8 @@ def source_overlap(
         .hint("merge")
     )
     sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    if sketch_k is not None:
+        return _sketch_overlap(grams, sizes, sketch_k)
     a = grams.select(F.col("doc").alias("source_a"), "tok")
     b = grams.select(F.col("doc").alias("source_b"), "tok")
     inter = (
@@ -76,6 +85,140 @@ def source_overlap(
             ).alias("jaccard"),
             (F.col("inter_size") / F.col("size_a")).alias("containment_a"),
             (F.col("inter_size") / F.col("size_b")).alias("containment_b"),
+        )
+    )
+
+
+_P60 = float(1 << 60)  # 2^60, exactly representable as a double
+
+
+def _sketch_overlap(grams: DataFrame, sizes: DataFrame, k: int) -> DataFrame:
+    """KMV/theta-sketch source overlap — the thousands-of-sources path.
+
+    Per source: hash every distinct shingle to a 60-bit integer (first 15
+    md5 hex digits — identical in Spark and DuckDB, so the oracle replays
+    the sketch bit-for-bit), keep the k smallest.  A deterministic
+    threshold prefilter bounds the k-min window's partition before it
+    runs: a source with n distinct shingles keeps only hashes
+    ``h <= min(floor(4k*2^60 / n), 2^60)`` — expected ~4k survivors, so
+    the per-source window sorts a few-thousand-row partition even when
+    one source holds 10^10 shingles (never a sort-everything hotspot).
+    The sketch is DEFINED as "k smallest of the thresholded sample",
+    making every downstream number a pure function of the input — no
+    with-high-probability caveat in the correctness contract.
+
+    Pair estimates use the standard theta intersection: with
+    ``theta = min(theta_a, theta_b)`` (a full sketch's theta is its k-th
+    value; a small source's is its threshold bound + 1, since its sketch
+    is its entire thresholded sample), ``c = |common hashes < theta|``
+    estimates ``inter ~= c * 2^60 / theta``, clamped to the exact-size
+    lattice bounds.  Jaccard comes from the below-theta samples
+    (``c / (na + nb - c)``).  Set sizes stay exact.
+
+    Scale: after the window, every relation holds at most k rows per
+    source — the pair join is sketch-sized (``k * n_sources``), never
+    |distinct shingles| x n_sources; the merge hints keep the static
+    planner from broadcasting it on a stale estimate, and the only
+    broadcasts are the per-source dims (sizes, thetas).
+    """
+    thr_d = float(4 * k) * _P60
+    cap = 1 << 60
+    hashed = grams.select(
+        "doc",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).dropDuplicates(["doc", "h"])
+    bound = F.least(F.floor(F.lit(thr_d) / F.col("n_grams")), F.lit(cap)).cast(
+        "long"
+    )
+    surv = (
+        hashed.join(F.broadcast(sizes), "doc")
+        .filter(F.col("h") <= bound)
+        .select("doc", "h")
+    )
+    w = Window.partitionBy("doc").orderBy("h")
+    kept = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc", "h")
+    )
+    theta = (
+        kept.groupBy("doc")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(sizes), "doc")
+        .select(
+            "doc",
+            F.when(F.col("n_kept") >= k, F.col("kth"))
+            .otherwise(bound + 1)
+            .alias("theta"),
+        )
+    )
+    # sketch-sized self-join: bounded by k rows/source, but its Catalyst
+    # estimate still derives from the corpus scan — pin merge anyway
+    ka = kept.select(F.col("doc").alias("source_a"), "h").hint("merge")
+    kb = kept.select(F.col("doc").alias("source_b"), "h").hint("merge")
+    th_a = theta.select(F.col("doc").alias("source_a"), F.col("theta").alias("theta_a"))
+    th_b = theta.select(F.col("doc").alias("source_b"), F.col("theta").alias("theta_b"))
+    cstat = (
+        ka.join(kb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(th_a), "source_a")
+        .join(F.broadcast(th_b), "source_b")
+        .filter(F.col("h") < F.least("theta_a", "theta_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.least("theta_a", "theta_b")).alias("theta_p"),
+        )
+    )
+    a_below = (
+        cstat.select("source_a", "source_b", "theta_p")
+        .join(ka, "source_a")
+        .filter(F.col("h") < F.col("theta_p"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("na_t"))
+    )
+    b_below = (
+        cstat.select("source_a", "source_b", "theta_p")
+        .join(kb, "source_b")
+        .filter(F.col("h") < F.col("theta_p"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("nb_t"))
+    )
+    est_raw = F.floor(
+        F.col("c").cast("double") * F.lit(_P60) / F.col("theta_p")
+    ).cast("long")
+    inter = F.least(est_raw, F.col("size_a"), F.col("size_b"))
+    return (
+        cstat.join(a_below, ["source_a", "source_b"])
+        .join(b_below, ["source_a", "source_b"])
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc").alias("source_a"), F.col("n_grams").alias("size_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc").alias("source_b"), F.col("n_grams").alias("size_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            inter.alias("inter_size"),
+            "size_a",
+            "size_b",
+            (F.col("c") / (F.col("na_t") + F.col("nb_t") - F.col("c"))).alias(
+                "jaccard"
+            ),
+            (inter / F.col("size_a")).alias("containment_a"),
+            (inter / F.col("size_b")).alias("containment_b"),
+            F.lit(True).alias("is_estimate"),
         )
     )
 

@@ -2239,6 +2239,89 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_overlap_sketch",
+    f"""
+    WITH tk AS (
+      SELECT source AS doc, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS tok
+      FROM tk, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+      WHERE array_to_string(t[i:i+2], ' ') <> ''
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), hx AS (
+      SELECT DISTINCT doc,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS h
+      FROM sh
+    ), bounds AS (
+      SELECT doc,
+             CAST(least(floor(1.1805916207174113e+21 / n),
+                        1.152921504606847e+18) AS BIGINT) AS bound
+      FROM sizes
+    ), ranked AS (
+      SELECT hx.doc, h, row_number() OVER (PARTITION BY hx.doc ORDER BY h) AS rn
+      FROM hx JOIN bounds ON bounds.doc = hx.doc WHERE h <= bound
+    ), kept AS (
+      SELECT doc, h FROM ranked WHERE rn <= 256
+    ), theta AS (
+      SELECT k.doc,
+             CASE WHEN count(*) >= 256 THEN max(k.h)
+                  ELSE min(b.bound) + 1 END AS theta
+      FROM kept k JOIN bounds b ON b.doc = k.doc GROUP BY k.doc
+    ), cstat AS (
+      SELECT c.source_a, c.source_b, count(*) AS c,
+             min(least(ta.theta, tb.theta)) AS theta_p
+      FROM (
+        SELECT a.doc AS source_a, b.doc AS source_b, a.h
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc < b.doc
+      ) c JOIN theta ta ON ta.doc = c.source_a
+          JOIN theta tb ON tb.doc = c.source_b
+      WHERE c.h < least(ta.theta, tb.theta)
+      GROUP BY c.source_a, c.source_b
+    ), abelow AS (
+      SELECT s.source_a, s.source_b, count(*) AS na_t
+      FROM cstat s JOIN kept k ON k.doc = s.source_a AND k.h < s.theta_p
+      GROUP BY s.source_a, s.source_b
+    ), bbelow AS (
+      SELECT s.source_a, s.source_b, count(*) AS nb_t
+      FROM cstat s JOIN kept k ON k.doc = s.source_b AND k.h < s.theta_p
+      GROUP BY s.source_a, s.source_b
+    )
+    SELECT s.source_a, s.source_b,
+           least(CAST(floor(CAST(s.c AS DOUBLE) * 1.152921504606847e+18
+                            / s.theta_p) AS BIGINT), za.n, zb.n) AS inter_size,
+           za.n AS size_a, zb.n AS size_b,
+           s.c / (a.na_t + b.nb_t - s.c) AS jaccard,
+           least(CAST(floor(CAST(s.c AS DOUBLE) * 1.152921504606847e+18
+                            / s.theta_p) AS BIGINT), za.n, zb.n)
+             / za.n AS containment_a,
+           least(CAST(floor(CAST(s.c AS DOUBLE) * 1.152921504606847e+18
+                            / s.theta_p) AS BIGINT), za.n, zb.n)
+             / zb.n AS containment_b,
+           true AS is_estimate
+    FROM cstat s
+      JOIN abelow a ON a.source_a = s.source_a AND a.source_b = s.source_b
+      JOIN bbelow b ON b.source_a = s.source_a AND b.source_b = s.source_b
+      JOIN sizes za ON za.doc = s.source_a
+      JOIN sizes zb ON zb.doc = s.source_b
+    """,
+)
+def source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch contamination matrix — the thousands-of-sources
+    scale path (functions/corpus.py _sketch_overlap): per-source 256-min
+    sketches of 60-bit md5 hashes behind a deterministic threshold
+    prefilter; the pair join touches k-row sketches, never raw shingles.
+    Sizes exact, intersection columns estimates.  The oracle replays the
+    whole sketch closed-form (hashing, threshold, k-min window, theta
+    rule, below-theta counting, clamped estimator) — any drift in the
+    sketch definition hash-mismatches."""
+    from .functions.corpus import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), sketch_k=256)
+
+
+@_register(
     "quality_top_p_docs",
     f"""
     WITH feat AS (

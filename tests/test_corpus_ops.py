@@ -108,6 +108,64 @@ def test_source_overlap_shingles_distinct_within_source(spark):
     assert r.jaccard == 1.0
 
 
+def test_source_overlap_sketch_small_sources_exact(spark):
+    """Sources smaller than k keep their ENTIRE (thresholded) hash set, so
+    with a generous k the sampled jaccard is the true jaccard and the
+    below-theta counting machinery is checked against closed-form sets."""
+    df = _docs(
+        spark,
+        [
+            (1, "a b", "en", "X"),
+            (2, "c d", "en", "X"),
+            (3, "c d", "en", "Y"),
+            (4, "e f", "en", "Y"),
+        ],
+    )
+    rows = source_overlap(df, shingle_size=1, sketch_k=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("X", "Y")
+    assert r.is_estimate is True
+    assert r.size_a == 4 and r.size_b == 4  # sizes stay exact
+    # full sketches of full sets: sampled jaccard == true jaccard
+    assert r.jaccard == pytest.approx(2 / 6)
+    # the theta estimator is an estimate, but clamping keeps it in-lattice
+    assert 0 <= r.inter_size <= 4
+
+
+def test_source_overlap_sketch_error_bound(spark):
+    """KMV with k=256 over ~1k-gram sources: the sampled jaccard must land
+    within the canonical ~1/sqrt(k) band of the exact value on every pair
+    (deterministic — the sketch is a pure function of the corpus)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(3000)]
+    rows = []
+    doc_id = 0
+    picks = {
+        "A": rng.sample(vocab, 1200),
+        "B": rng.sample(vocab, 1200),
+        "C": rng.sample(vocab, 800),
+    }
+    for src, words in picks.items():
+        for lo in range(0, len(words), 100):
+            doc_id += 1
+            rows.append((doc_id, " ".join(words[lo : lo + 100]), "en", src))
+    df = _docs(spark, rows)
+    exact = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in source_overlap(df, shingle_size=1).collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in source_overlap(df, shingle_size=1, sketch_k=256).collect()
+    }
+    assert set(est) == set(exact)
+    for pair, j in exact.items():
+        assert abs(est[pair] - j) <= 3.0 / (256 ** 0.5) + 0.01, (pair, j, est[pair])
+
+
 # -------------------------------------------------------------- quality top-p
 
 

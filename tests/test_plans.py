@@ -375,3 +375,16 @@ def test_corpus_operators_never_static_broadcast(spark, fns):
     assert plan.count("BroadcastExchange") == 2  # the two size dims only
     plan = _plan(fns["quality_top_p_docs"](spark, SF))
     assert plan.count("BroadcastExchange") == 1  # selected score groups
+
+
+def test_source_overlap_sketch_never_joins_raw_shingles(spark, fns):
+    """The sketch path's reason to exist: the pair join must touch k-row
+    sketches only — a join keyed on the raw shingle string means the
+    |grams| x n_sources intermediate is back.  The k-min window must sit
+    on the threshold-prefiltered sample, and the only broadcasts are the
+    bounded per-source dims (sizes x3 uses, thetas x2)."""
+    plan = _plan(fns["source_overlap_sketch"](spark, SF))
+    assert "SortMergeJoin [tok" not in plan  # no raw-shingle pair join
+    assert "Window" in plan  # the per-source k-min
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [h#" in plan or "SortMergeJoin [h " in plan
