@@ -182,3 +182,123 @@ class MinHashIndex:
         the table's delta commit — concurrent probes keep reading the old
         snapshot. Returns files removed; call on a cadence, not per batch."""
         return self.table.compact(spark, min_input_files=min_input_files)
+
+
+class SubstringIndex:
+    """Persistent k-gram inversion for the exact-substring duplication
+    profile (``functions/dedup.py exact_substring_profile``) — the
+    recurring-corpus-refresh shape of Lee-et-al dedup: admitting a batch
+    probes its windows against the stored inversion instead of
+    re-scanning all history (the one-shot operator's scale-killer for a
+    corpus that refreshes).
+
+    Table schema: ``_h string (md5 of the k-token window), n_docs long``
+    — one row per (batch, gram) carrying that batch's doc count.  Probe
+    totals SUM the matched rows, so appends never rewrite; duplicate
+    ``_h`` rows across batches are a read-amplification concern handled
+    by :meth:`maintain`, never a correctness one.
+
+    Batch profile ≡ one-shot: a window of a batch doc is shared iff the
+    number of docs containing it across (history ∪ batch) is >= 2, i.e.
+    ``stored_total(_h) + batch_count(_h) >= 2`` — exactly the one-shot
+    predicate over the union corpus restricted to the batch's docs
+    (asserted in tests/test_incremental.py).  Historical docs' profiles
+    are not retro-updated: the production contract is "score data as it
+    arrives against all history", same as :class:`MinHashIndex`.
+
+    Scale: the batch side is (batch-distinct-gram)-sized and broadcast
+    when its byte estimate fits (CDC-sized refreshes do); a backfill
+    takes the shuffle join.  The stored side is scanned once per batch —
+    partition the table by ``bucket(N, _h)`` to co-locate the probe at
+    very large index sizes.
+    """
+
+    def __init__(self, table: LakeTable, k: int = 8, max_shared_frac_tenths: int = 3) -> None:
+        self.table = table
+        self.k = k
+        self.max_shared_frac_tenths = max_shared_frac_tenths
+
+    @staticmethod
+    def create(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        k: int = 8,
+        max_shared_frac_tenths: int = 3,
+    ) -> "SubstringIndex":
+        from pyspark.sql import types as T
+
+        table = catalog.create_table(
+            namespace,
+            name,
+            T.StructType(
+                [
+                    T.StructField("_h", T.StringType()),
+                    T.StructField("n_docs", T.LongType()),
+                ]
+            ),
+        )
+        return SubstringIndex(table, k, max_shared_frac_tenths)
+
+    def add_batch(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Index a batch; return its duplication profile measured against
+        history ∪ batch — ``(id, n_grams, n_shared, shared_frac, keep)``,
+        the same schema/semantics as the one-shot operator over the union
+        corpus, restricted to the batch's docs.  The plan resolves
+        against the PRE-append snapshot, so collecting after the append
+        stays correct (lakehouse reads are snapshot-isolated)."""
+        from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
+
+        from .text import word_gram_hashes
+
+        spark = docs.sparkSession
+        grams = word_gram_hashes(docs, self.k, text_col, id_col).dropDuplicates(
+            [id_col, "_h"]
+        ).cache()
+        batch_counts = grams.groupBy("_h").agg(
+            F.count(F.lit(1)).alias("_nb")
+        ).cache()
+        n_batch = batch_counts.count()  # materializes both reuses
+        probe = (
+            F.broadcast(batch_counts)
+            if n_batch * _est_row_width(batch_counts.schema) <= _BROADCAST_BYTES
+            else batch_counts
+        )
+        stored = (
+            probe.join(self.table.to_df(spark), "_h")
+            .groupBy("_h")
+            .agg(F.sum("n_docs").alias("_ns"))
+        )
+        shared = (
+            batch_counts.join(stored, "_h", "left")
+            .filter(F.coalesce(F.col("_ns"), F.lit(0)) + F.col("_nb") >= 2)
+            .select("_h", F.lit(1).alias("_hit"))
+        )
+        joined = grams.join(shared, "_h", "left")
+        n_grams = F.count(F.lit(1))
+        n_shared = F.count("_hit")  # non-null only
+        prof = joined.groupBy(id_col).agg(
+            n_grams.alias("n_grams"),
+            n_shared.alias("n_shared"),
+            F.round(n_shared.cast("double") / n_grams.cast("double"), 4).alias(
+                "shared_frac"
+            ),
+            (
+                n_shared * F.lit(10)
+                <= n_grams * F.lit(self.max_shared_frac_tenths)
+            ).alias("keep"),
+        )
+        # profile materializes BEFORE the append (pre-append snapshot +
+        # independence from the cached/staged batch state)
+        prof = prof.localCheckpoint(eager=True)
+        self.table.append(batch_counts.select("_h", F.col("_nb").alias("n_docs")))
+        batch_counts.unpersist()
+        grams.unpersist()
+        return prof
+
+    def maintain(self, spark, min_input_files: int = 8) -> int:
+        """Bin-pack per-batch appends; atomic swap, probes keep reading
+        the old snapshot.  Returns files removed."""
+        return self.table.compact(spark, min_input_files=min_input_files)

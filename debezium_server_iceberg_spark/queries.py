@@ -2923,6 +2923,71 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_substring_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS g
+      FROM toks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    ), g1 AS (
+      SELECT * FROM grams WHERE doc_id % 2 = 0
+    ), shared1 AS (
+      -- batch 1 lands on an empty index: shared iff >1 doc WITHIN batch 1
+      SELECT g FROM g1 GROUP BY g HAVING count(*) > 1
+    ), prof1 AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(s.g) AS BIGINT) AS n_shared,
+             round(CAST(count(s.g) AS DOUBLE) / count(*), 4) AS shared_frac,
+             (count(s.g) * 10 <= count(*) * 3) AS keep
+      FROM g1 g LEFT JOIN shared1 s ON g.g = s.g
+      GROUP BY g.doc_id
+    ), shared2 AS (
+      -- batch 2 probes history ∪ batch: shared iff >1 doc in the FULL corpus
+      SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    ), prof2 AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(s.g) AS BIGINT) AS n_shared,
+             round(CAST(count(s.g) AS DOUBLE) / count(*), 4) AS shared_frac,
+             (count(s.g) * 10 <= count(*) * 3) AS keep
+      FROM grams g LEFT JOIN shared2 s ON g.g = s.g
+      WHERE g.doc_id % 2 = 1
+      GROUP BY g.doc_id
+    )
+    SELECT * FROM prof1 UNION ALL SELECT * FROM prof2
+    """,
+)
+def incremental_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring index (functions/incremental.py
+    SubstringIndex): documents arrive in two batches (doc_id parity);
+    each batch's 8-token-window k-gram counts probe the persistent
+    lakehouse inversion then append to it.  The contract under test:
+    batch N's profile equals the one-shot operator over
+    (history ∪ batch N) restricted to batch N's docs — so a recurring
+    corpus refresh costs O(batch · matched grams), never a history
+    re-scan.  The oracle replays both phases closed-form."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .functions.incremental import SubstringIndex
+    from .lakehouse import LakeCatalog
+
+    docs = _t(spark, sf_dir, "documents")
+    wh = _tf.mkdtemp(prefix="substr_idx_")
+    try:
+        idx = SubstringIndex.create(LakeCatalog(wh), "idx", "grams", k=8)
+        p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0))
+        p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1))
+        return p1.unionByName(p2)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+@_register(
     "anti_customers_without_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers,

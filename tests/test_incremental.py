@@ -71,3 +71,59 @@ def test_maintain_compacts_batch_files(spark, warehouse):
     after = idx.table.current_files()
     assert len(after) < before_files
     assert idx.table.to_df(spark).count() == before_rows  # contents unchanged
+
+
+# ------------------------------------------------------- substring index
+
+
+def _prof_set(df):
+    return {
+        (r[0], r.n_grams, r.n_shared, r.shared_frac, r.keep) for r in df.collect()
+    }
+
+
+def test_substring_batch_probe_equals_one_shot(spark, warehouse):
+    """add_batch(N) must equal the ONE-SHOT profile over (history ∪ batch N)
+    restricted to batch N's docs — the proof that a recurring refresh
+    never needs the corpus re-scan."""
+    from debezium_server_iceberg_spark.functions.dedup import (
+        exact_substring_profile,
+    )
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = SubstringIndex.create(LakeCatalog(warehouse), "idx", "substr_grams")
+    p1 = idx.add_batch(half1)
+    p2 = idx.add_batch(half2)
+
+    assert _prof_set(p1) == _prof_set(exact_substring_profile(half1, k=8))
+    oneshot_full = exact_substring_profile(docs, k=8)
+    assert _prof_set(p2) == _prof_set(
+        oneshot_full.filter(F.col("doc_id") % 2 == 1)
+    )
+    # cross-batch sharing is genuinely exercised: some batch-2 doc shares a
+    # window ONLY with history (its batch-1-restricted profile would differ)
+    only_b2 = exact_substring_profile(half2, k=8)
+    assert _prof_set(p2) != _prof_set(only_b2)
+
+
+def test_substring_index_maintain_compacts(spark, warehouse):
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = SubstringIndex.create(LakeCatalog(warehouse), "idx", "substr_grams")
+    for b in range(4):
+        idx.add_batch(docs.filter(F.col("doc_id") % 4 == b)).collect()
+    before_files = len(idx.table.current_files())
+    before = idx.table.to_df(spark).count()
+    assert before_files >= 4
+    removed = idx.maintain(spark, min_input_files=2)
+    assert removed >= 4
+    assert len(idx.table.current_files()) < before_files
+    assert idx.table.to_df(spark).count() == before  # contents unchanged
+    # probes against the compacted index still see all history
+    tail = idx.add_batch(docs.limit(5).select("doc_id", "text"))
+    assert tail.filter(F.col("n_shared") > 0).count() > 0  # dup of history
