@@ -29,9 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _sf_from_dir(d: str) -> float:
-    base = os.path.basename(d.rstrip("/"))
+    # accept both ".../sf0.1" and repo-local names like ".../testdata_sf1"
+    # (the r9 sf1 artifact was mislabeled sf=-1.0 by a basename-only parse)
+    import re
+
+    m = re.search(r"sf([0-9.]+)/*$", d)
     try:
-        return float(base.replace("sf", ""))
+        return float(m.group(1)) if m else -1.0
     except ValueError:
         return -1.0
 

@@ -5298,90 +5298,67 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-9 ROTATION (VERDICT r8 item 1): restore the round-7 driver
-    # window, seeded with the gates that have never received a driver-side
-    # green row — the 5 that fell past round 8's 50-entry cutoff plus the 2
-    # round-8-new gates that entered the registry after the fold, plus any
-    # round-9-new gates.  After this round, r8's window (50) ∪ r9's window
-    # covers the whole registry within the last two rounds except a handful
-    # of r7-confirmed tail entries (dedup/ANN family — which r8's window
-    # re-covered via its one-shot variants).
-    "iceberg_export_dv_roundtrip",
-    "exact_substring_dedup",
-    "decontaminate_bloom_docs",
-    "containment_near_dup",
-    "source_overlap_matrix",
-    "quality_top_p_docs",
-    "image_ahash_clusters",
-    "pruned_point_lookup",
-    "iceberg_export_lineage_roundtrip",
-    "mixture_sample_sources",
-    "pipeline_end_to_end",
-    "multimodal_audio_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # --- round-7 window below (see git history of this list) ---
-    # CDC / engine semantics (A1/A2, W4, P1/P2/P4, schema evolution)
-    "cdc_upsert_orders",
-    "cdc_dedup_last_wins",
-    "cdc_dedup_op_priority",
-    "cdc_route_by_destination",
-    "cdc_soft_delete_orders",
-    "cdc_envelope_roundtrip",
-    "cdc_struct_roundtrip",
-    "cdc_schema_evolution",
-    # writer fidelity: real Iceberg v2 metadata, v3 row lineage,
-    # write-audit-publish branches, incremental changelog scans
-    "iceberg_export_roundtrip",
-    "iceberg_export_mor_roundtrip",
-    "row_lineage_upsert",
-    "wap_branch_publish",
-    "incremental_append_scan",
-    # TPC-H relational core (scan/filter/join/agg/semi/anti/having/subquery)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_or_of_ands",
-    "q22_idle_balances",
-    # relational operators beyond joins
-    "topk_orders_per_priority",
-    "setops_customer_status",
-    "grouping_sets_revenue",
-    "anti_customers_without_orders",
-    "window_rank_functions",
-    # event-time / temporal
-    "events_hourly_rollup",
-    "sessionize_events",
-    "asof_last_click_before_purchase",
-    "range_join_order_overlaps",
-    "interval_join_attribution",
-    # text analysis
-    "quality_score",
-    "lang_id",
-    "token_count_bpe",
-    "json_props_extract",
-    "variant_props_extract",
-    # training-data shaping (chunking / sampling / redaction)
-    "doc_chunking",
-    "stratified_sample_docs",
-    "pii_redact_docs",
-    "decontaminate_docs",
-    # corpus curation
-    "segment_dedup_docs",
-    "gopher_rules_filter",
-    "temperature_mixture_sample",
-    "kmeans_lloyd_step",
-    # dedup family tail (r8's window confirmed the one-shot variants of the
-    # same machinery; these keep their r7 driver rows)
-    "dedup_exact",
-    "incremental_minhash_pairs",
-    "dedup_canonical_clusters",
-    "simhash_near_dup",
-    "semantic_dedup_embeddings",
+    # ROUND-10 ROTATION (VERDICT r9 item 1): the driver checks the first
+    # 50 entries.  Front: the four round-10-new gates (never driver-
+    # confirmed), then the 14-gate tail whose newest driver row is round 7
+    # (the exact list the r9 verdict ordered), then 32 round-8-window
+    # gates (their rows are the oldest remaining).  The 18 r8-window gates
+    # past the cutoff (minhash/simhash/ngram/ANN-variant/text-stats
+    # family) are exactly 2 rounds old at r10 — rotate them forward in
+    # r11.  r9-window gates (50) are 1 round old and sit after the fold.
+    # --- round-10 new ---
+    "containment_capped_near_dup",
+    "image_ahash_near_dup",
+    "source_overlap_sketch",
+    "incremental_substring_profile",
+    # --- r7-stale tail (dedup/ANN/curation/shaping families) ---
     "ann_cosine_topk",
+    "decontaminate_docs",
+    "dedup_canonical_clusters",
+    "dedup_exact",
+    "gopher_rules_filter",
+    "incremental_minhash_pairs",
+    "kmeans_lloyd_step",
     "multimodal_image_features",
+    "pii_redact_docs",
+    "segment_dedup_docs",
+    "semantic_dedup_embeddings",
+    "simhash_near_dup",
+    "stratified_sample_docs",
+    "temperature_mixture_sample",
+    # --- round-8 window refresh (writer fidelity + relational core) ---
+    "changed_rows_with_deletes",
+    "iceberg_export_partitioned_roundtrip",
+    "changed_rows_scan",
+    "sql_read_surface",
+    "rollup_revenue",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "pivot_user_event_matrix",
+    "cube_order_stats",
+    "percentiles_order_value",
+    "window_running_revenue",
+    "window_navigation_functions",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "decorrelated_above_avg",
+    "skew_salted_join_agg",
+    "asof_join_purchases_clicks",
+    "funnel_signup_click_purchase",
+    "events_sliding_counts",
 ]
 
 
