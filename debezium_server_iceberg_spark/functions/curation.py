@@ -372,3 +372,92 @@ def unigram_logprob_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("_nll"), 4).alias("mean_neg_log2_prob"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023 — public): score every raw-corpus document by how much its
+    hashed n-gram distribution looks like a small TARGET domain, the
+    standard recipe for selecting pretraining data toward a downstream
+    distribution.
+
+    Integer contract (no float log-likelihoods, whose libm rounding can
+    differ between engines): each n-gram OCCURRENCE maps to bucket
+    ``b = md5-bucket(gram) % n_buckets``; with add-one smoothing the
+    per-bucket score is
+
+        s_b = floor(scale * (t_b + 1) * (R + B) / ((r_b + 1) * (T + B)))
+
+    (t_b / r_b = target / raw occurrence counts in bucket b, T / R their
+    totals, B = n_buckets), computed in DECIMAL(38,0)/HUGEINT so a
+    DuckDB oracle reproduces every weight bit-for-bit.  s_b is the
+    scaled smoothed likelihood ratio p_target(b)/p_raw(b); a document's
+    ``weight`` is the sum of its occurrences' scores, and
+    ``weight_per_gram ~ scale`` reads "distributed like the target".
+    Resampling = rank or threshold on weight_per_gram downstream (e.g.
+    with quality_top_p or stratified_sample).
+
+    Scale shape: bucket stats are two bounded aggregations (<= B rows
+    each) merged into ONE broadcast score table; the raw corpus is
+    scored inside its scan stage (explode -> bucket -> broadcast join)
+    with a single per-doc aggregation shuffle.  The raw side is scanned
+    twice (once for the distribution, once for scoring) — the price of
+    keeping both passes streaming; nothing corpus-sized is ever
+    collected or broadcast.  Documents with fewer than ``n`` tokens
+    produce no grams and are absent from the output.
+    """
+    from .text import word_gram_hashes
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return word_gram_hashes(df, n, text_col, id_col).select(
+            id_col,
+            (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % n_buckets).alias(
+                "_b"
+            ),
+        )
+
+    raw_b = bucketed(raw)
+    tgt_b = bucketed(target)
+    r_counts = raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("r_b"))
+    t_counts = tgt_b.groupBy("_b").agg(F.count(F.lit(1)).alias("t_b"))
+    totals = r_counts.agg(F.sum("r_b").alias("r_tot")).crossJoin(
+        t_counts.agg(F.sum("t_b").alias("t_tot"))
+    )
+    score = (
+        r_counts.join(t_counts, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("r_b", F.lit(0)).alias("r_b"),
+            F.coalesce("t_b", F.lit(0)).alias("t_b"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0)) * (t_b + 1)"
+                f" * (r_tot + {n_buckets}))"
+                f" DIV (CAST(r_b + 1 AS DECIMAL(38,0)) * (t_tot + {n_buckets}))"
+                " AS LONG)"
+            ).alias("s"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(score), "_b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("s").alias("weight"))
+        .select(
+            id_col,
+            "n_grams",
+            "weight",
+            (F.col("weight") / F.col("n_grams")).alias("weight_per_gram"),
+        )
+    )

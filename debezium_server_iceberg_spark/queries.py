@@ -2884,6 +2884,61 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(array_to_string(t[i.i + 1 : i.i + 2], ' ')), 1, 8))
+                       AS UBIGINT) % 4096 AS BIGINT) AS b
+      FROM toks, unnest(range(len(t) - 1)) AS i(i)
+      WHERE len(t) >= 2
+    ), rawg AS (
+      SELECT doc_id, b FROM grams WHERE doc_id % 97 <> 0
+    ), tgtg AS (
+      SELECT doc_id, b FROM grams WHERE doc_id % 97 = 0
+    ), rc AS (
+      SELECT b, count(*) AS r_b FROM rawg GROUP BY b
+    ), tc AS (
+      SELECT b, count(*) AS t_b FROM tgtg GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM rawg) AS r_tot,
+             (SELECT count(*) FROM tgtg) AS t_tot
+    ), sc AS (
+      SELECT COALESCE(rc.b, tc.b) AS b,
+             CAST((CAST(1000000 AS HUGEINT) * (COALESCE(t_b, 0) + 1)
+                   * (r_tot + 4096))
+                  // (CAST(COALESCE(r_b, 0) + 1 AS HUGEINT) * (t_tot + 4096))
+                  AS BIGINT) AS s
+      FROM rc FULL JOIN tc ON rc.b = tc.b, tot
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(s) AS BIGINT) AS weight,
+           CAST(sum(s) AS BIGINT) / count(*) AS weight_per_gram
+    FROM rawg g JOIN sc ON sc.b = g.b
+    GROUP BY g.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (hashed-bigram likelihood ratios vs a
+    target domain — the every-97th-doc eval split doubles as the target):
+    the data-SELECTION face of the curation family, complementing the
+    quality (gopher/top-p) and balance (unimax/mixture) faces.  Integer
+    score contract in decimal/hugeint — the oracle reproduces every
+    weight bit-for-bit, so a drift in bucketing, smoothing, or the
+    ratio arithmetic hash-mismatches."""
+    from .functions.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=2,
+    )
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -5299,18 +5354,20 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coverage.
 _CHECK_PRIORITY = [
     # ROUND-10 ROTATION (VERDICT r9 item 1): the driver checks the first
-    # 50 entries.  Front: the four round-10-new gates (never driver-
+    # 50 entries.  Front: the five round-10-new gates (never driver-
     # confirmed), then the 14-gate tail whose newest driver row is round 7
-    # (the exact list the r9 verdict ordered), then 32 round-8-window
-    # gates (their rows are the oldest remaining).  The 18 r8-window gates
-    # past the cutoff (minhash/simhash/ngram/ANN-variant/text-stats
-    # family) are exactly 2 rounds old at r10 — rotate them forward in
-    # r11.  r9-window gates (50) are 1 round old and sit after the fold.
+    # (the exact list the r9 verdict ordered), then 31 round-8-window
+    # gates (their rows are the oldest remaining).  The 19 r8-window gates
+    # past the cutoff (events_sliding_counts + the minhash/simhash/ngram/
+    # ANN-variant/text-stats family) are exactly 2 rounds old at r10 —
+    # rotate them forward in r11.  r9-window gates (50) are 1 round old
+    # and sit after the fold.
     # --- round-10 new ---
     "containment_capped_near_dup",
     "image_ahash_near_dup",
     "source_overlap_sketch",
     "incremental_substring_profile",
+    "dsir_importance_weights",
     # --- r7-stale tail (dedup/ANN/curation/shaping families) ---
     "ann_cosine_topk",
     "decontaminate_docs",
@@ -5358,7 +5415,6 @@ _CHECK_PRIORITY = [
     "skew_salted_join_agg",
     "asof_join_purchases_clicks",
     "funnel_signup_click_purchase",
-    "events_sliding_counts",
 ]
 
 

@@ -174,3 +174,32 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     assert out[3].mean_neg_log2_prob > out[1].mean_neg_log2_prob
     assert out[1].mean_neg_log2_prob == out[2].mean_neg_log2_prob
     assert out[3].n_tokens == 2
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """A raw doc written in the target domain's vocabulary must out-score
+    a raw doc from a disjoint vocabulary; weight_per_gram ~ scale means
+    'distributed like the target'."""
+    from debezium_server_iceberg_spark.functions.curation import dsir_weights
+
+    legal = "the party of the first part hereby agrees to the terms set forth"
+    web = "click here to win a free prize now subscribe like and share today"
+    target = _docs(spark, [_d(100, legal), _d(101, legal + " in witness whereof")])
+    raw = _docs(spark, [_d(1, legal), _d(2, web)])
+    out = {r.doc_id: r for r in dsir_weights(raw, target, n=2).collect()}
+    assert out[1].weight_per_gram > out[2].weight_per_gram
+    assert out[1].n_grams == len(legal.split()) - 1
+    # in-domain grams sit near scale; off-domain ones collapse toward 0
+    assert out[1].weight_per_gram > 100_000
+    assert out[2].weight_per_gram < out[1].weight_per_gram / 2
+
+
+def test_dsir_short_docs_absent_and_deterministic(spark):
+    from debezium_server_iceberg_spark.functions.curation import dsir_weights
+
+    target = _docs(spark, [_d(9, "alpha beta gamma")])
+    raw = _docs(spark, [_d(1, "alpha beta"), _d(2, "solo")])
+    out1 = {(r.doc_id, r.weight) for r in dsir_weights(raw, target).collect()}
+    out2 = {(r.doc_id, r.weight) for r in dsir_weights(raw, target).collect()}
+    assert out1 == out2
+    assert {d for d, _ in out1} == {1}  # the 1-token doc has no bigrams

@@ -377,6 +377,16 @@ def test_corpus_operators_never_static_broadcast(spark, fns):
     assert plan.count("BroadcastExchange") == 1  # selected score groups
 
 
+def test_dsir_score_table_is_broadcast(spark, fns):
+    """The per-bucket score table is bounded by n_buckets and must reach
+    the corpus as a broadcast; the corpus side is scored inside its scan
+    stage (explode -> bucket -> broadcast join) with a two-phase per-doc
+    aggregation — never a corpus-corpus shuffle join."""
+    plan = _plan(fns["dsir_importance_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final per-doc agg
+
+
 def test_source_overlap_sketch_never_joins_raw_shingles(spark, fns):
     """The sketch path's reason to exist: the pair join must touch k-row
     sketches only — a join keyed on the raw shingle string means the
