@@ -1,0 +1,312 @@
+"""Product quantization (PQ) for embedding columns: compress vectors to
+``m`` one-byte codes and rank candidates with asymmetric distance
+computation (ADC) — the standard memory-bound ANN scan (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Why this matters at 100 TB: a 64-dim float64 embedding is 512 bytes; its
+PQ code is ``m`` bytes (64x smaller at m=8).  The ADC scan touches ONLY
+the code table plus a broadcast per-query lookup table (m * ks distances
+per query), so the candidate sweep is a narrow-integer join + sum — raw
+vectors are read once at encode time and never again.  IVF
+(``functions/ann_index.py``) prunes WHICH vectors are scanned; PQ
+shrinks WHAT is read per vector; production systems compose both
+(IVF-PQ).  Exact re-ranking of the ADC top-k against raw vectors is the
+usual final step and is exactly ``cosine_topk`` on the shortlist.
+
+DETERMINISM CONTRACT (what makes the DuckDB oracle replay this
+bit-for-bit, reusing the proven ``kmeans_lloyd_step`` fold-order rules):
+
+- codebooks need no RNG: the ``ks`` lowest-id vectors are the seeds and
+  subspace ``s`` of seed ``j`` is its ``s``-th slice — zero training
+  passes (the k-means-refined variant would feed these seeds through
+  ``kmeans_lloyd_step`` per subspace; the seed codebook keeps the whole
+  pipeline closed-form for the oracle);
+- subspace distances are sequential-fold double sums over ``zip_with``
+  squared differences — element order fixes IEEE summation order, so
+  both engines compute IDENTICAL doubles and the argmin needs no
+  rounding; ties break toward the lower code id;
+- the argmin itself is ``min_by(code, struct(d2, code))`` — a partial
+  aggregate (map-side combinable), NOT a per-(vector, subspace) window
+  sort: one less corpus-wide sort than the kmeans-step shape;
+- ADC scores sum m=8 per-subspace doubles across a groupBy whose
+  partial-aggregation order is engine/partition dependent — the ONE
+  place floats cross an unordered aggregation — so the surfaced score
+  rounds to 4 decimals and ranking orders by (rounded score, id),
+  deterministic on both sides (oracle-parity rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_d2(a, b):
+    """Sequential-fold squared L2 distance between two equal-length
+    array columns — the shared kmeans/PQ fold-order contract."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subspaces(df: DataFrame, dim: int, m: int, vec_col: str, out: str):
+    """Explode a vector column into (s, subvector) rows, s in [0, m)."""
+    dsub = dim // m
+    slices = F.array(
+        *[F.slice(vec_col, s * dsub + 1, dsub) for s in range(m)]
+    )
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.posexplode(slices).alias("_s", out),
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed codebooks: (code_id, _s, _cent) — the ``ks``
+    lowest-id vectors sliced into ``m`` subspaces (m*ks rows total, a
+    broadcast-sized relation at any corpus size)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    seeds = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
+        .limit(ks)
+        .select(F.col(id_col).alias("code_id"), "_v")
+    )
+    return _subspaces(seeds, dim, m, "_v", "_cent")
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Encode every vector to (id, _s, code): nearest codebook entry per
+    subspace under the exact fold-order distance, ties to the lower
+    code id.  One narrow shuffle (the min_by partial aggregate over
+    (id, s)); the m*ks codebook broadcasts."""
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        df, dim, m, ks, id_col, vec_col
+    )
+    sub = _subspaces(
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
+        dim,
+        m,
+        "_v",
+        "_sv",
+    )
+    scored = sub.join(F.broadcast(cb), "_s").select(
+        F.col(id_col),
+        "_s",
+        F.col("code_id"),
+        _fold_d2(F.col("_sv"), F.col("_cent")).alias("_d2"),
+    )
+    return scored.groupBy(id_col, "_s").agg(
+        F.min_by("code_id", F.struct("_d2", "code_id")).alias("code")
+    )
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    n_cells: int = 8,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-cell pruning composed with the ADC scan — the
+    production ANN layout (Jégou et al. §IV; FAISS ``IVFxx,PQyy``).
+    IVF bounds WHICH vectors are scanned (each query touches its
+    ``n_probe`` cells, ~``n_probe/n_cells`` of the corpus); PQ bounds
+    WHAT is read per vector (m one-byte codes).
+
+    Structure: coarse centroids are the crc32-lowest-id vectors (the
+    :func:`...similarity.ivf_topk` codebook rule) and cell assignment is
+    one map-only GEMM against the broadcast codebook; PQ codes come from
+    :func:`pq_encode` (exact fold-order contract); the two corpus-sized
+    relations join ONCE on the vector id — at scale that join IS the
+    index build (a persistent layout would store codes cell-partitioned,
+    as ``IVFIndex`` does for raw vectors).  The probe list (|Q| *
+    n_probe rows) and the ADC LUT broadcast; the scan shuffles only
+    (query, candidate, subspace-sum) rows from probed cells.
+
+    With ``n_probe = n_cells`` probing is exhaustive and the result is
+    EXACTLY :func:`pq_adc_topk` — the oracle-checked mode (same trick as
+    the ``ann_ivf_topk`` gate: exhaustive probing makes the composition
+    machinery — assignment GEMM, cell join, probe pruning — answerable
+    by the brute-force-over-codes oracle).  ``n_probe < n_cells`` is the
+    approximate production mode (pytest covers its recall).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.crc32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows]
+    )
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cmat = cmat / norms
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0
+            cells = np.argmax((vecs / vn) @ cmat.T, axis=1)
+            yield pd.DataFrame({"_cid": pdf[id_col].to_numpy(), "cell": cells})
+
+    cells = df.select(id_col, vec_col).mapInPandas(
+        assign, schema="_cid long, cell int"
+    )
+
+    cb = pq_codebooks(df, dim, m, ks, id_col, vec_col)
+    codes = pq_encode(df, dim, m, ks, id_col, vec_col, codebooks=cb).join(
+        cells.withColumnRenamed("_cid", id_col), id_col
+    )
+
+    q_rows = (
+        df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        order = np.argsort(-(cmat @ (qv / qn)))[:n_probe]
+        probe_rows.extend((int(r[id_col]), int(c)) for c in order)
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, schema="_qid long, cell int"
+    )
+
+    qsub = _subspaces(
+        df.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_v")
+        ),
+        dim,
+        m,
+        "_v",
+        "_qv",
+    )
+    lut = qsub.join(F.broadcast(cb), "_s").select(
+        "_qid",
+        "_s",
+        F.col("code_id").alias("code"),
+        _fold_d2(F.col("_qv"), F.col("_cent")).alias("_qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["_qid", "_s", "code"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy("_qid", id_col)
+        .agg(F.round(F.sum("_qd2"), 4).alias("adc_dist2"))
+    )
+    pre = Window.partitionBy("_qid", F.pmod(F.col(id_col), F.lit(64))).orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    final = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            "adc_dist2",
+        )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay raw, candidates are PQ
+    codes; score(q, x) = sum_s d2(q_s, centroid[code_s(x)]).  The
+    lookup table (|Q| * m * ks rows) broadcasts; the scan is a
+    narrow-integer join on (s, code) + one rounded-sum aggregation +
+    salted two-phase top-k.  Self-matches are excluded (parity with
+    the ann_* gates).  Returns (query_id, rank, neighbor_id,
+    adc_dist2)."""
+    cb = pq_codebooks(df, dim, m, ks, id_col, vec_col)
+    codes = pq_encode(df, dim, m, ks, id_col, vec_col, codebooks=cb)
+    qsub = _subspaces(
+        df.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_v")
+        ),
+        dim,
+        m,
+        "_v",
+        "_qv",
+    )
+    lut = qsub.join(F.broadcast(cb), "_s").select(
+        "_qid",
+        "_s",
+        F.col("code_id").alias("code"),
+        _fold_d2(F.col("_qv"), F.col("_cent")).alias("_qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["_s", "code"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy("_qid", id_col)
+        .agg(F.round(F.sum("_qd2"), 4).alias("adc_dist2"))
+    )
+    pre = Window.partitionBy("_qid", F.pmod(F.col(id_col), F.lit(64))).orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    final = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            "adc_dist2",
+        )
+    )

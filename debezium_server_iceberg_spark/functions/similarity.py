@@ -56,13 +56,25 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids.
 
     The tiny query side is collected and closed over (the same role a
     broadcast variable plays); every candidate partition GEMMs its Arrow
     batches against the query matrix and pre-prunes to its local top-k per
-    query, so the only shuffle is the final k-per-partition window."""
+    query, so the only shuffle is the final k-per-partition window.
+
+    ``candidate_filter`` (a boolean Column) enables FILTERED vector
+    search — "nearest neighbors among rows satisfying a metadata
+    predicate", the standard vector-store feature.  Semantics are
+    filter-THEN-search (the top-k is computed over the filtered
+    candidate set, so low-selectivity filters still return k results if
+    k survivors exist — post-search filtering would not).  The
+    predicate is applied before the Arrow stage, i.e. it sits in the
+    scan projection where Catalyst pushes it into the parquet reader;
+    queries are looked up in the UNfiltered relation, so a query vector
+    need not satisfy the predicate itself."""
     q_rows = (
         df.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
@@ -92,7 +104,8 @@ def cosine_topk(
                 out_s.extend(col_m[order])
             yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos": out_s})
 
-    scored = df.select(id_col, vec_col).mapInPandas(
+    cand = df if candidate_filter is None else df.filter(candidate_filter)
+    scored = cand.select(id_col, vec_col).mapInPandas(
         score_batches, schema="qid long, cid long, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
@@ -103,6 +116,87 @@ def cosine_topk(
             F.col("qid").alias("query_id"),
             F.col("rank"),
             F.col("cid").alias("neighbor_id"),
+            F.round("cos", 3).alias("cosine"),
+        )
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query,
+    the ``k`` MOST similar candidates whose ``label_col`` DIFFERS from
+    the query's — the standard negative-selection step for embedding /
+    reranker training (highest-loss negatives are the near-misses, not
+    random draws).
+
+    The label predicate is per-query (each query excludes ITS OWN
+    class), so it cannot be a static ``candidate_filter``; instead the
+    query labels ride along with the broadcast query matrix and the
+    mask applies INSIDE the Arrow stage, before the local top-k
+    pre-prune — pruning first would under-fill k whenever a query's
+    nearest neighbors are dominated by its own class (exactly the
+    common case).  Scale shape is identical to :func:`cosine_topk`:
+    map-side GEMM + local top-k pushdown, one k-per-partition shuffle.
+
+    Returns ``(query_id, rank, neighbor_id, neighbor_label, cosine)``.
+    """
+    q_rows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).alias("qlabel"),
+            F.col(vec_col).alias("qvec"),
+        )
+        .collect()
+    )
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_labels = np.array([r["qlabel"] for r in q_rows])
+    q_mat = _l2_normalize(
+        np.array([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            clabels = pdf[label_col].to_numpy()
+            cand = _l2_normalize(_vec_matrix(pdf[vec_col]))
+            scores = cand @ q_mat.T
+            out_q, out_c, out_l, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = (cids != qid) & (clabels != q_labels[j])
+                ids_m = cids[mask]
+                if not len(ids_m):
+                    continue
+                col_m, lab_m = scores[mask, j], clabels[mask]
+                order = np.lexsort((ids_m, -col_m))[:k]
+                out_q.extend([qid] * len(order))
+                out_c.extend(ids_m[order])
+                out_l.extend(lab_m[order])
+                out_s.extend(col_m[order])
+            yield pd.DataFrame(
+                {"qid": out_q, "cid": out_c, "clabel": out_l, "cos": out_s}
+            )
+
+    scored = df.select(id_col, label_col, vec_col).mapInPandas(
+        score_batches, schema="qid long, cid long, clabel int, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("clabel").alias("neighbor_label"),
             F.round("cos", 3).alias("cosine"),
         )
     )

@@ -383,3 +383,59 @@ def decontaminate_bloom(
     return hits.groupBy(id_col).agg(
         F.count_distinct(F.col("_h")).alias("n_hits")
     )
+
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    flag_num: int = 2,
+    flag_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy decontamination: score every training doc by the FRACTION
+    of its distinct word ``n``-grams that appear in the benchmark set,
+    and flag docs at or above ``flag_num/flag_den`` (default 20%).
+
+    :func:`decontaminate` is the zero-tolerance face (any shared gram =
+    contaminated); production pipelines usually use a graded overlap
+    threshold instead — GPT-3's appendix documents 13-gram overlap
+    filtering and PaLM/LLaMA-era pipelines flag docs whose high-order
+    n-gram overlap fraction crosses a cutoff, because a single common
+    boilerplate gram should not nuke a long document.  The flag
+    predicate is INTEGER (``flag_den * n_hits >= flag_num * n_grams``)
+    so an oracle reproduces every verdict exactly — never a float
+    ratio compared against a float literal (oracle-parity rule).
+
+    Output: ``(id, n_grams, n_hits, flagged)`` for every doc with at
+    least one gram (docs shorter than ``n`` tokens have no grams and
+    are absent — same convention as the other gram operators).
+
+    Scale shape: identical to :func:`decontaminate` — benchmark grams
+    broadcast, corpus grams die or survive inside the scan-side join,
+    ONE corpus-keyed shuffle (the per-doc aggregate).  The left join
+    keeps zero-hit docs so the fraction is a score, not a filter.
+    """
+    bench_grams = (
+        word_gram_hashes(benchmark, n, text_col, None)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = word_gram_hashes(docs, n, text_col, id_col).distinct()
+    joined = doc_grams.join(F.broadcast(bench_grams), "_h", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (
+                F.lit(flag_den) * F.col("n_hits")
+                >= F.lit(flag_num) * F.col("n_grams")
+            ).alias("flagged"),
+        )
+    )

@@ -2939,6 +2939,333 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bm25_topk_docs",
+    f"""
+    WITH docs0 AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, sum(len(t)) AS tt FROM docs0
+    ), q AS (
+      SELECT doc_id AS qid, list_slice(t, 1, 8) AS qt
+      FROM docs0 WHERE doc_id % 101 = 7 AND len(t) >= 1
+    ), qterms AS (
+      SELECT DISTINCT qid, term FROM q, unnest(qt) AS u(term)
+    ), terms AS (
+      SELECT DISTINCT term FROM qterms
+    ), postings AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, term
+            FROM docs0, unnest(t) AS u(term)) tok
+      JOIN terms USING (term)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ), scored AS (
+      SELECT qt.qid, p.doc_id,
+             CAST(sum(
+               (CAST(1000000 AS HUGEINT) * (2 * s.n - 2 * d.df + 1)
+                * (22 * p.tf) * s.tt)
+               // (CAST(2 * d.df + 1 AS HUGEINT)
+                   * (10 * s.tt * p.tf + 3 * s.tt + 9 * p.dl * s.n))
+             ) AS BIGINT) AS score
+      FROM qterms qt
+      JOIN postings p USING (term)
+      JOIN dfreq d USING (term), stats s
+      GROUP BY qt.qid, p.doc_id
+    )
+    SELECT qid AS query_id, rank, doc_id, score FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: every 101st document's first 8 tokens
+    form a query batch; the engine builds posting lists for exactly the
+    queried terms and ranks the corpus under the integer BM25 contract
+    (``functions/retrieval.py`` — rational idf, cleared denominators,
+    DECIMAL(38,0)/HUGEINT), so the oracle reproduces every score
+    bit-for-bit.  The lexical face of the similarity family — the
+    dense face is the ann_* gates."""
+    from .functions.retrieval import bm25_topk
+    from .functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = (
+        docs.filter(F.col("doc_id") % 101 == 7)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
+        )
+        .filter(F.size("terms") >= 1)
+    )
+    return bm25_topk(docs, queries_df, k=5)
+
+
+def _pagerank_oracle(iterations: int = 4) -> str:
+    base = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    cnt AS (SELECT count(*) AS n FROM nodes),
+    edges AS (
+      SELECT node AS src,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(node AS VARCHAR),
+                                                      ':', CAST(j AS VARCHAR))),
+                                           1, 8)) AS UBIGINT)
+                  % (SELECT n FROM cnt) AS BIGINT) AS dst
+      FROM nodes, unnest([0, 1, 2]) AS t(j)
+    ),
+    r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS r FROM nodes)"""
+    step = """,
+    r{k} AS (
+      SELECT n.node, CAST(150000000000 AS HUGEINT) + COALESCE(i.inc, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * 17) // 60) AS inc
+        FROM edges e JOIN r{prev} p ON p.node = e.src
+        GROUP BY e.dst
+      ) i ON i.node = n.node
+    )"""
+    sql = base
+    for k in range(1, iterations + 1):
+        sql += step.format(k=k, prev=k - 1)
+    sql += f"""
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS pr_scaled FROM r{iterations}
+    """
+    return sql
+
+
+@_register("pagerank_link_graph", _pagerank_oracle(4))
+def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-centrality quality prior: 4 fixed-point PageRank iterations
+    over the deterministic md5-derived link graph (out-degree 3) on the
+    documents corpus.  Integer mass contract (``functions/graph.py``) —
+    the oracle unrolls the iterations as chained CTEs and reproduces
+    every rank exactly, so a drift in damping, teleport, edge
+    derivation, or the floor arithmetic hash-mismatches."""
+    from .functions.graph import pagerank
+
+    return pagerank(_t(spark, sf_dir, "documents"), iterations=4)
+
+
+@_register(
+    "decontaminate_fuzzy_docs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id % 97 = 0 AND doc_id % 3 = 0
+    ), btoks AS (
+      SELECT {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 97 = 0
+    ), bench AS (
+      SELECT DISTINCT md5(array_to_string(t[i.i + 1 : i.i + 8], ' ')) AS h
+      FROM btoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    ), ttoks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM corpus
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[i.i + 1 : i.i + 8], ' ')) AS h
+      FROM ttoks, unnest(range(len(t) - 7)) AS i(i)
+      WHERE len(t) >= 8
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.h) AS BIGINT) AS n_hits,
+           10 * count(b.h) >= 2 * count(*) AS flagged
+    FROM grams g LEFT JOIN bench b ON b.h = g.h
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: the same planted-leak construction as
+    ``decontaminate_docs`` (every-97th-doc eval split; every 3rd eval
+    doc re-inserted into training under doc_id+10M), but scoring every
+    training doc's distinct-8-gram overlap FRACTION and flagging at the
+    20% integer threshold — the production-shaped contract (GPT-3/PaLM
+    era pipelines threshold high-order n-gram overlap rather than
+    zero-tolerance matching).  Planted leaks score 100% and are
+    flagged; organic boilerplate overlap stays below threshold, which
+    the zero-tolerance operator cannot distinguish."""
+    from .functions.text import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    return contamination_fraction(train, bench, n=8)
+
+
+@_register(
+    "ann_filtered_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, b.vec_id AS cid,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b, q WHERE b.vec_id != q.qid AND b.label % 3 = 1
+    ), ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid ASC) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, rank, cid AS neighbor_id, round(cos, 3) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors restricted
+    to candidates satisfying a metadata predicate (``label % 3 = 1``)
+    — filter-THEN-search semantics, the standard vector-store feature
+    (post-filtering would under-fill k).  The predicate applies in the
+    scan projection ahead of the Arrow GEMM stage; queries are looked
+    up unfiltered, so a query need not satisfy the predicate."""
+    from .functions.similarity import cosine_topk
+
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        candidate_filter=F.col("label") % 3 == 1,
+    )
+
+
+_PQ_CTES = """
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS code_id, v FROM pts ORDER BY vec_id LIMIT 16
+    ), sub AS (
+      SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+      FROM pts, unnest(range(8)) AS t(s)
+    ), cent AS (
+      SELECT code_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sc
+      FROM seeds, unnest(range(8)) AS t(s)
+    ), scored AS (
+      SELECT sub.vec_id, sub.s, cent.code_id,
+             list_sum(list_transform(range(1, 9),
+                      i -> (sub.sv[i] - cent.sc[i]) * (sub.sv[i] - cent.sc[i])))
+               AS d2
+      FROM sub JOIN cent USING (s)
+    ), codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT vec_id, s, code_id,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code_id) AS rn
+        FROM scored) WHERE rn = 1
+    )"""
+
+
+@_register(
+    "pq_encode_codes",
+    _PQ_CTES
+    + """
+    SELECT vec_id, CAST(s AS INTEGER) AS subspace, code_id AS code FROM codes
+    """,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every 64-dim embedding compressed
+    to 8 one-byte codes (64x) against the deterministic seed codebooks
+    (``functions/pq.py``).  Distances are the exact kmeans-contract
+    sequential folds, so the argmin needs no rounding and the oracle
+    replays every code assignment bit-for-bit; the argmin itself is a
+    ``min_by`` partial aggregate, not a window sort."""
+    from .functions.pq import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"), dim=64).select(
+        "vec_id", F.col("_s").alias("subspace"), "code"
+    )
+
+
+@_register(
+    "pq_adc_topk",
+    _PQ_CTES
+    + """
+    , qsub AS (
+      SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id < 10
+    ), lut AS (
+      SELECT qsub.qid, qsub.s, cent.code_id AS code,
+             list_sum(list_transform(range(1, 9),
+                      i -> (qsub.sv[i] - cent.sc[i]) * (qsub.sv[i] - cent.sc[i])))
+               AS qd2
+      FROM qsub JOIN cent USING (s)
+    ), adc AS (
+      SELECT l.qid, c.vec_id, round(sum(l.qd2), 4) AS adc_dist2
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code_id
+      WHERE c.vec_id != l.qid
+      GROUP BY l.qid, c.vec_id
+    ), ranked AS (
+      SELECT qid, vec_id, adc_dist2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_dist2 ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT qid AS query_id, rank, vec_id AS neighbor_id, adc_dist2
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: queries stay raw,
+    candidates are the 8-byte codes, scores come from a broadcast
+    per-query lookup table — the memory-bound ANN scan (IVF prunes
+    which vectors, PQ shrinks what is read; compose for IVF-PQ).  The
+    rounded-sum + (score, id) ordering is the one float aggregation in
+    the pipeline (oracle-parity rounding rule); everything upstream is
+    exact."""
+    from .functions.pq import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, dim=64
+    )
+
+
+@_register("ann_ivf_incremental_topk", None)  # oracle assigned below
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE face of the persistent IVF index: build on the
+    even half of the corpus (codebook frozen there), ``add_batch`` the
+    odd half against the frozen codebook, then search with exhaustive
+    probing — exact, so the whole incremental path (assignment GEMM,
+    cell-partitioned append commit, post-append manifest planning) is
+    checked by the same brute-force oracle as the one-shot index.  The
+    incremental-index pattern matches ``functions/incremental.py``
+    (minhash) and ``SubstringIndex``: batch update ≡ rebuild."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .functions.ann_index import IVFIndex
+    from .lakehouse import LakeCatalog
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = _tf.mkdtemp(prefix="ivf_incr_")
+    try:
+        idx = IVFIndex.build(
+            LakeCatalog(wh), "ann", "ivf", emb.filter(F.col("vec_id") % 2 == 0),
+            n_cells=8,
+        )
+        idx.add_batch(emb.filter(F.col("vec_id") % 2 == 1))
+        return idx.search(
+            spark, query_ids=list(range(10)), k=5, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+_ORACLES["ann_ivf_incremental_topk"] = _ORACLES["ann_cosine_topk"]
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -5362,7 +5689,20 @@ _CHECK_PRIORITY = [
     # ANN-variant/text-stats family) are exactly 2 rounds old at r10 —
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
-    # --- round-10 new ---
+    # --- round-10 new (second wave: retrieval/graph/contamination/ANN) ---
+    # NOTE: with 9 round-10 seeds the last 4 r8-refresh entries
+    # (decorrelated_above_avg, skew_salted_join_agg,
+    # asof_join_purchases_clicks, funnel_signup_click_purchase) fall past
+    # the 50 cutoff and keep their r8 driver rows — rotate them, plus the
+    # 19 gates listed below, into the r11 window front.
+    "bm25_topk_docs",
+    "pagerank_link_graph",
+    "decontaminate_fuzzy_docs",
+    "ann_filtered_topk",
+    "pq_encode_codes",
+    "pq_adc_topk",
+    "ann_ivf_incremental_topk",
+    # --- round-10 new (first wave) ---
     "containment_capped_near_dup",
     "image_ahash_near_dup",
     "source_overlap_sketch",

@@ -141,3 +141,24 @@ def test_kmeans_codebook_deterministic(spark):
     b = train_kmeans_codebook(emb, n_cells=4, n_iters=2)
     assert np.allclose(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_incremental_add_batch_equals_one_shot_build(spark, tmp_path):
+    """Index-maintenance proof: build on the even half + add_batch the
+    odd half == one-shot build on everything, under exhaustive probing
+    (exact in both cases regardless of codebook training set)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    incr = IVFIndex.build(
+        LakeCatalog(str(tmp_path / "a")), "ann", "ivf",
+        emb.filter(F.col("vec_id") % 2 == 0), n_cells=8,
+    )
+    added = incr.add_batch(emb.filter(F.col("vec_id") % 2 == 1))
+    assert added == emb.filter(F.col("vec_id") % 2 == 1).count()
+    full = IVFIndex.build(
+        LakeCatalog(str(tmp_path / "b")), "ann", "ivf", emb, n_cells=8
+    )
+    r_incr = sorted(map(tuple, incr.search(spark, list(range(10)), 5, 8).collect()))
+    r_full = sorted(map(tuple, full.search(spark, list(range(10)), 5, 8).collect()))
+    assert r_incr == r_full

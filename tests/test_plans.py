@@ -398,3 +398,82 @@ def test_source_overlap_sketch_never_joins_raw_shingles(spark, fns):
     assert "Window" in plan  # the per-source k-min
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin [h#" in plan or "SortMergeJoin [h " in plan
+
+
+def test_bm25_broadcasts_bounded_sides_only(spark, fns):
+    """Every broadcast in the BM25 plan is a bounded relation (queried
+    terms, per-term document frequencies, query-term pairs, the 1-row
+    stats scalar); the corpus-sized posting relation reaches its joins
+    as the streamed side, never a build side — and the final ranking is
+    the two-phase top-k (salted pre-rank + per-query rank), bounding any
+    single task's sort regardless of how many docs match a query."""
+    plan = _plan(fns["bm25_topk_docs"](spark, SF))
+    assert "SortMergeJoin" not in plan  # all joins are bounded-broadcast
+    assert "CartesianProduct" not in plan
+    # stats scalar arrives via a 1-row broadcast nested loop
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Window") >= 2  # salted pre-top-k + final rank
+
+
+def test_bm25_postings_built_once(spark, fns):
+    """The posting-list build (corpus explode + groupBy) must be
+    materialized once and shared by the df-count branch and the scoring
+    branch — without the checkpoint Catalyst plans the corpus explode
+    twice (two full corpus scans at 100 TB)."""
+    plan = _plan(fns["bm25_topk_docs"](spark, SF))
+    # the only explode left in the final plan is the (tiny) query-term
+    # derivation; the corpus explode lives behind the checkpoint scan
+    assert plan.count("Generate explode") <= 1
+    assert "Scan ExistingRDD" in plan
+
+
+def test_pagerank_never_broadcasts_rank_or_edges(spark, fns):
+    """Both sides of every PageRank join are corpus-sized (edges, ranks,
+    node list) and Catalyst's estimate for the rank relation collapses
+    after a few iterations — every join is pinned shuffle-merge.  A
+    BroadcastExchange here is the estimate-lies-by-iteration OOM class
+    (same family as the containment/SimHash fixes)."""
+    plan = _plan(fns["pagerank_link_graph"](spark, SF))
+    assert "BroadcastExchange" not in plan
+    assert plan.count("SortMergeJoin") == 8  # 2 joins x 4 iterations
+
+
+def test_decontaminate_fuzzy_broadcasts_benchmark(spark, fns):
+    """Same shape contract as the exact operator: ONE broadcast (the
+    benchmark gram set) and one corpus-keyed aggregation; the left join
+    keeping zero-hit docs must not change the build side."""
+    plan = _plan(fns["decontaminate_fuzzy_docs"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_ann_filtered_predicate_below_arrow_stage(spark, fns):
+    """Filter-then-search: the metadata predicate must run in the scan
+    projection (reaching the parquet reader as a data filter), never as
+    a post-GEMM filter — post-filtering would both waste the GEMM on
+    excluded rows and under-fill k."""
+    df = fns["ann_filtered_topk"](spark, SF)
+    plan = _plan(df)
+    below = plan[plan.find("MapInPandas"):]
+    assert "label" in below and "PushedFilters: [IsNotNull(label)" in below
+
+
+def test_pq_encode_broadcasts_codebook_only(spark, fns):
+    """PQ encode: ONE broadcast (the m*ks codebook); the argmin is a
+    min_by partial aggregate (map-side combinable SortAggregate pair),
+    never a per-(vector, subspace) window sort of the corpus."""
+    plan = _plan(fns["pq_encode_codes"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") == 2  # partial + final min_by
+
+
+def test_pq_adc_scan_is_codes_join_lut(spark, fns):
+    """ADC: every broadcast is codebook/LUT-sized; the corpus reaches
+    the score join as the streamed side (codes), and ranking is the
+    salted two-phase top-k."""
+    plan = _plan(fns["pq_adc_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 3  # 2x codebook + LUT
+    assert plan.count("Window") >= 2

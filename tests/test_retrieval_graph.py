@@ -1,0 +1,152 @@
+"""Behavior tests for the retrieval (BM25), link-graph (PageRank),
+graded-decontamination, and filtered-ANN operators."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_iceberg_spark.functions.graph import derived_link_graph, pagerank
+from debezium_server_iceberg_spark.functions.retrieval import bm25_topk
+from debezium_server_iceberg_spark.functions.similarity import cosine_topk
+from debezium_server_iceberg_spark.functions.text import contamination_fraction
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_hand_computed_scores(spark):
+    """Tiny corpus with scores derivable by hand from the integer
+    contract: s = floor(SCALE*(2N-2df+1)*22*tf*T / ((2df+1)*(10*T*tf
+    + 3*T + 9*dl*N))).  N=3 docs, T=6 tokens, query = ["a"], df(a)=2:
+    d1 (tf=2, dl=3) -> 723287; d0 (tf=1, dl=2) -> 600000; d2 absent."""
+    docs = _docs(spark, [(0, "a b"), (1, "a a b"), (2, "c")])
+    queries = spark.createDataFrame(
+        [(100, ["a"])], "query_id long, terms array<string>"
+    )
+    out = bm25_topk(docs, queries, k=5).collect()
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in out}
+    assert got == {(100, 1): (1, 723287), (100, 2): (0, 600000)}
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """A doc matching only the rare query term must outrank a doc
+    matching only the ubiquitous one (idfR monotone in df)."""
+    docs = _docs(
+        spark,
+        [(0, "common rare"), (1, "common common"), (2, "common x"), (3, "common y")],
+    )
+    queries = spark.createDataFrame(
+        [(0, ["rare"]), (1, ["common"])], "query_id long, terms array<string>"
+    )
+    out = bm25_topk(docs, queries, k=1)
+    top = {r["query_id"]: r["doc_id"] for r in out.collect()}
+    assert top[0] == 0  # only doc containing "rare"
+    rare_score = [r["score"] for r in out.collect() if r["query_id"] == 0][0]
+    common_score = [r["score"] for r in out.collect() if r["query_id"] == 1][0]
+    assert rare_score > common_score
+
+
+def test_bm25_duplicate_query_terms_collapse(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "b c")])
+    q1 = spark.createDataFrame([(0, ["a", "a"])], "query_id long, terms array<string>")
+    q2 = spark.createDataFrame([(0, ["a"])], "query_id long, terms array<string>")
+    assert (
+        bm25_topk(docs, q1, k=2).collect() == bm25_topk(docs, q2, k=2).collect()
+    )
+
+
+# ------------------------------------------------------------ PageRank
+
+
+def test_pagerank_mass_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pr = pagerank(docs, iterations=4)
+    rows = pr.collect()
+    n = len(rows)
+    assert n == docs.count()
+    scale, teleport = 10**12, (10**12 * 3) // 20
+    total = sum(r["pr_scaled"] for r in rows)
+    # floors only ever LEAK mass; teleport is every node's floor
+    assert n * teleport <= total <= n * scale
+    assert min(r["pr_scaled"] for r in rows) >= teleport
+    again = {r["doc_id"]: r["pr_scaled"] for r in pagerank(docs, 4).collect()}
+    assert again == {r["doc_id"]: r["pr_scaled"] for r in rows}
+
+
+def test_pagerank_in_degree_drives_rank(spark):
+    """Nodes with more in-edges in the derived graph must (on average)
+    out-rank nodes with fewer — the point of link centrality."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges, _ = derived_link_graph(docs)
+    indeg = {r["dst"]: r["c"] for r in edges.groupBy("dst").agg(F.count(F.lit(1)).alias("c")).collect()}
+    pr = {r["doc_id"]: r["pr_scaled"] for r in pagerank(docs, 4).collect()}
+    zero_in = [pr[d] for d in pr if d not in indeg]
+    hub = [pr[d] for d, c in indeg.items() if c >= 6]
+    assert hub and zero_in
+    assert min(hub) > max(zero_in)
+
+
+def test_pagerank_scale_guard(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        pagerank(docs, 1, scale=1 << 62)
+    except ValueError as e:
+        assert "overflows int64" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected overflow guard to fire")
+
+
+# ---------------------------------------------- graded decontamination
+
+
+def test_contamination_fraction_thresholds(spark):
+    bench = _docs(spark, [(0, "t1 t2 t3 t4 t5 t6 t7 t8")])
+    train = _docs(
+        spark,
+        [
+            # exact copy: 1 gram, 1 hit -> 100%, flagged
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8"),
+            # leading 8-gram + 4 fresh tokens: 5 grams, 1 hit = exactly
+            # 20% -> flagged at the inclusive boundary
+            (2, "t1 t2 t3 t4 t5 t6 t7 t8 x1 x2 x3 x4"),
+            # 6 grams, 1 hit < 20% -> scored but NOT flagged
+            (3, "t1 t2 t3 t4 t5 t6 t7 t8 x1 x2 x3 x4 x5"),
+            # no overlap at all -> present with zero hits
+            (4, "y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+            # too short for any 8-gram -> absent
+            (5, "z1 z2"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["flagged"])
+        for r in contamination_fraction(train, bench).collect()
+    }
+    assert out == {
+        1: (1, 1, True),
+        2: (5, 1, True),
+        3: (6, 1, False),
+        4: (2, 0, False),
+    }
+
+
+# ------------------------------------------------------- filtered ANN
+
+
+def test_filtered_ann_candidates_respect_predicate(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cosine_topk(
+        emb, query_ids=list(range(10)), k=5, candidate_filter=F.col("label") % 3 == 1
+    )
+    rows = out.collect()
+    assert len(rows) == 50  # k filled from survivors for every query
+    allowed = {
+        r["vec_id"] for r in emb.filter(F.col("label") % 3 == 1).select("vec_id").collect()
+    }
+    assert all(r["neighbor_id"] in allowed for r in rows)
+    # filter-then-search: results differ from the unfiltered search
+    plain = cosine_topk(emb, query_ids=list(range(10)), k=5).collect()
+    assert rows != plain

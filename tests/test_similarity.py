@@ -103,3 +103,36 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     # determinism: same input -> same cells and keeps
     again = {r.vec_id: r.keep for r in semantic_dedup(df, n_clusters=3, threshold=0.95).collect()}
     assert again == out
+
+
+def test_pq_encode_assigns_seeds_to_themselves(spark):
+    from debezium_server_iceberg_spark.functions.pq import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = pq_encode(emb, dim=64).collect()
+    n = emb.count()
+    assert len(codes) == n * 8  # one code per (vector, subspace)
+    by_vec = {}
+    for r in codes:
+        assert 0 <= r["_s"] < 8
+        by_vec.setdefault(r["vec_id"], set()).add(r["_s"])
+    assert all(len(s) == 8 for s in by_vec.values())
+    # the lowest-id seed is its own centroid in every subspace (d2 = 0,
+    # no lower code id exists)
+    assert all(r["code"] == 0 for r in codes if r["vec_id"] == 0)
+
+
+def test_pq_adc_orders_scores_and_excludes_self(spark):
+    from debezium_server_iceberg_spark.functions.pq import pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pq_adc_topk(emb, query_ids=list(range(10)), k=5).collect()
+    assert len(rows) == 50
+    for qid in range(10):
+        mine = sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in mine] == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in mine)
+        dists = [r["adc_dist2"] for r in mine]
+        assert dists == sorted(dists)
