@@ -1,0 +1,169 @@
+"""BPE tokenizer training: the byte-pair-merge inner loop at corpus
+scale (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units" — the algorithm behind GPT-2/LLaMA-family
+tokenizers).
+
+Reference parity: tokenizer training is outside
+memiiso/debezium-server-iceberg's CDC scope; it belongs to the §2.8
+training-data surface this engine adds (``functions/text.py`` already
+APPLIES a BPE-ish tokenizer — ``token_count_bpe``; this module TRAINS
+merge rules from the corpus).
+
+Why this shape scales: classic BPE trainers operate on the word-type
+frequency table, not the raw corpus — the corpus is touched exactly
+once (tokenize + one groupBy building ``word -> count``), and every
+merge iteration runs over the VOCABULARY relation (distinct word types
+x their symbol positions), which is bounded by language statistics
+(~1e7-1e8 types at web scale) regardless of corpus bytes.  Each
+iteration costs: one pair-count aggregate (shuffle keyed by symbol
+pair, partial-agg combinable), one 1-row argmax collect (planning
+scale — same class as the k-means centroid fetch), and one windowed
+merge pass whose window partitions are single words (max |word| rows —
+no skew possible).  The symbol table is ``localCheckpoint``ed per
+iteration so plan depth stays constant across merges (the iterative
+pattern shared with ``functions/graph.pagerank``).
+
+GREEDY MERGE SEMANTICS, exactly and engine-portably: applying merge
+(A, B) to a word scans left to right; an occurrence at position i
+merges iff it is not consumed by a previous merge.  Overlaps only occur
+when A == B (runs like "aaa" -> "aa" + "a"): candidate positions are
+consecutive, and greedy keeps the 1st, 3rd, 5th ... of each consecutive
+run.  That parity rule is computed with integer window functions
+(running candidate count -> run group id -> row number within run), so
+ANY engine with standard window semantics reproduces byte-identical
+merges — no string ``replace`` tricks (a fixpoint of non-overlapping
+string replacement diverges from greedy on odd runs: "aaaaa" would pair
+positions 0-1 and 3-4 instead of 0-1 and 2-3), and no per-row UDF.  All
+arithmetic is integer; ties in pair selection break by (count DESC,
+left ASC, right ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def _word_symbols(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> word-type frequency table -> one row per (word, char
+    position).  The ONLY corpus-sized pass; everything after is
+    vocabulary-bounded."""
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    return words.select(
+        "w", "cnt", F.posexplode(chars).alias("pos", "sym")
+    )
+
+
+def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy merge pass over the symbol table (see module
+    docstring for the parity rule).  Window partitions are single
+    words; the chain of windows shares the (w, pos) sort."""
+    w_ord = Window.partitionBy("w").orderBy("pos")
+    cand = (F.col("sym") == a) & (F.col("nxt") == b)
+    stage = (
+        syms.withColumn("nxt", F.lead("sym").over(w_ord))
+        .withColumn("c", cand)
+        # running candidate count: consecutive candidates (only possible
+        # when a == b) keep pos - crn constant -> run group id
+        .withColumn("crn", F.sum(F.col("c").cast("int")).over(w_ord))
+        .withColumn("grp", F.when(F.col("c"), F.col("pos") - F.col("crn")))
+        .withColumn(
+            "rn2",
+            F.row_number().over(Window.partitionBy("w", "grp").orderBy("pos")),
+        )
+        .withColumn("chosen", F.col("c") & (F.col("rn2") % 2 == 1))
+        .withColumn(
+            "dropped",
+            F.coalesce(F.lag("chosen").over(w_ord), F.lit(False)),
+        )
+    )
+    return (
+        stage.filter(~F.col("dropped"))
+        .select(
+            "w",
+            "cnt",
+            (F.row_number().over(w_ord) - 1).alias("pos"),
+            F.when(F.col("chosen"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    w_ord = Window.partitionBy("w").orderBy("pos")
+    return (
+        syms.withColumn("nxt", F.lead("sym").over(w_ord))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("cnt").alias("tot"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Returns ``(merges, symbols)``:
+
+    - ``merges``: ``(step, left_sym, right_sym, pair_count)`` — the rule
+      learned at each step (1-based) and the weighted adjacent-pair
+      count that won the argmax, under (count DESC, left, right)
+      tie-breaking;
+    - ``symbols``: the post-training symbol table
+      ``(w, cnt, pos, sym)`` — every word type decomposed into its
+      subword symbols after all merges apply (feed it a frequency
+      aggregate for the learned vocabulary).
+
+    Each argmax is a 1-row collect (planning scale); the symbol table is
+    checkpointed per iteration so the iterative plan stays bounded.
+    """
+    spark: SparkSession = docs.sparkSession
+    syms = _word_symbols(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.col("tot").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, tot = top[0]["a"], top[0]["b"], int(top[0]["tot"])
+        merges.append((step, a, b, tot))
+        syms = _apply_merge(syms, a, b).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, schema="step int, left_sym string, right_sym string, pair_count bigint"
+    )
+    return merges_df, syms
+
+
+def bpe_vocab(symbols: DataFrame, top_n: int = 30) -> DataFrame:
+    """Weighted symbol frequencies of a post-training symbol table:
+    ``(rank, sym, total)`` for the ``top_n`` most frequent subword
+    symbols (count DESC, sym ASC ties) — the learned-vocabulary head.
+    One partial-agg shuffle + a bounded global sort."""
+    counts = symbols.groupBy("sym").agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("sym").asc())
+    # two-phase exact top-n: per-partition pre-prune caps the single-task
+    # global sort at (#partitions * top_n) rows
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("total").desc(), F.col("sym").asc()
+    )
+    return (
+        counts.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= top_n)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "sym", "total")
+    )

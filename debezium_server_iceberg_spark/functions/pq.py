@@ -191,8 +191,15 @@ def ivfpq_adc_topk(
     )
 
     cb = pq_codebooks(df, dim, m, ks, id_col, vec_col)
-    codes = pq_encode(df, dim, m, ks, id_col, vec_col, codebooks=cb).join(
-        cells.withColumnRenamed("_cid", id_col), id_col
+    # the index-build join: BOTH sides are corpus-sized (m rows/vector of
+    # codes; 1 row/vector of cells) — pinned shuffle-merge on the shared
+    # id key, per the repo-wide ban on static broadcasts of unbounded
+    # relations (a persistent IVF-PQ layout would store codes
+    # cell-partitioned and skip this join at query time)
+    codes = (
+        pq_encode(df, dim, m, ks, id_col, vec_col, codebooks=cb)
+        .hint("merge")
+        .join(cells.withColumnRenamed("_cid", id_col).hint("merge"), id_col)
     )
 
     q_rows = (

@@ -3266,6 +3266,295 @@ _ORACLES["ann_ivf_incremental_topk"] = _ORACLES["ann_cosine_topk"]
 
 
 @_register(
+    "hard_negative_mining",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, label AS ql, v AS qv FROM base WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, b.vec_id AS cid, b.label AS cl,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b, q WHERE b.vec_id != q.qid AND b.label != q.ql
+    ), ranked AS (
+      SELECT qid, cid, cl, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid ASC) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, rank, cid AS neighbor_id, cl AS neighbor_label,
+           round(cos, 3) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the 5
+    MOST similar vectors of a DIFFERENT label — the negative-selection
+    step of embedding/reranker training (near-miss negatives carry the
+    gradient; random negatives are trivial).  The per-query label mask
+    applies inside the Arrow GEMM stage BEFORE the local top-k
+    pre-prune (``functions/similarity.py:hard_negatives``) — a static
+    candidate filter cannot express it, and post-search filtering would
+    under-fill k exactly when a query's neighborhood is dominated by
+    its own class."""
+    from .functions.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+_BM25_FUSE_CTES = f"""
+    WITH docs0 AS (
+      SELECT doc_id, {{tokens}} AS t FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, sum(len(t)) AS tt FROM docs0
+    ), q AS (
+      SELECT doc_id AS qid, list_slice(t, 1, 8) AS qt
+      FROM docs0 WHERE doc_id % 101 = 7 AND len(t) >= 1
+    ), qterms AS (
+      SELECT DISTINCT qid, term FROM q, unnest(qt) AS u(term)
+    ), terms AS (
+      SELECT DISTINCT term FROM qterms
+    ), postings AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, term
+            FROM docs0, unnest(t) AS u(term)) tok
+      JOIN terms USING (term)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ), bscored AS (
+      SELECT qt.qid, p.doc_id,
+             CAST(sum(
+               (CAST(1000000 AS HUGEINT) * (2 * s.n - 2 * d.df + 1)
+                * (22 * p.tf) * s.tt)
+               // (CAST(2 * d.df + 1 AS HUGEINT)
+                   * (10 * s.tt * p.tf + 3 * s.tt + 9 * p.dl * s.n))
+             ) AS BIGINT) AS score
+      FROM qterms qt
+      JOIN postings p USING (term)
+      JOIN dfreq d USING (term), stats s
+      WHERE p.doc_id != qt.qid
+      GROUP BY qt.qid, p.doc_id
+    ), blim AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bscored)
+      WHERE rank <= 20
+    ), ebase AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dq AS (
+      SELECT b.vec_id AS qid, b.v AS qv
+      FROM ebase b JOIN (SELECT DISTINCT qid FROM q) s ON s.qid = b.vec_id
+    ), dscored AS (
+      SELECT dq.qid, b.vec_id AS did,
+             list_cosine_similarity(dq.qv, b.v) AS cos
+      FROM ebase b, dq WHERE b.vec_id != dq.qid
+    ), dlim AS (
+      SELECT qid, did, rank FROM (
+        SELECT qid, did,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, did ASC) AS rank
+        FROM dscored)
+      WHERE rank <= 20
+    )"""
+
+
+@_register(
+    "hybrid_rrf_retrieval",
+    _BM25_FUSE_CTES.format(tokens=_TOKENS_SQL)
+    + """
+    , contrib AS (
+      SELECT qid, doc_id AS did, 1000000 // (60 + rank) AS c FROM blim
+      UNION ALL
+      SELECT qid, did, 1000000 // (60 + rank) AS c FROM dlim
+    ), fused AS (
+      SELECT qid, did, CAST(sum(c) AS BIGINT) AS rrf_score
+      FROM contrib GROUP BY qid, did
+    ), franked AS (
+      SELECT qid, did, rrf_score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf_score DESC, did ASC) AS rank
+      FROM fused
+    )
+    SELECT qid AS query_id, rank, did AS doc_id, rrf_score
+    FROM franked WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 (lexical, self-excluded, top-20) and dense
+    cosine (top-20 over the aligned embedding space) fused by
+    reciprocal-rank fusion under the integer floor(1e6/(60+rank))
+    contract (``functions/retrieval.py:rrf_fuse``) — the production
+    RAG/search combiner, needing no score calibration across systems.
+    Queries are every 101st document (first 8 tokens lexically; its
+    embedding densely).  The oracle replays both retrievers AND the
+    fusion bit-for-bit."""
+    from .functions.retrieval import bm25_topk, rrf_fuse
+    from .functions.similarity import cosine_topk
+    from .functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = (
+        docs.filter(F.col("doc_id") % 101 == 7)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
+        )
+        .filter(F.size("terms") >= 1)
+    )
+    lex = bm25_topk(docs, qdf, k=20, exclude_self=True)
+    # query-batch id fetch: bounded by the workload size, not the corpus
+    qids = [r["query_id"] for r in qdf.select("query_id").collect()]
+    dense = cosine_topk(emb, qids, k=20).select(
+        "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+    )
+    return rrf_fuse([lex.select("query_id", "rank", "doc_id"), dense], k=10)
+
+
+@_register("ann_ivfpq_topk", None)  # oracle assigned below (exhaustive probe)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition with n_probe = n_cells: exhaustive probing
+    makes the result exactly the pure-ADC scan, so the brute-force-over-
+    codes oracle checks the whole composed machinery — coarse assignment
+    GEMM, the codes-to-cells id join (the index-build join at scale),
+    probe pruning, and the per-cell ADC.  ``n_probe < n_cells`` is the
+    approximate production mode (pytest covers recall)."""
+    from .functions.pq import ivfpq_adc_topk
+
+    return ivfpq_adc_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        dim=64,
+        n_cells=8,
+        n_probe=8,
+    )
+
+
+_ORACLES["ann_ivfpq_topk"] = _ORACLES["pq_adc_topk"]
+
+
+def _bpe_oracle(n_merges: int, final: str) -> str:
+    """Chained-CTE DuckDB replay of the BPE trainer
+    (``functions/bpe.py``): per iteration — adjacent-pair counts, the
+    (count DESC, left, right) argmax, and the greedy merge via the
+    integer window-parity rule (running candidate count -> consecutive-
+    run group -> odd row_number within run), byte-identical to Spark's
+    windows.  ``final`` selects either the merge table or the vocab
+    head."""
+    sql = f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest({{tokens}}) AS w FROM documents)
+      GROUP BY w
+    ), s0 AS (
+      SELECT w, cnt, i.i AS pos, substr(w, i.i + 1, 1) AS sym
+      FROM words, unnest(range(length(w))) AS i(i)
+    )"""
+    step = """,
+    pc{k} AS (
+      SELECT sym AS a, nxt AS b, sum(cnt) AS tot
+      FROM (SELECT w, cnt, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM s{prev})
+      WHERE nxt IS NOT NULL GROUP BY a, b
+    ), pick{k} AS (
+      SELECT a, b, tot FROM pc{k} ORDER BY tot DESC, a ASC, b ASC LIMIT 1
+    ), t{k} AS (
+      SELECT s.w, s.cnt, s.pos, s.sym,
+             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt,
+             p.a, p.b
+      FROM s{prev} s, pick{k} p
+    ), c{k} AS (
+      SELECT *, (sym = a AND nxt = b) AS c,
+             sum(CASE WHEN sym = a AND nxt = b THEN 1 ELSE 0 END)
+               OVER (PARTITION BY w ORDER BY pos) AS crn
+      FROM t{k}
+    ), r{k} AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY w, CASE WHEN c THEN pos - crn END
+               ORDER BY pos) AS rn2
+      FROM c{k}
+    ), d{k} AS (
+      SELECT *, c AND rn2 % 2 = 1 AS chosen,
+             coalesce(lag(c AND rn2 % 2 = 1)
+                      OVER (PARTITION BY w ORDER BY pos), false) AS dropped
+      FROM r{k}
+    ), s{k} AS (
+      SELECT w, cnt,
+             row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+             CASE WHEN chosen THEN a || b ELSE sym END AS sym
+      FROM d{k} WHERE NOT dropped
+    )"""
+    for k in range(1, n_merges + 1):
+        sql += step.format(k=k, prev=k - 1)
+    return sql + final
+
+
+@_register(
+    "bpe_train_merges",
+    _bpe_oracle(
+        4,
+        """
+    SELECT 1 AS step, a AS left_sym, b AS right_sym,
+           CAST(tot AS BIGINT) AS pair_count FROM pick1
+    UNION ALL SELECT 2, a, b, CAST(tot AS BIGINT) FROM pick2
+    UNION ALL SELECT 3, a, b, CAST(tot AS BIGINT) FROM pick3
+    UNION ALL SELECT 4, a, b, CAST(tot AS BIGINT) FROM pick4
+    """,
+    ).format(tokens=_TOKENS_SQL),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the first 4 merge
+    rules learned from the corpus word-frequency table, each the
+    argmax adjacent symbol pair under (count DESC, left, right)
+    tie-breaking.  The corpus is scanned once; iterations run over the
+    vocabulary relation with single-word window partitions
+    (``functions/bpe.py`` — greedy overlap resolution via the integer
+    window-parity rule, no UDFs).  The oracle unrolls all 4 iterations
+    as chained CTEs, so a drift in pair counting, argmax tie-breaks, or
+    greedy merge application hash-mismatches."""
+    from .functions.bpe import bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf_dir, "documents"), n_merges=4)
+    return merges
+
+
+@_register(
+    "bpe_vocab_after_merges",
+    _bpe_oracle(
+        4,
+        """
+    , counts AS (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS total FROM s4 GROUP BY sym
+    ), vranked AS (
+      SELECT sym, total,
+             row_number() OVER (ORDER BY total DESC, sym ASC) AS rank
+      FROM counts
+    )
+    SELECT rank, sym, total FROM vranked WHERE rank <= 30
+    """,
+    ).format(tokens=_TOKENS_SQL),
+)
+def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-vocabulary head after the 4 BPE merges: top-30
+    subword symbols by weighted frequency over all word types — checks
+    the final merge APPLICATION (which ``bpe_train_merges`` alone
+    cannot see: the last rule's application feeds no further pair
+    count).  Exact two-phase top-n, no single-partition global sort of
+    the symbol table."""
+    from .functions.bpe import bpe_train, bpe_vocab
+
+    _, symbols = bpe_train(_t(spark, sf_dir, "documents"), n_merges=4)
+    return bpe_vocab(symbols, top_n=30)
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -5689,12 +5978,23 @@ _CHECK_PRIORITY = [
     # ANN-variant/text-stats family) are exactly 2 rounds old at r10 —
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
+    # --- round-10 new (third wave: BPE / fusion / hard-negatives / IVF-PQ) ---
+    # WINDOW ACCOUNTING AT r10: front = 17 round-10-new gates + the 14-gate
+    # r7-stale tail the r9 verdict ordered + 19 r8-era gates = 50.  The 31
+    # gates whose newest driver row stays r8 (set difference: in
+    # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
+    # pivot/cube/percentile/window-fn showcase family, the second as-of +
+    # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
+    # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
+    # reservoir/tfidf/packing/corpus-stats/curation tail) are 2 rounds old
+    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 31 + fills from the
+    # r9-era fold).
+    "bpe_train_merges",
+    "bpe_vocab_after_merges",
+    "hybrid_rrf_retrieval",
+    "hard_negative_mining",
+    "ann_ivfpq_topk",
     # --- round-10 new (second wave: retrieval/graph/contamination/ANN) ---
-    # NOTE: with 9 round-10 seeds the last 4 r8-refresh entries
-    # (decorrelated_above_avg, skew_salted_join_agg,
-    # asof_join_purchases_clicks, funnel_signup_click_purchase) fall past
-    # the 50 cutoff and keep their r8 driver rows — rotate them, plus the
-    # 19 gates listed below, into the r11 window front.
     "bm25_topk_docs",
     "pagerank_link_graph",
     "decontaminate_fuzzy_docs",

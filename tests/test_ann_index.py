@@ -162,3 +162,27 @@ def test_incremental_add_batch_equals_one_shot_build(spark, tmp_path):
     r_incr = sorted(map(tuple, incr.search(spark, list(range(10)), 5, 8).collect()))
     r_full = sorted(map(tuple, full.search(spark, list(range(10)), 5, 8).collect()))
     assert r_incr == r_full
+
+
+def test_ivfpq_exhaustive_equals_adc_and_approx_bounded(spark):
+    """n_probe = n_cells reproduces the pure ADC scan exactly; the
+    approximate mode returns a (query, k)-bounded subset ranked by the
+    same ADC metric."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from debezium_server_iceberg_spark.functions.pq import (
+        ivfpq_adc_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = sorted(map(tuple, pq_adc_topk(emb, list(range(5)), k=5).collect()))
+    comp = sorted(
+        map(tuple, ivfpq_adc_topk(emb, list(range(5)), k=5, n_cells=8, n_probe=8).collect())
+    )
+    assert comp == full
+    approx = ivfpq_adc_topk(emb, list(range(5)), k=5, n_cells=8, n_probe=2).collect()
+    assert 0 < len(approx) <= 25
+    for qid in {r["query_id"] for r in approx}:
+        mine = sorted((r for r in approx if r["query_id"] == qid), key=lambda r: r["rank"])
+        dists = [r["adc_dist2"] for r in mine]
+        assert dists == sorted(dists)

@@ -477,3 +477,51 @@ def test_pq_adc_scan_is_codes_join_lut(spark, fns):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") == 3  # 2x codebook + LUT
     assert plan.count("Window") >= 2
+
+
+def test_hard_negatives_local_topk_pushdown(spark, fns):
+    """The label mask lives inside the Arrow GEMM stage: the plan shows
+    one MapInPandas over the scan (id, label, vector) and the only
+    shuffle after it is the k-per-partition window — no post-GEMM
+    label join, no cartesian."""
+    plan = _plan(fns["hard_negative_mining"](spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # labels never join back — they ride the batch
+    assert plan.count("Window [") == 1
+
+
+def test_hybrid_rrf_no_corpus_joins_beyond_retrievers(spark, fns):
+    """Fusion adds NO corpus-scale work on top of the two retrievers:
+    the fused relation is the k-bounded union, its aggregation and
+    windows run over <= 2k rows per query, and the BM25 single-
+    materialization contract (one corpus explode behind the checkpoint)
+    survives the composition."""
+    plan = _plan(fns["hybrid_rrf_retrieval"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # bounded broadcasts only
+    assert plan.count("Generate explode") <= 1  # query-term derivation
+    assert "Scan ExistingRDD" in plan  # the checkpointed posting relation
+
+
+def test_ivfpq_single_corpus_join_rest_broadcast(spark, fns):
+    """IVF-PQ: the ONE corpus-sized join is codes-to-cells on the
+    vector id (the index-build join — both sides corpus-sized, must be
+    SMJ, never a static broadcast of a mapInPandas relation with no
+    stats); probes and the per-query LUT broadcast."""
+    plan = _plan(fns["ann_ivfpq_topk"](spark, SF))
+    assert plan.count("SortMergeJoin") == 1  # the pinned codes-cells id join
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 4  # 2x codebook + probes + LUT
+
+
+def test_bpe_vocab_two_phase_topn(spark, fns):
+    """The vocabulary head must pre-prune per partition before the
+    single-partition global rank — the global window sees at most
+    (#partitions * top_n) rows, never the symbol table."""
+    plan = _plan(fns["bpe_vocab_after_merges"](spark, SF))
+    # two Windows: partition-local pre-rank + bounded global rank
+    assert plan.count("Window [") == 2
+    assert "CartesianProduct" not in plan
+    # symbol counting is a partial-agg pair (map-side combine)
+    assert "HashAggregate" in plan

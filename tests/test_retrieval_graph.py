@@ -150,3 +150,45 @@ def test_filtered_ann_candidates_respect_predicate(spark):
     # filter-then-search: results differ from the unfiltered search
     plain = cosine_topk(emb, query_ids=list(range(10)), k=5).collect()
     assert rows != plain
+
+
+def test_rrf_fuse_integer_contract_and_union_semantics(spark):
+    """Known two-system fusion: doc in both lists sums both floors; doc
+    in one list keeps one term; ties rank by ascending id."""
+    from debezium_server_iceberg_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 300)],
+        "query_id long, rank int, doc_id long",
+    )
+    dense = spark.createDataFrame(
+        [(1, 1, 200), (1, 2, 400)],
+        "query_id long, rank int, doc_id long",
+    )
+    out = {r["doc_id"]: (r["rank"], r["rrf_score"])
+           for r in rrf_fuse([lex, dense], k=10).collect()}
+    s = lambda r: 1_000_000 // (60 + r)
+    assert out[200] == (1, s(2) + s(1))   # both systems
+    assert out[100] == (2, s(1))          # lexical only
+    assert out[400] == (3, s(2))          # dense only; ties none
+    assert out[300] == (4, s(3))
+
+
+def test_bm25_exclude_self_drops_query_doc(spark):
+    from debezium_server_iceberg_spark.functions.retrieval import bm25_topk
+    from debezium_server_iceberg_spark.functions.text import tokens_col
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = (
+        docs.filter(F.col("doc_id") % 101 == 7)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
+        )
+        .filter(F.size("terms") >= 1)
+    )
+    with_self = bm25_topk(docs, qdf, k=5).collect()
+    no_self = bm25_topk(docs, qdf, k=5, exclude_self=True).collect()
+    assert any(r["query_id"] == r["doc_id"] for r in with_self)
+    assert all(r["query_id"] != r["doc_id"] for r in no_self)

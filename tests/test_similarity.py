@@ -136,3 +136,25 @@ def test_pq_adc_orders_scores_and_excludes_self(spark):
         assert all(r["neighbor_id"] != qid for r in mine)
         dists = [r["adc_dist2"] for r in mine]
         assert dists == sorted(dists)
+
+
+def test_hard_negatives_excludes_own_label_and_self(spark):
+    from debezium_server_iceberg_spark.functions.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives(emb, query_ids=list(range(10)), k=5).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+    # hard negatives are at most as similar as the unconstrained top-1
+    top1 = {r["query_id"]: r["cosine"]
+            for r in cosine_topk(emb, list(range(10)), k=1).collect()}
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["cosine"] <= top1[r["query_id"]] + 1e-9
