@@ -147,6 +147,47 @@ def bpe_train(
     return merges_df, syms
 
 
+def bpe_encode(
+    docs: DataFrame,
+    symbols: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a trained BPE model — the inference
+    side of ``bpe_train`` (what every training-data pipeline runs to
+    budget tokens: "how many sequences is this corpus under OUR
+    tokenizer?", not under whitespace splitting).
+
+    ``symbols`` is a post-training symbol table (from ``bpe_train``);
+    it is reduced to one ``(word, n_subtokens)`` row per word TYPE, so
+    the expensive merge application is paid once per vocabulary entry
+    — never once per corpus occurrence.  The corpus pass is then a
+    token explode joined to that vocabulary relation (AQE broadcasts a
+    small vocabulary; web-scale vocabularies of 1e7-1e8 types go SMJ —
+    not pinned, both are correct) and one per-doc partial aggregation.
+
+    Returns ``(id_col, n_words, n_subtokens, n_chars)`` per document —
+    ``n_subtokens / n_words`` is tokenizer fertility, ``n_chars /
+    n_subtokens`` the compression ratio pipelines report per language.
+    Docs with zero tokens are absent (nothing to encode).
+    """
+    word_len = symbols.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_nsub"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("w")
+    )
+    return (
+        toks.join(word_len, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_nsub").alias("n_subtokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+
+
 def bpe_vocab(symbols: DataFrame, top_n: int = 30) -> DataFrame:
     """Weighted symbol frequencies of a post-training symbol table:
     ``(rank, sym, total)`` for the ``top_n`` most frequent subword

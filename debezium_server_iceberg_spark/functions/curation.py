@@ -374,6 +374,73 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM perplexity proxy — the KenLM-style fluency score one
+    tier above ``unigram_logprob_score`` (unigram scoring flags alien
+    VOCABULARY; bigram scoring flags alien WORD ORDER — shuffled or
+    boilerplate-stitched text scores high here while passing the
+    unigram filter).
+
+    ``score = -(1/(n-1)) * sum log2((c(w1 w2) + 1) / (ctx(w1) + V))``
+    over the document's adjacent bigrams: add-one-smoothed conditional
+    probability, ``ctx(w1)`` = number of corpus bigrams starting with
+    w1 (so the conditional sums to 1 over the smoothed vocabulary),
+    ``V`` = corpus distinct-token count.  Rounded to 4 (double
+    sum-order noise), the same float contract as the unigram scorer.
+
+    Scale: the bigram stream is built in-array inside the scan stage
+    (no window shuffle for adjacency); the bigram count table is
+    bounded by distinct corpus bigrams and the context table by the
+    vocabulary — both partial-agg aggregations; the scoring pass joins
+    the stream on the bigram key then the context key (AQE picks
+    broadcast when the tables are small, SMJ when not — neither is
+    pinned because both genuinely scale with corpus text diversity);
+    one final per-doc aggregation.  Docs with < 2 tokens have no
+    bigrams and are absent — a bigram LM cannot score them.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
+    ).filter(F.size("_tk") >= 2)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - 2),
+                lambda i: F.struct(
+                    F.get(F.col("_tk"), i).alias("w1"),
+                    F.concat_ws(" ", F.slice("_tk", i + 1, 2)).alias("pair"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(F.col(id_col), F.col("_g.w1").alias("w1"), F.col("_g.pair").alias("pair"))
+    pair_counts = grams.groupBy("pair").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx_counts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+        .agg(F.count_distinct("_t").alias("_v"))
+    )
+    scored = (
+        grams.join(pair_counts, "pair")
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log2(
+                    (F.col("_c12") + 1).cast("double")
+                    / (F.col("_c1") + F.col("_v")).cast("double")
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_nll"), 4).alias("mean_neg_log2_prob"),
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

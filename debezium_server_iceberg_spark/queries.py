@@ -3555,6 +3555,125 @@ def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_encode_docs",
+    _bpe_oracle(
+        4,
+        """
+    , wl AS (
+      SELECT w, count(*) AS nsub FROM s4 GROUP BY w
+    ), tok AS (
+      SELECT doc_id, unnest({tokens}) AS w FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(nsub) AS BIGINT) AS n_subtokens,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars
+    FROM tok JOIN wl USING (w)
+    GROUP BY doc_id
+    """,
+    ).format(tokens=_TOKENS_SQL),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the trained BPE model (the inference
+    side of ``bpe_train``): per-doc word / subtoken / char counts —
+    the token-budget numbers every pipeline reports (fertility =
+    n_subtokens/n_words, compression = n_chars/n_subtokens).  The
+    merge application is paid once per word TYPE; the corpus pass is
+    one explode + vocabulary join + per-doc aggregate
+    (``functions/bpe.py:bpe_encode``).  The oracle replays training
+    AND encoding, so drift anywhere in the merge chain or the
+    type-table join hash-mismatches."""
+    from .functions.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, symbols = bpe_train(docs, n_merges=4)
+    return bpe_encode(docs, symbols)
+
+
+@_register(
+    "quality_classifier_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), feats AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, array_to_string(t[i.i + 1 : i.i + 2], ' ') AS g
+        FROM toks, unnest(range(len(t) - 1)) AS i(i)
+        WHERE len(t) >= 2
+      )
+    ), occ AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT)
+                  % 4096 AS BIGINT) AS bucket
+      FROM feats
+    ), wt AS (
+      SELECT b.b AS bucket,
+             CAST(CAST(concat('0x', substr(md5(CAST(b.b AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 101 AS BIGINT) - 50 + 3 AS weight
+      FROM (SELECT unnest(range(4096)) AS b) b
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(weight) AS BIGINT) AS margin,
+           CAST(sum(weight) AS BIGINT) > 0 AS keep
+    FROM occ JOIN wt USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style model-based quality filtering: hashing-trick
+    features (unigrams + word bigrams, md5 % 4096 buckets) scored
+    against a broadcast integer weight table, keep = margin > 0 —
+    the learned-model face of the filtering stage (rule-based face:
+    ``gopher_rules_filter``).  The stand-in weights are md5-derived so
+    the oracle replays featureization, lookup, and margin bit-for-bit;
+    production swaps in a learned (bucket, weight) table unchanged
+    (``functions/classifier.py``)."""
+    from .functions.classifier import quality_classifier
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bigram_logprob_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[i.i + 1] AS w1,
+             array_to_string(t[i.i + 1 : i.i + 2], ' ') AS pair
+      FROM toks, unnest(range(len(t) - 1)) AS i(i)
+      WHERE len(t) >= 2
+    ), pc AS (
+      SELECT pair, count(*) AS c12 FROM grams GROUP BY pair
+    ), cc AS (
+      SELECT w1, count(*) AS c1 FROM grams GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2(CAST(c12 + 1 AS DOUBLE)
+                           / CAST(c1 + vs AS DOUBLE))), 4)
+             AS mean_neg_log2_prob
+    FROM grams g JOIN pc USING (pair) JOIN cc USING (w1), v
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (KenLM-proxy): add-one-smoothed
+    conditional bigram negative log2 probability, averaged per doc —
+    catches alien WORD ORDER that the unigram perplexity proxy
+    (``unigram_logprob_docs``) cannot see.  Adjacency is built
+    in-array inside the scan stage (no window shuffle); count tables
+    are partial-agg bounded by corpus bigram/vocab diversity
+    (``functions/curation.py:bigram_logprob_score``)."""
+    from .functions.curation import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -5978,17 +6097,21 @@ _CHECK_PRIORITY = [
     # ANN-variant/text-stats family) are exactly 2 rounds old at r10 —
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
-    # --- round-10 new (third wave: BPE / fusion / hard-negatives / IVF-PQ) ---
-    # WINDOW ACCOUNTING AT r10: front = 17 round-10-new gates + the 14-gate
-    # r7-stale tail the r9 verdict ordered + 19 r8-era gates = 50.  The 31
+    # --- round-10 new (third + fourth wave) ---
+    # WINDOW ACCOUNTING AT r10: front = 23 round-10-new gates + the 14-gate
+    # r7-stale tail the r9 verdict ordered + 13 r8-era gates = 50.  The 37
     # gates whose newest driver row stays r8 (set difference: in
     # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
     # pivot/cube/percentile/window-fn showcase family, the second as-of +
     # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail) are 2 rounds old
-    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 31 + fills from the
+    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 3
+    # r8-refresh entries this wave pushed past the cutoff) are 2 rounds old
+    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 37 + fills from the
     # r9-era fold).
+    "bpe_encode_docs",
+    "quality_classifier_filter",
+    "bigram_logprob_docs",
     "bpe_train_merges",
     "bpe_vocab_after_merges",
     "hybrid_rrf_retrieval",

@@ -126,3 +126,28 @@ def test_merge_exhaustion_stops_early(spark):
     merges, symbols = bpe_train(docs, n_merges=4)
     assert merges.count() == 0
     assert symbols.count() == 4
+
+
+def test_encode_counts_words_subtokens_chars(spark):
+    docs = _docs(spark, ["aa aa bcd", "aa xyz"])
+    _, symbols = bpe_train(docs, n_merges=1)  # merges (a, a): "aa" -> 1 sym
+    from debezium_server_iceberg_spark.functions.bpe import bpe_encode
+
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, symbols).collect()}
+    # doc 0: aa(1) aa(1) bcd(3 chars, 0 merges apply -> 3 syms)
+    assert rows[0]["n_words"] == 3
+    assert rows[0]["n_subtokens"] == 1 + 1 + 3
+    assert rows[0]["n_chars"] == 2 + 2 + 3
+    # doc 1: aa(1) xyz(3)
+    assert rows[1]["n_words"] == 2
+    assert rows[1]["n_subtokens"] == 4
+    assert rows[1]["n_chars"] == 5
+
+
+def test_encode_zero_merges_is_char_count(spark):
+    docs = _docs(spark, ["hello to you"])
+    from debezium_server_iceberg_spark.functions.bpe import bpe_encode
+
+    _, symbols = bpe_train(docs, n_merges=0)
+    row = bpe_encode(docs, symbols).collect()[0]
+    assert row["n_subtokens"] == row["n_chars"] == 10

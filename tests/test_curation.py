@@ -203,3 +203,42 @@ def test_dsir_short_docs_absent_and_deterministic(spark):
     out2 = {(r.doc_id, r.weight) for r in dsir_weights(raw, target).collect()}
     assert out1 == out2
     assert {d for d, _ in out1} == {1}  # the 1-token doc has no bigrams
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny closed-form corpus: docs 'a b', 'a b', 'a c'.
+    Bigrams: (a b) x2, (a c) x1; ctx(a) = 3; V = 3.
+    p(b|a) = (2+1)/(3+3) = 1/2 -> nll 1.0
+    p(c|a) = (1+1)/(3+3) = 1/3 -> nll log2(3) ~ 1.585."""
+    from debezium_server_iceberg_spark.functions.curation import (
+        bigram_logprob_score,
+    )
+
+    df = _docs(spark, [_d(1, "a b"), _d(2, "a b"), _d(3, "a c")])
+    out = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert out[1].n_bigrams == 1
+    assert out[1].mean_neg_log2_prob == pytest.approx(1.0, abs=1e-4)
+    assert out[2].mean_neg_log2_prob == out[1].mean_neg_log2_prob
+    assert out[3].mean_neg_log2_prob == pytest.approx(1.585, abs=1e-3)
+
+
+def test_bigram_logprob_flags_alien_word_order(spark):
+    """Same vocabulary, scrambled order: the bigram scorer separates
+    them while a unigram model cannot."""
+    from debezium_server_iceberg_spark.functions.curation import (
+        bigram_logprob_score,
+    )
+
+    fluent = "the cat sat on the mat"
+    background = [_d(i, fluent) for i in range(10)]
+    scrambled = _d(99, "mat the on sat cat the")
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob_score(
+            _docs(spark, background + [scrambled])
+        ).collect()
+    }
+    assert out[99].mean_neg_log2_prob > out[0].mean_neg_log2_prob
+    # single-token / empty docs are absent
+    out2 = bigram_logprob_score(_docs(spark, [_d(1, "word"), _d(2, "")])).collect()
+    assert out2 == []

@@ -525,3 +525,38 @@ def test_bpe_vocab_two_phase_topn(spark, fns):
     assert "CartesianProduct" not in plan
     # symbol counting is a partial-agg pair (map-side combine)
     assert "HashAggregate" in plan
+
+
+def test_quality_classifier_broadcast_weights_no_wide_join(spark, fns):
+    """The weight table is the ONLY join and it broadcasts; features
+    are built in one explode inside the scan stage; the margin is a
+    partial-agg pair."""
+    plan = _plan(fns["quality_classifier_filter"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1  # the (bucket, weight) table
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1
+    assert "HashAggregate" in plan
+
+
+def test_bigram_logprob_in_array_adjacency_no_window_shuffle(spark, fns):
+    """Adjacency comes from the in-array transform, never a per-doc
+    window: no Window operator anywhere; the V scalar broadcasts; the
+    count-table joins stay unpinned (AQE's call at real scale)."""
+    plan = _plan(fns["bigram_logprob_docs"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row V scalar
+    assert "HashAggregate" in plan
+
+
+def test_bpe_encode_vocab_join_over_checkpointed_symbols(spark, fns):
+    """Encoding joins the corpus token stream to the word-type relation
+    derived from the checkpointed symbol table — no cartesian, no
+    per-word window over the corpus (windows live in training only,
+    behind the checkpoint)."""
+    plan = _plan(fns["bpe_encode_docs"](spark, SF))
+    assert "Scan ExistingRDD" in plan  # checkpointed post-training symbols
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
