@@ -439,3 +439,58 @@ def contamination_fraction(
             ).alias("flagged"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram of
+    the normalized text, slide a window of ``w`` consecutive gram
+    hashes, and select each window's minimum (rightmost occurrence on
+    ties).  Unlike the bottom-k sketch (``doc_fingerprint``), winnowing
+    carries a LOCAL guarantee — any shared substring of length
+    ``k + w - 1`` is caught by at least one shared fingerprint — which
+    is what plagiarism/clone detection needs.
+
+    Everything runs in-array inside the scan projection (gram hashing,
+    the window-min fold with rightmost-tie argmin, the distinct): ZERO
+    shuffles before the final per-doc row — each document's work is a
+    pure column expression.  Selected fingerprints are deduped on
+    (hash, position) per the paper, then summarized per doc as
+    ``(id_col, n_fingerprints, fp_checksum)`` (checksum = exact BIGINT
+    sum of selected 32-bit hashes, so any selection drift is visible).
+    Docs whose normalized text is shorter than ``k + w - 1`` have no
+    full window and are absent.
+    """
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(F.col(id_col), s.alias("_s")).filter(
+        F.length("_s") >= k + w - 1
+    )
+    grams = F.expr(
+        f"transform(sequence(1, length(_s) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(_s, i, {k})), 1, 8), 16, 10)"
+        " as bigint))"
+    )
+    sel = F.expr(
+        f"transform(sequence(1, size(_h) - {w} + 1),"
+        f" i -> aggregate(sequence(i, i + {w} - 1),"
+        " named_struct('h', cast(4294967296 as bigint), 'p', -1),"
+        " (acc, j) -> if(element_at(_h, j) <= acc.h,"
+        " named_struct('h', element_at(_h, j), 'p', j), acc)))"
+    )
+    return (
+        base.select(F.col(id_col), grams.alias("_h"))
+        .select(F.col(id_col), F.array_distinct(sel).alias("_fp"))
+        .select(
+            F.col(id_col),
+            F.size("_fp").alias("n_fingerprints"),
+            F.expr("aggregate(_fp, cast(0 as bigint), (acc, x) -> acc + x.h)").alias(
+                "fp_checksum"
+            ),
+        )
+    )

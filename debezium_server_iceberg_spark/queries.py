@@ -3674,6 +3674,115 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bitext_mining_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id, label % 2 AS side, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 4 = 0
+    ), src AS (
+      SELECT vec_id AS sid, v FROM base WHERE side = 0
+    ), tgt AS (
+      SELECT vec_id AS tid, v FROM base WHERE side = 1
+    ), allc AS (
+      SELECT s.sid, t.tid, list_cosine_similarity(s.v, t.v) AS cos
+      FROM src s, tgt t
+    ), sknn AS (
+      SELECT sid, tid, cos, row_number() OVER (
+        PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r
+      FROM allc
+    ), tknn AS (
+      SELECT sid, tid, cos, row_number() OVER (
+        PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r
+      FROM allc
+    ), savg AS (
+      SELECT sid, avg(cos) AS avg_s FROM sknn WHERE r <= 4 GROUP BY sid
+    ), tavg AS (
+      SELECT tid, avg(cos) AS avg_t FROM tknn WHERE r <= 4 GROUP BY tid
+    ), cand AS (
+      SELECT k.sid, k.tid, k.cos,
+             k.cos / ((s.avg_s + t.avg_t) / 2) AS m
+      FROM sknn k JOIN savg s USING (sid) JOIN tavg t USING (tid)
+      WHERE k.r <= 4
+    ), best AS (
+      SELECT sid, tid, cos, m, row_number() OVER (
+        PARTITION BY sid ORDER BY m DESC, tid ASC) AS rn
+      FROM cand
+    )
+    SELECT sid AS src_id, tid AS tgt_id,
+           round(cos, 3) AS cosine, round(m, 3) AS margin
+    FROM best WHERE rn = 1 AND m > 1.0
+    """,
+)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk / CCMatrix): pair
+    "source-language" and "target-language" vectors (label parity
+    stands in for language over the shared embedding space; every 4th
+    vector participates) when the pair's cosine stands out against
+    both sides' k=4 neighborhood averages — margin > 1, forward
+    selection.  Cross-lingual kNN runs as block GEMM with block-local
+    top-k pushdown (``functions/bitext.py``); the oracle replays kNN,
+    both neighborhood averages, the margin, and the argmax."""
+    from .functions.bitext import bitext_margin_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding", (F.col("label") % 2).alias("pair_side"))
+    )
+    return bitext_margin_pairs(emb, lang_col="pair_side", k=4, threshold=1.0)
+
+
+@_register(
+    "winnowing_fingerprint_docs",
+    """
+    WITH s0 AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i.i + 1 AS pos,
+             CAST(CAST(concat('0x', substr(md5(substr(s, i.i + 1, 5)), 1, 8))
+                       AS UBIGINT) AS BIGINT) AS h
+      FROM s0, unnest(range(length(s) - 5 + 1)) AS i(i)
+      WHERE length(s) >= 8
+    ), wm AS (
+      SELECT doc_id, pos AS wstart,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+      FROM grams
+    ), sel AS (
+      SELECT w.doc_id, w.wstart, w.mh AS h, max(g.pos) AS p
+      FROM wm w JOIN grams g
+        ON g.doc_id = w.doc_id
+       AND g.pos BETWEEN w.wstart AND w.wstart + 3
+       AND g.h = w.mh
+      WHERE w.cnt = 4
+      GROUP BY w.doc_id, w.wstart, w.mh
+    ), fps AS (
+      SELECT DISTINCT doc_id, p, h FROM sel
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(h) AS BIGINT) AS fp_checksum
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: char-5-gram hashes,
+    window w=4 minima with rightmost-tie selection, deduped on
+    (hash, position) — the LOCAL-guarantee fingerprint (any shared
+    substring of length >= 8 chars is caught), complementing the
+    bottom-k sketch (``doc_fingerprint``).  Entirely in-array in the
+    scan projection — zero shuffles before the per-doc summary row
+    (``functions/text.py:winnowing_fingerprints``).  The oracle
+    replays gram hashing, window minima, the rightmost-tie rule, and
+    the checksum row-for-row."""
+    from .functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -6098,17 +6207,19 @@ _CHECK_PRIORITY = [
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
     # --- round-10 new (third + fourth wave) ---
-    # WINDOW ACCOUNTING AT r10: front = 23 round-10-new gates + the 14-gate
-    # r7-stale tail the r9 verdict ordered + 13 r8-era gates = 50.  The 37
+    # WINDOW ACCOUNTING AT r10: front = 25 round-10-new gates + the 14-gate
+    # r7-stale tail the r9 verdict ordered + 11 r8-era gates = 50.  The 39
     # gates whose newest driver row stays r8 (set difference: in
     # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
     # pivot/cube/percentile/window-fn showcase family, the second as-of +
     # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 3
-    # r8-refresh entries this wave pushed past the cutoff) are 2 rounds old
+    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 5
+    # r8-refresh entries these waves pushed past the cutoff) are 2 rounds old
     # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 37 + fills from the
     # r9-era fold).
+    "bitext_mining_pairs",
+    "winnowing_fingerprint_docs",
     "bpe_encode_docs",
     "quality_classifier_filter",
     "bigram_logprob_docs",

@@ -560,3 +560,41 @@ def test_bpe_encode_vocab_join_over_checkpointed_symbols(spark, fns):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bitext_knn_materialized_once_no_cartesian(spark, fns):
+    """The kNN relation (block-GEMM output) feeds three consumers —
+    forward candidates and both neighborhood averages — and must be
+    materialized ONCE (the bm25 single-materialization contract): the
+    final plan reads the checkpointed RDD, never re-runs the GEMM."""
+    plan = _plan(fns["bitext_mining_pairs"](spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan  # GEMM behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # forward selection
+    # pre-checkpoint plan: exactly one GEMM over the grid-replicated scan
+    from debezium_server_iceberg_spark.functions.bitext import (
+        bitext_margin_pairs,
+    )
+
+    emb = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .selectExpr("vec_id", "embedding", "label % 2 AS pair_side")
+    )
+    raw = _plan(
+        bitext_margin_pairs(emb, lang_col="pair_side", k=4, materialize=False)
+    )
+    assert raw.count("FlatMapGroupsInPandas") >= 1
+    assert "CartesianProduct" not in raw
+    assert "BroadcastExchange" in raw  # the B^2 grid broadcast
+
+
+def test_winnowing_zero_shuffle_scan_projection(spark, fns):
+    """Winnowing is a pure column expression: no join, no window, no
+    aggregate-shuffle beyond the implicit none — the plan is scan +
+    project only."""
+    plan = _plan(fns["winnowing_fingerprint_docs"](spark, SF))
+    assert "Exchange" not in plan  # zero shuffles
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # in-array, never exploded
