@@ -197,6 +197,69 @@ def temperature_mixture(
     )
 
 
+def epoch_plan(
+    df: DataFrame,
+    budget_frac_num: int = 1,
+    budget_frac_den: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-recipe epoch planning: given a token budget (a fraction of
+    the corpus) and temperature-flattened target shares, how many
+    EPOCHS (repeat passes) does each source need?  This is the planning
+    table behind LLaMA-style training mixes, where small high-value
+    sources are repeated (epochs > 1) while the web crawl is sampled
+    once — the "oversampling plan" every data card publishes.
+
+    All arithmetic is exact:
+
+    - per-source token mass ``w_s`` is an integer aggregate;
+    - the alpha = 1/2 temperature weight is ``r_s = floor(sqrt(w_s))``
+      — IEEE double sqrt is correctly rounded, so floor(sqrt) is exact
+      for any ``w_s < 2^52`` (a 100-TB corpus is ~10^14 tokens, three
+      orders inside the bound);
+    - ``alloc_s = floor(T * r_s / sum(r))`` and
+      ``epochs_s = ceil(alloc_s / w_s)`` in decimal(38,0).
+
+    Output: one row per source — planning scale, never corpus scale;
+    the whole operator is one partial-agg groupBy plus broadcast
+    totals."""
+    dec = "decimal(38,0)"
+    w = (
+        df.select(F.col(source_col), F.size(tokens_col(F.col(text_col))).alias("_n"))
+        .groupBy(source_col)
+        .agg(F.sum("_n").cast(dec).alias("tokens_available"))
+        .withColumn(
+            "_r", F.floor(F.sqrt(F.col("tokens_available").cast("double"))).cast(dec)
+        )
+    )
+    tot = w.agg(
+        F.sum("tokens_available").cast(dec).alias("_tot"),
+        F.sum("_r").cast(dec).alias("_den"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.col("tokens_available").cast("long").alias("tokens_available"),
+            F.expr(
+                f"CAST(CAST(_tot * {budget_frac_num} DIV {budget_frac_den}"
+                f" AS {dec}) * _r DIV _den AS LONG)"
+            ).alias("alloc_tokens"),
+        )
+        .select(
+            source_col,
+            "tokens_available",
+            "alloc_tokens",
+            F.expr(
+                "CAST((alloc_tokens + tokens_available - 1)"
+                " DIV tokens_available AS LONG)"
+            ).alias("epochs"),
+        )
+        .withColumn("oversampled", F.col("epochs") > 1)
+    )
+
+
 def length_histogram(
     df: DataFrame, value_col: str = "n_chars", bins: int = 8
 ) -> DataFrame:

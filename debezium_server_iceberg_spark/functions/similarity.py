@@ -497,3 +497,91 @@ def lsh_bucketed_topk(
             F.round("cos", 3).alias("cosine"),
         )
     )
+
+
+def _jl_signs(d_in: int, d_out: int) -> list[list[int]]:
+    """The deterministic +-1 projection matrix: sign(i, j) = +1 iff the
+    first hex digit of md5("i:j") is even.  Driver-side constant
+    generation (d_in * d_out md5 calls — planning scale); the md5 spec
+    makes it engine-portable, so a SQL oracle re-derives every sign."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    d_out: int = 16,
+    d_in: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection (Achlioptas 2003,
+    "Database-friendly random projections"): project each embedding to
+    ``d_out`` dimensions with a deterministic +-1 matrix, scaled by
+    1/sqrt(d_out) so expected pairwise distances are preserved — the
+    standard cheap pre-reduction before clustering / coarse quantizing
+    a 100-TB embedding column (4x fewer bytes into every downstream
+    shuffle at d_out = d_in/4).
+
+    The sign matrix is an md5-derived constant folded into the plan
+    (never a join, never per-row hashing); the projection is a pure
+    in-array column expression — ZERO shuffles, a map over the scan.
+    Each output component is a fixed-order sequential fold, rounded to
+    ``round_to`` decimals (cross-engine sum-order noise absorbed).
+
+    Returns ``(id_col, proj)`` with ``proj: array<double>[d_out]``.
+    """
+    signs = _jl_signs(d_in, d_out)
+    scale = 1.0 / float(d_out) ** 0.5
+    rows = ", ".join(
+        "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in signs
+    )
+    # the trailing "+ 0.0d" collapses IEEE negative zero (round can
+    # yield -0.0 from a tiny negative sum; engines disagree on its
+    # sign bit, and -0.0 != 0.0 under textual value hashing)
+    comp = (
+        f"transform(array({rows}), r -> "
+        f"round(aggregate(sequence(1, {d_in}), cast(0.0 as double),"
+        f" (acc, i) -> acc + cast(element_at(_v, i) as double)"
+        f" * element_at(r, i)) * {scale!r}D, {int(round_to or 12)}) + 0.0d)"
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).select(F.col(id_col), F.expr(comp).alias("proj"))
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one —
+    the index-quality monitor every production vector store runs when
+    (re)tuning n_probe / n_planes / PQ bits.  Both inputs are the
+    k-bounded ``(query_id, rank, neighbor_id, ...)`` relations the
+    search operators emit, so this is planning-scale work: one
+    k-row-per-query equi-join and a count.  Queries the approximate
+    index missed entirely still appear (n_hits = 0).  Integer output —
+    bit-exact across engines."""
+    e = exact.select("query_id", F.col("neighbor_id").alias("_nid"))
+    a = approx.select("query_id", F.col("neighbor_id").alias("_nid"))
+    hits = (
+        a.join(e, ["query_id", "_nid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )

@@ -3783,6 +3783,162 @@ def winnowing_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "epoch_plan_sources",
+    f"""
+    WITH w AS (
+      SELECT source, CAST(sum(len({_TOKENS_SQL})) AS HUGEINT)
+               AS tokens_available
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source, tokens_available,
+             CAST(floor(sqrt(CAST(tokens_available AS DOUBLE))) AS HUGEINT)
+               AS rs
+      FROM w
+    ), tot AS (
+      SELECT sum(tokens_available) AS t, sum(rs) AS den FROM r
+    ), plan AS (
+      SELECT source, CAST(tokens_available AS BIGINT) AS tokens_available,
+             CAST((t * 1 // 2) * rs // den AS BIGINT) AS alloc_tokens
+      FROM r, tot
+    )
+    SELECT source, tokens_available, alloc_tokens,
+           CAST((alloc_tokens + tokens_available - 1)
+                // tokens_available AS BIGINT) AS epochs,
+           (alloc_tokens + tokens_available - 1) // tokens_available > 1
+             AS oversampled
+    FROM plan
+    """,
+)
+def epoch_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe epoch planning: temperature-flattened (alpha = 1/2)
+    token allocations for a half-corpus budget and the repeat-pass
+    (epoch) count each source needs — the oversampling plan a LLaMA-
+    style data card publishes.  Exact integer contract throughout
+    (floor(sqrt) is exact below 2^52; allocations in decimal/hugeint);
+    one partial-agg groupBy + broadcast totals, output one row per
+    source (``functions/curation.py:epoch_plan``)."""
+    from .functions.curation import epoch_plan
+
+    return epoch_plan(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "random_projection_embed",
+    f"""
+    WITH dims AS (
+      SELECT i.i AS i, j.j AS j,
+             CASE WHEN CAST(concat('0x', substr(md5(i.i || ':' || j.j), 1, 1))
+                       AS INT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(64)) AS i) i,
+           (SELECT unnest(range(16)) AS j) j
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+      SELECT vec_id, d.j, round(sum(v[d.i + 1] * d.s) * 0.25, 4) + 0.0 AS c
+      FROM vecs, dims d GROUP BY vec_id, d.j
+    )
+    SELECT vec_id, list(c ORDER BY j) AS proj FROM comp GROUP BY vec_id
+    """,
+)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims (Achlioptas
+    2003): the cheap pre-reduction before clustering/coarse-quantizing
+    an embedding column at scale.  The +-1 matrix is an md5-derived
+    constant folded into the plan; the projection is a pure in-array
+    expression — zero shuffles.  1/sqrt(16) = 0.25 keeps the scale
+    factor exactly representable; the oracle re-derives every sign and
+    component (``functions/similarity.py:random_projection``)."""
+    from .functions.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), d_out=16, d_in=64)
+
+
+def _hex8_to_int(expr: str) -> str:
+    """SQL expression decoding the first 8 hex chars of md5 text ``expr``
+    to a non-negative integer (DuckDB has no hex->int cast)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {c + 1}, 1)) - 1) "
+        f"* {16 ** (7 - c)}"
+        for c in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_recall_oracle(n_planes: int = 4, seed: int = 42, k: int = 5) -> str:
+    """Recall@k oracle: replays BOTH retrievers — the exact top-k and
+    the full-semantics LSH pipeline (same CTE structure as
+    ``_lsh_topk_oracle``) — then counts the per-query intersection."""
+    comp = _hex8_to_int(f"md5(concat({seed}, ':', p.p, ':', i.i))")
+    return f"""
+    WITH dims AS (
+      SELECT max(len(embedding)) AS d FROM embeddings
+    ), planes AS (
+      SELECT p.p AS p, i.i AS i,
+             ({comp} / 2147483647.0) - 1.0 AS comp
+      FROM range({n_planes}) AS p(p), dims, unnest(range(dims.d)) AS i(i)
+    ), dots AS (
+      SELECT e.vec_id, pl.p,
+             sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.comp) AS dot
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.p
+    ), sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id
+    ), base AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id)
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, bucket FROM base WHERE vec_id < 10
+    ), ascored AS (
+      SELECT q.qid, b.vec_id AS cid,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.qid
+    ), aranked AS (
+      SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      FROM ascored
+    ), ap AS (
+      SELECT qid, cid FROM aranked WHERE rank <= {k}
+    ), escored AS (
+      SELECT q.qid, b.vec_id AS cid,
+             list_cosine_similarity(q.qv, b.v) AS cos
+      FROM base b, q WHERE b.vec_id != q.qid
+    ), eranked AS (
+      SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      FROM escored
+    ), ex AS (
+      SELECT qid, cid FROM eranked WHERE rank <= {k}
+    ), hits AS (
+      SELECT ex.qid, count(*) AS n_hits
+      FROM ex JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
+      GROUP BY ex.qid
+    )
+    SELECT q.qid AS query_id, {k} AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
+    """
+
+
+@_register("ann_recall_eval", _ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed approximate search against the
+    exact GEMM top-k — the index-quality monitor that decides n_planes
+    / n_probe retuning in production.  Integer contract (hit counts);
+    the oracle replays the exact retriever, the FULL LSH pipeline
+    (md5 planes, signatures, bucket join, in-bucket rerank), and the
+    intersection (``functions/similarity.py:recall_at_k``)."""
+    from .functions.similarity import cosine_topk, lsh_bucketed_topk, recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_ids=list(range(10)), k=5)
+    approx = lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5, n_planes=4)
+    return recall_at_k(exact, approx, k=5)
+
+
+@_register(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -4848,17 +5004,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["ann_ivf_topk"] = _ORACLES["ann_cosine_topk"]
-
-
-def _hex8_to_int(expr: str) -> str:
-    """SQL expression decoding the first 8 hex chars of md5 text ``expr``
-    to a non-negative integer (DuckDB has no hex->int cast)."""
-    terms = [
-        f"(strpos('0123456789abcdef', substr({expr}, {c + 1}, 1)) - 1) "
-        f"* {16 ** (7 - c)}"
-        for c in range(8)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 def _lsh_topk_oracle(n_planes: int = 4, seed: int = 42, k: int = 5) -> str:
@@ -6207,17 +6352,20 @@ _CHECK_PRIORITY = [
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
     # --- round-10 new (third + fourth wave) ---
-    # WINDOW ACCOUNTING AT r10: front = 25 round-10-new gates + the 14-gate
-    # r7-stale tail the r9 verdict ordered + 11 r8-era gates = 50.  The 39
+    # WINDOW ACCOUNTING AT r10: front = 28 round-10-new gates + the 14-gate
+    # r7-stale tail the r9 verdict ordered + 8 r8-era gates = 50.  The 42
     # gates whose newest driver row stays r8 (set difference: in
     # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
     # pivot/cube/percentile/window-fn showcase family, the second as-of +
     # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 5
+    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 8
     # r8-refresh entries these waves pushed past the cutoff) are 2 rounds old
-    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 37 + fills from the
+    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 42 + fills from the
     # r9-era fold).
+    "epoch_plan_sources",
+    "random_projection_embed",
+    "ann_recall_eval",
     "bitext_mining_pairs",
     "winnowing_fingerprint_docs",
     "bpe_encode_docs",

@@ -242,3 +242,22 @@ def test_bigram_logprob_flags_alien_word_order(spark):
     # single-token / empty docs are absent
     out2 = bigram_logprob_score(_docs(spark, [_d(1, "word"), _d(2, "")])).collect()
     assert out2 == []
+
+
+def test_epoch_plan_hand_computed_oversampling(spark):
+    """A: 16 tokens, B: 10000 -> r = (4, 100), den = 104, budget
+    T = 5008; alloc_A = floor(5008*4/104) = 192 -> epochs 12."""
+    from debezium_server_iceberg_spark.functions.curation import epoch_plan
+
+    rows = [(1, " ".join(["w"] * 16), "A")] + [
+        (100 + i, " ".join(["x"] * 100), "B") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in epoch_plan(df).collect()}
+    assert out["A"]["tokens_available"] == 16
+    assert out["B"]["tokens_available"] == 10000
+    assert out["A"]["alloc_tokens"] == (10016 // 2) * 4 // 104  # 192
+    assert out["A"]["epochs"] == 12 and out["A"]["oversampled"]
+    assert out["B"]["epochs"] == 1 and not out["B"]["oversampled"]
+    # allocations never exceed the budget
+    assert sum(r["alloc_tokens"] for r in out.values()) <= 10016 // 2

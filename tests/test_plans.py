@@ -598,3 +598,32 @@ def test_winnowing_zero_shuffle_scan_projection(spark, fns):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "Generate" not in plan  # in-array, never exploded
+
+
+def test_epoch_plan_planning_scale_no_wide_join(spark, fns):
+    """Per-source masses + broadcast totals: no sort-merge join, no
+    cartesian; everything after the one corpus aggregate is
+    source-cardinality work."""
+    plan = _plan(fns["epoch_plan_sources"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
+    assert "HashAggregate" in plan
+
+
+def test_random_projection_zero_shuffle(spark, fns):
+    """The sign matrix is a plan constant and the projection a pure
+    column expression — scan + project, nothing else."""
+    plan = _plan(fns["random_projection_embed"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_ann_recall_composition_k_bounded_tail(spark, fns):
+    """Both retrievers keep their scale shapes (exact GEMM MapInPandas
+    + LSH path); the recall join itself touches only k-bounded
+    relations — no cartesian anywhere."""
+    plan = _plan(fns["ann_recall_eval"](spark, SF))
+    assert "MapInPandas" in plan  # the exact GEMM side
+    assert "CartesianProduct" not in plan

@@ -158,3 +158,51 @@ def test_hard_negatives_excludes_own_label_and_self(spark):
     for r in rows:
         if r["rank"] == 1:
             assert r["cosine"] <= top1[r["query_id"]] + 1e-9
+
+
+def test_random_projection_deterministic_and_distance_preserving(spark):
+    import numpy as np
+    from debezium_server_iceberg_spark.functions.similarity import (
+        _jl_signs,
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = emb.filter("vec_id < 40")
+    p1 = {r["vec_id"]: r["proj"] for r in random_projection(sub).collect()}
+    p2 = {r["vec_id"]: r["proj"] for r in random_projection(sub).collect()}
+    assert p1 == p2 and len(p1) == 40 and all(len(v) == 16 for v in p1.values())
+    # matches the driver-side constant matrix applied in numpy
+    S = np.array(_jl_signs(64, 16))  # (16, 64)
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in sub.collect()}
+    for vid in (0, 7, 39):
+        ref = np.round(S @ raw[vid] * 0.25, 4) + 0.0
+        assert np.allclose(p1[vid], ref, atol=1e-9)
+    # JL: median pairwise-distance distortion is modest at d_out=16
+    ids = sorted(p1)
+    dist = []
+    for a in ids[:10]:
+        for b in ids[10:20]:
+            d_hi = np.linalg.norm(raw[a] - raw[b])
+            # the 1/sqrt(d_out) scale is already inside proj, so the
+            # projected distance estimates the original directly
+            d_lo = np.linalg.norm(np.array(p1[a]) - np.array(p1[b]))
+            dist.append(abs(d_lo - d_hi) / d_hi)
+    assert np.median(dist) < 0.5
+
+
+def test_recall_at_k_counts_and_zero_fill(spark):
+    from debezium_server_iceberg_spark.functions.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (2, 1, 20), (2, 2, 21)],
+        "query_id long, rank int, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 99)],  # query 2 missing entirely
+        "query_id long, rank int, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in recall_at_k(exact, approx, k=2).collect()}
+    assert out[1]["n_hits"] == 1 and out[2]["n_hits"] == 0
+    assert all(r["k"] == 2 for r in out.values())
