@@ -3783,6 +3783,131 @@ def winnowing_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "retention_cohorts",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', {_TS_US}) AS wk
+      FROM events
+    ), first AS (
+      SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, u.wk) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM uw u JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis — the standard product-analytics
+    rollup (users grouped by first-activity week; how many are still
+    active N weeks later), complementing the funnel and sessionization
+    gates on the events surface.  Shapes: one distinct on (user, week)
+    (partial-agg), one per-user min, one keyed join (AQE's call — both
+    sides are user-cardinality), one final aggregate.  (user, week)
+    rows are unique by construction, so the cohort cell count is a
+    plain count, never count_distinct."""
+    ev = _events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY {_TS_US}, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (ordered by ts, event_id tie-break) — the behavioral
+    n-gram table behind next-action models and anomaly scoring.  One
+    shuffle partitions by user for the lead() window (user sequences
+    are short — no skew), one partial-agg shuffle for the (from, to)
+    counts."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@_register(
+    "triangle_count_graph",
+    """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    cnt AS (SELECT count(*) AS n FROM nodes),
+    dedges AS (
+      SELECT node AS src,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(node AS VARCHAR),
+                                                      ':', CAST(j AS VARCHAR))),
+                                           1, 8)) AS UBIGINT)
+                  % (SELECT n FROM cnt) AS BIGINT) AS dst
+      FROM nodes, unnest([0, 1, 2]) AS t(j)
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dedges WHERE src != dst
+    ), tri AS (
+      SELECT w1.a, w1.b AS m, w2.b AS c
+      FROM und w1
+      JOIN und w2 ON w2.a = w1.b
+      JOIN und w3 ON w3.a = w1.a AND w3.b = w2.b
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT m FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the (undirected) md5-derived
+    link graph — link-farm / community-density features alongside the
+    PageRank quality prior (same derived graph, same edge contract).
+    Wedge join + closure join, every side merge-pinned (exploded-scan
+    relations: the estimate-lies-by-fanout broadcast OOM class)
+    (``functions/graph.py:triangle_counts``).  The oracle re-derives
+    the edges and counts triangles by the same a < b < c enumeration."""
+    from .functions.graph import derived_link_graph, triangle_counts
+
+    edges, _ = derived_link_graph(_t(spark, sf_dir, "documents"))
+    return triangle_counts(edges)
+
+
+@_register(
     "epoch_plan_sources",
     f"""
     WITH w AS (
@@ -6352,17 +6477,20 @@ _CHECK_PRIORITY = [
     # rotate them forward in r11.  r9-window gates (50) are 1 round old
     # and sit after the fold.
     # --- round-10 new (third + fourth wave) ---
-    # WINDOW ACCOUNTING AT r10: front = 28 round-10-new gates + the 14-gate
-    # r7-stale tail the r9 verdict ordered + 8 r8-era gates = 50.  The 42
+    # WINDOW ACCOUNTING AT r10: front = 31 round-10-new gates + the 14-gate
+    # r7-stale tail the r9 verdict ordered + 5 r8-era gates = 50.  The 45
     # gates whose newest driver row stays r8 (set difference: in
     # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
     # pivot/cube/percentile/window-fn showcase family, the second as-of +
     # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 8
+    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 11
     # r8-refresh entries these waves pushed past the cutoff) are 2 rounds old
-    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 42 + fills from the
+    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 45 + fills from the
     # r9-era fold).
+    "retention_cohorts",
+    "event_transition_matrix",
+    "triangle_count_graph",
     "epoch_plan_sources",
     "random_projection_embed",
     "ann_recall_eval",

@@ -627,3 +627,27 @@ def test_ann_recall_composition_k_bounded_tail(spark, fns):
     plan = _plan(fns["ann_recall_eval"](spark, SF))
     assert "MapInPandas" in plan  # the exact GEMM side
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_joins_all_merge_pinned(spark, fns):
+    """Wedge + closure joins run between exploded-scan relations whose
+    size estimates lie by the fanout — both must be SMJ, zero
+    broadcasts of the edge relation (the grid/dims of other gates don't
+    appear here at all)."""
+    plan = _plan(fns["triangle_count_graph"](spark, SF))
+    assert plan.count("SortMergeJoin") == 2  # wedge + closure, ONCE each
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan  # corner credit is one explode, not 3 branches
+
+
+def test_retention_and_transitions_shapes(spark, fns):
+    """Retention: distinct + min + keyed join + agg, no cartesian.
+    Transitions: exactly one user-partitioned window, then partial-agg
+    counts."""
+    r = _plan(fns["retention_cohorts"](spark, SF))
+    assert "CartesianProduct" not in r
+    assert "HashAggregate" in r
+    t = _plan(fns["event_transition_matrix"](spark, SF))
+    assert t.count("Window [") == 1
+    assert "HashAggregate" in t

@@ -192,3 +192,26 @@ def test_bm25_exclude_self_drops_query_doc(spark):
     no_self = bm25_topk(docs, qdf, k=5, exclude_self=True).collect()
     assert any(r["query_id"] == r["doc_id"] for r in with_self)
     assert all(r["query_id"] != r["doc_id"] for r in no_self)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge = exactly 2 triangles; corner credits check
+    out (shared-edge nodes sit in both)."""
+    from debezium_server_iceberg_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # 1-2,1-3,1-4,2-3,3-4  (missing 2-4): triangles {1,2,3}, {1,3,4}
+        [(1, 2), (3, 1), (1, 4), (2, 3), (4, 3), (2, 1)],  # dup + reversed ok
+        "src long, dst long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_triangle_counts_ignores_loops_and_triangle_free(spark):
+    from debezium_server_iceberg_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_counts(edges).collect() == []

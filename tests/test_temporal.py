@@ -141,3 +141,61 @@ def test_range_join_matches_model(spark, livs, rivs, width):
         if ls <= re and rs <= le
     }
     assert got == expect
+
+
+def test_retention_cohort_hand_computed(spark):
+    """Two users: u1 first active week W0 and again W0+2; u2 only W0+1
+    -> cohorts and offsets fall out exactly."""
+    from debezium_server_iceberg_spark import queries as qmod
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 10, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 11), 10, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 15, 9), 10, "click", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 8, 9), 20, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in qmod.queries()["retention_cohorts"](spark, d).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,  # u1 W0
+        ("2024-01-01", 2): 1,  # u1 back in W0+2
+        ("2024-01-08", 0): 1,  # u2 cohort starts a week later
+    }
+
+
+def test_event_transitions_ordered_with_tiebreak(spark):
+    from debezium_server_iceberg_spark import queries as qmod
+    import datetime as dt
+    import tempfile, os
+
+    t = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (1, t, 7, "a", 0.0, "{}"),
+        (2, t, 7, "b", 0.0, "{}"),  # same ts: event_id breaks the tie
+        (3, t + dt.timedelta(minutes=1), 7, "c", 0.0, "{}"),
+        (4, t, 8, "a", 0.0, "{}"),  # single-event user: no transition
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in qmod.queries()["event_transition_matrix"](spark, d).collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
