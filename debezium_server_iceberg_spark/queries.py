@@ -6470,24 +6470,25 @@ _CHECK_PRIORITY = [
     # ROUND-10 ROTATION (VERDICT r9 item 1): the driver checks the first
     # 50 entries.  Front: the five round-10-new gates (never driver-
     # confirmed), then the 14-gate tail whose newest driver row is round 7
-    # (the exact list the r9 verdict ordered), then 31 round-8-window
-    # gates (their rows are the oldest remaining).  The 19 r8-window gates
-    # past the cutoff (events_sliding_counts + the minhash/simhash/ngram/
-    # ANN-variant/text-stats family) are exactly 2 rounds old at r10 —
-    # rotate them forward in r11.  r9-window gates (50) are 1 round old
-    # and sit after the fold.
-    # --- round-10 new (third + fourth wave) ---
-    # WINDOW ACCOUNTING AT r10: front = 31 round-10-new gates + the 14-gate
-    # r7-stale tail the r9 verdict ordered + 5 r8-era gates = 50.  The 45
-    # gates whose newest driver row stays r8 (set difference: in
-    # CORRECTNESS_r08 but not r09 and past position 50 — q21, the
-    # pivot/cube/percentile/window-fn showcase family, the second as-of +
-    # funnel pair, token_stats/doc_fingerprint, the minhash/simhash/ngram/
+    # (the exact list the r9 verdict ordered), then the 8 oldest
+    # remaining r8-window gates (the later waves displaced the rest —
+    # see the verified accounting below).  r9-window gates (50) are
+    # 1 round old and sit after the fold.
+    # --- round-10 new (waves 3-7) ---
+    # WINDOW ACCOUNTING AT r10 (verified by set arithmetic over the
+    # CORRECTNESS_r08/r09 artifacts + the live registry): front =
+    # 28 round-10-new gates + the 14-gate r7-stale tail the r9 verdict
+    # ordered + 8 r8-era gates (changed_rows_scan,
+    # changed_rows_with_deletes, iceberg_export_partitioned_roundtrip,
+    # q2, q5, q6, rollup_revenue, sql_read_surface) = 50.  The 42 gates
+    # whose newest driver row stays r8 (in CORRECTNESS_r08, not in r09,
+    # past position 50: the q7-q21 TPC-H tail, the
+    # pivot/cube/percentile/window-fn showcase family, asof+funnel,
+    # token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail, plus the last 11
-    # r8-refresh entries these waves pushed past the cutoff) are 2 rounds old
-    # at r10 — SEED THE r11 WINDOW WITH THEM (they fit: 45 + fills from the
-    # r9-era fold).
+    # reservoir/tfidf/packing/corpus-stats/curation tail) are 2 rounds
+    # old at r10 — SEED THE r11 WINDOW WITH THEM (42 + 8 fills from the
+    # r9-era fold = 50).
     "retention_cohorts",
     "event_transition_matrix",
     "triangle_count_graph",
