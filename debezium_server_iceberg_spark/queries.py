@@ -3846,9 +3846,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over per-user event
     sequences (ordered by ts, event_id tie-break) — the behavioral
     n-gram table behind next-action models and anomaly scoring.  One
-    shuffle partitions by user for the lead() window (user sequences
-    are short — no skew), one partial-agg shuffle for the (from, to)
-    counts."""
+    shuffle partitions by user for the lead() window, one partial-agg
+    shuffle for the (from, to) counts.  Skew note for 100 TB: a bot
+    user with 10^8 events makes its window partition a single task;
+    the standard mitigation is pre-bucketing the key to (user, day)
+    and accepting the loss of cross-midnight transitions (or stitching
+    boundaries with a second tiny pass) — human-scale sequences need
+    neither."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
