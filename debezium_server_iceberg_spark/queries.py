@@ -2947,7 +2947,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, sum(len(t)) AS tt FROM docs0
     ), q AS (
       SELECT doc_id AS qid, list_slice(t, 1, 8) AS qt
-      FROM docs0 WHERE doc_id % 101 = 7 AND len(t) >= 1
+      FROM docs0 WHERE doc_id % 101 = 7 AND doc_id < 5051 AND len(t) >= 1
     ), qterms AS (
       SELECT DISTINCT qid, term FROM q, unnest(qt) AS u(term)
     ), terms AS (
@@ -2982,8 +2982,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval: every 101st document's first 8 tokens
-    form a query batch; the engine builds posting lists for exactly the
+    """BM25 lexical retrieval: every 101st document (id-capped so the
+    batch is ~50 queries at every SF — a production query batch is
+    workload-sized, not corpus-sized; uncapped, the gate's cost grows
+    queries x corpus = quadratically in SF) contributes its first 8
+    tokens as a query; the engine builds posting lists for exactly the
     queried terms and ranks the corpus under the integer BM25 contract
     (``functions/retrieval.py`` — rational idf, cleared denominators,
     DECIMAL(38,0)/HUGEINT), so the oracle reproduces every score
@@ -2994,7 +2997,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     queries_df = (
-        docs.filter(F.col("doc_id") % 101 == 7)
+        docs.filter((F.col("doc_id") % 101 == 7) & (F.col("doc_id") < 5051))
         .select(
             F.col("doc_id").alias("query_id"),
             F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
@@ -3311,7 +3314,7 @@ _BM25_FUSE_CTES = f"""
       SELECT count(*) AS n, sum(len(t)) AS tt FROM docs0
     ), q AS (
       SELECT doc_id AS qid, list_slice(t, 1, 8) AS qt
-      FROM docs0 WHERE doc_id % 101 = 7 AND len(t) >= 1
+      FROM docs0 WHERE doc_id % 101 = 7 AND doc_id < 5051 AND len(t) >= 1
     ), qterms AS (
       SELECT DISTINCT qid, term FROM q, unnest(qt) AS u(term)
     ), terms AS (
@@ -3390,9 +3393,11 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal-rank fusion under the integer floor(1e6/(60+rank))
     contract (``functions/retrieval.py:rrf_fuse``) — the production
     RAG/search combiner, needing no score calibration across systems.
-    Queries are every 101st document (first 8 tokens lexically; its
-    embedding densely).  The oracle replays both retrievers AND the
-    fusion bit-for-bit."""
+    Queries are every 101st document up to the id cap (the same
+    bounded ~50-query batch as ``bm25_topk_docs`` — workload-sized,
+    not corpus-sized), first 8 tokens lexically and its embedding
+    densely.  The oracle replays both retrievers AND the fusion
+    bit-for-bit."""
     from .functions.retrieval import bm25_topk, rrf_fuse
     from .functions.similarity import cosine_topk
     from .functions.text import tokens_col
@@ -3400,7 +3405,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     qdf = (
-        docs.filter(F.col("doc_id") % 101 == 7)
+        docs.filter((F.col("doc_id") % 101 == 7) & (F.col("doc_id") < 5051))
         .select(
             F.col("doc_id").alias("query_id"),
             F.slice(tokens_col(F.col("text")), 1, 8).alias("terms"),
