@@ -3788,6 +3788,50 @@ def winnowing_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+    ), cells AS (
+      SELECT j.j AS row,
+             CAST(CAST(concat('0x', substr(md5(j.j || ':' || t), 1, 8))
+                       AS UBIGINT) % 1024 AS BIGINT) AS bucket
+      FROM toks, unnest([0, 1, 2]) AS j(j)
+    ), sketch AS (
+      SELECT row, bucket, count(*) AS counter FROM cells GROUP BY row, bucket
+    ), counts AS (
+      SELECT t AS token, count(*) AS exact_count FROM toks GROUP BY t
+    ), top AS (
+      SELECT token, exact_count,
+             row_number() OVER (ORDER BY exact_count DESC, token ASC) AS rank
+      FROM counts QUALIFY rank <= 20
+    ), addressed AS (
+      SELECT p.rank, p.token, p.exact_count, j.j AS row,
+             CAST(CAST(concat('0x', substr(md5(j.j || ':' || p.token), 1, 8))
+                       AS UBIGINT) % 1024 AS BIGINT) AS bucket
+      FROM top p, unnest([0, 1, 2]) AS j(j)
+    )
+    SELECT a.rank, a.token, CAST(a.exact_count AS BIGINT) AS exact_count,
+           CAST(min(s.counter) AS BIGINT) AS cms_estimate
+    FROM addressed a JOIN sketch s USING (row, bucket)
+    GROUP BY a.rank, a.token, a.exact_count
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: the exact top-20 tokens
+    with their CMS estimates alongside — completes the sketch family
+    (bloom = membership, KMV = cardinality/overlap, CMS = frequency)
+    and is the fixed-memory path when the vocabulary outgrows an exact
+    aggregate.  d=3 seeded md5 hash rows x w=1024 buckets built in one
+    partial-agg corpus pass; estimates via broadcast of the ~KB sketch;
+    est >= exact by construction (``functions/cms.py``).  Exact-integer
+    contract throughout — the oracle rebuilds the sketch bit-for-bit."""
+    from .functions.cms import cms_heavy_hitters as _cms
+
+    return _cms(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "retention_cohorts",
     f"""
     WITH uw AS (
@@ -6486,18 +6530,19 @@ _CHECK_PRIORITY = [
     # --- round-10 new (waves 3-7) ---
     # WINDOW ACCOUNTING AT r10 (verified by set arithmetic over the
     # CORRECTNESS_r08/r09 artifacts + the live registry): front =
-    # 28 round-10-new gates + the 14-gate r7-stale tail the r9 verdict
-    # ordered + 8 r8-era gates (changed_rows_scan,
+    # 29 round-10-new gates + the 14-gate r7-stale tail the r9 verdict
+    # ordered + 7 r8-era gates (changed_rows_scan,
     # changed_rows_with_deletes, iceberg_export_partitioned_roundtrip,
-    # q2, q5, q6, rollup_revenue, sql_read_surface) = 50.  The 42 gates
-    # whose newest driver row stays r8 (in CORRECTNESS_r08, not in r09,
+    # q2, q5, rollup_revenue, sql_read_surface; q6 now falls past the cutoff) = 50.  The 43 gates
+    # whose newest driver row stays r8 (q6_forecast_revenue joins the list) (in CORRECTNESS_r08, not in r09,
     # past position 50: the q7-q21 TPC-H tail, the
     # pivot/cube/percentile/window-fn showcase family, asof+funnel,
     # token_stats/doc_fingerprint, the minhash/simhash/ngram/
     # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
     # reservoir/tfidf/packing/corpus-stats/curation tail) are 2 rounds
-    # old at r10 — SEED THE r11 WINDOW WITH THEM (42 + 8 fills from the
+    # old at r10 — SEED THE r11 WINDOW WITH THEM (43 + 7 fills from the
     # r9-era fold = 50).
+    "cms_heavy_hitters",
     "retention_cohorts",
     "event_transition_matrix",
     "triangle_count_graph",

@@ -651,3 +651,14 @@ def test_retention_and_transitions_shapes(spark, fns):
     t = _plan(fns["event_transition_matrix"](spark, SF))
     assert t.count("Window [") == 1
     assert "HashAggregate" in t
+
+
+def test_cms_sketch_broadcasts_and_builds_in_one_pass(spark, fns):
+    """The sketch side is a d*w-bounded aggregate that BROADCASTS into
+    the estimate join; the exact top-n stays two-phase (pre-prune
+    window before the bounded global rank); no cartesian, no SMJ."""
+    plan = _plan(fns["cms_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 2  # two-phase exact top-n
