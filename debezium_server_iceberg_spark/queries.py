@@ -4011,11 +4011,10 @@ def epoch_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest(range(16)) AS j) j
     ), vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), comp AS (
-      SELECT vec_id, d.j, round(sum(v[d.i + 1] * d.s) * 0.25, 4) + 0.0 AS c
-      FROM vecs, dims d GROUP BY vec_id, d.j
     )
-    SELECT vec_id, list(c ORDER BY j) AS proj FROM comp GROUP BY vec_id
+    SELECT vec_id, CAST(d.j AS INT) AS j,
+           round(sum(v[d.i + 1] * d.s) * 0.25, 4) + 0.0 AS c
+    FROM vecs, dims d GROUP BY vec_id, d.j
     """,
 )
 def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4025,10 +4024,19 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant folded into the plan; the projection is a pure in-array
     expression — zero shuffles.  1/sqrt(16) = 0.25 keeps the scale
     factor exactly representable; the oracle re-derives every sign and
-    component (``functions/similarity.py:random_projection``)."""
+    component (``functions/similarity.py:random_projection``).
+
+    ``random_projection()`` returns ``(vec_id, proj array<double>)``
+    for production use; the GATE posexplodes to scalar ``(vec_id, j,
+    c)`` rows because the driver's canonicalizer hashes scalar columns
+    only (every other registered gate already emits scalars — pinned by
+    ``tests/test_entry.py::test_gate_outputs_are_scalar_typed``)."""
     from .functions.similarity import random_projection
 
-    return random_projection(_t(spark, sf_dir, "embeddings"), d_out=16, d_in=64)
+    proj = random_projection(_t(spark, sf_dir, "embeddings"), d_out=16, d_in=64)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "c")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "c")
 
 
 def _hex8_to_int(expr: str) -> str:

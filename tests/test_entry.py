@@ -1,0 +1,77 @@
+"""Registry-wide contracts for the driver gate surface.
+
+The driver canonicalizes each gate's output with pandas
+``sort_values`` + value hashing, which throws on unhashable cells
+(lists/dicts) — so every registered gate must emit SCALAR columns only.
+r10 shipped one array-typed gate output (`random_projection_embed`,
+`proj array<double>`) and it was the round's only red driver row; this
+module pins the contract so a later wave can't reintroduce the class.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from debezium_server_iceberg_spark import queries as qmod
+
+SF = "/root/testdata/sf0.001"
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_gate_outputs_are_scalar_typed(spark):
+    """Every registered gate's output schema is scalar-only (no
+    Array/Map/Struct columns): the driver's pandas canonicalizer
+    cannot hash complex cells.  Schema analysis only — no execution."""
+    fns = qmod.queries()
+    offenders = {}
+    for name, fn in fns.items():
+        schema = fn(spark, SF).schema
+        bad = [
+            f.name for f in schema.fields if isinstance(f.dataType, _COMPLEX)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "gates with complex-typed output columns (driver canonicalizer "
+        f"cannot hash them): {offenders}"
+    )
+
+
+def test_every_gate_has_oracle_or_is_documented(spark):
+    """Every gate name resolves; oracle coverage is total (any gate
+    without an oracle row is a weaker rows-only driver check — keep
+    that set empty unless a gate is genuinely non-SQL-expressible)."""
+    fns = qmod.queries()
+    oracles = qmod.oracle_sql()
+    missing = sorted(set(fns) - set(oracles))
+    assert missing == [], f"gates without oracle SQL: {missing}"
+
+
+def test_random_projection_gate_matches_operator(spark):
+    """The gate's exploded (vec_id, j, c) rows must reassemble to the
+    production operator's array output exactly."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.functions.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    arr = {
+        r["vec_id"]: list(r["proj"])
+        for r in random_projection(emb, d_out=16, d_in=64).collect()
+    }
+    gate = qmod.queries()["random_projection_embed"](spark, SF)
+    rebuilt = {
+        r["vec_id"]: [c for _, c in sorted(zip(r["js"], r["cs"]))]
+        for r in gate.groupBy("vec_id")
+        .agg(
+            F.collect_list("j").alias("js"), F.collect_list("c").alias("cs")
+        )
+        .collect()
+    }
+    assert rebuilt == arr
+    # and the gate itself is scalar-typed
+    assert all(
+        not isinstance(f.dataType, _COMPLEX) for f in gate.schema.fields
+    )
