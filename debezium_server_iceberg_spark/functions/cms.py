@@ -75,8 +75,12 @@ def cms_estimate(
     token_col: str = "token",
 ) -> DataFrame:
     """Point-query the sketch for each candidate token: est = min over
-    the d rows of the addressed counter.  The sketch broadcasts (d*w
-    rows); candidates keep their other columns."""
+    the d rows of the addressed counter — INCLUDING implicit-zero
+    cells (a cell no token hashed into is absent from the sparse
+    sketch relation but counts as 0 under CMS semantics, so an
+    out-of-corpus candidate estimates 0 instead of vanishing).  The
+    sketch broadcasts (d*w rows); candidates keep their other
+    columns."""
     cells = F.array(
         *[
             F.struct(
@@ -92,9 +96,13 @@ def cms_estimate(
         F.col("_c.bucket").alias("bucket"),
     )
     return (
-        addressed.join(F.broadcast(sketch), ["row", "bucket"])
+        addressed.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min("counter").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0))).alias(
+                "cms_estimate"
+            )
+        )
     )
 
 

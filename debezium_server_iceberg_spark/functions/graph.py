@@ -64,7 +64,21 @@ def derived_link_graph(
     The md5-prefix integer contract is the repo-wide one
     (``functions/pipeline._hash_bucket`` family): first 8 md5 hex
     digits as an integer, here taken modulo N."""
-    n = docs.count()  # planning-scale scalar (one job, one row)
+    # one planning-scale job validates the dense-[0, N) precondition
+    # alongside fetching N: with sparse ids, hash targets land on
+    # nonexistent nodes and their rank mass would silently vanish in
+    # the left join back to the node list — fail loudly instead
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).collect()[0]
+    n = stats["n"]
+    if n and (stats["lo"] != 0 or stats["hi"] != n - 1):
+        raise ValueError(
+            f"derived_link_graph requires {id_col} dense in [0, N): got "
+            f"min={stats['lo']}, max={stats['hi']} for N={n}"
+        )
     targets = F.array(
         *[
             (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(col):
@@ -185,8 +186,19 @@ def hard_negatives(
                 {"qid": out_q, "cid": out_c, "clabel": out_l, "cos": out_s}
             )
 
+    # clabel carries whatever type label_col has (string class labels
+    # work, not just ints) — derive the Arrow output field from the
+    # input schema instead of hardcoding int
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("clabel", df.schema[label_col].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
     scored = df.select(id_col, label_col, vec_col).mapInPandas(
-        score_batches, schema="qid long, cid long, clabel int, cos double"
+        score_batches, schema=out_schema
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (

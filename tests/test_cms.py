@@ -53,3 +53,20 @@ def test_heavy_hitters_ranked_and_bounded(spark):
         (2, "b", 6),
     ]
     assert all(r["cms_estimate"] >= r["exact_count"] for r in out)
+
+
+def test_out_of_corpus_candidate_estimates_zero(spark):
+    """ADVICE r10: a candidate token absent from the corpus must
+    survive with estimate 0 (min over counters INCLUDING implicit-zero
+    cells), not be dropped by an inner join against the sparse
+    sketch."""
+    docs = _docs(spark, ["aa bb aa"])
+    sketch = cms_build(docs, w=1024, d=3)
+    cand = spark.createDataFrame(
+        [("aa",), ("zz_never_seen",)], "token string"
+    )
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimate(sketch, cand).collect()
+    }
+    assert est == {"aa": 2, "zz_never_seen": 0}

@@ -1,6 +1,7 @@
 """Behavior tests for the retrieval (BM25), link-graph (PageRank),
 graded-decontamination, and filtered-ANN operators."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from debezium_server_iceberg_spark.functions.graph import derived_link_graph, pagerank
@@ -215,3 +216,21 @@ def test_triangle_counts_ignores_loops_and_triangle_free(spark):
         [(1, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_counts(edges).collect() == []
+
+
+def test_derived_link_graph_rejects_sparse_ids(spark):
+    """ADVICE r10: sparse ids would silently vanish PageRank mass (hash
+    targets land on nonexistent nodes); the precondition is now
+    enforced in the same planning-scale job that fetches N."""
+    from debezium_server_iceberg_spark.functions.graph import (
+        derived_link_graph,
+    )
+
+    sparse = spark.createDataFrame(
+        [(0,), (1,), (5,)], "doc_id long"
+    )
+    with pytest.raises(ValueError, match=r"dense in \[0, N\)"):
+        derived_link_graph(sparse)
+    shifted = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    with pytest.raises(ValueError, match=r"dense in \[0, N\)"):
+        derived_link_graph(shifted)

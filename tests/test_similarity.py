@@ -206,3 +206,29 @@ def test_recall_at_k_counts_and_zero_fill(spark):
     out = {r["query_id"]: r for r in recall_at_k(exact, approx, k=2).collect()}
     assert out[1]["n_hits"] == 1 and out[2]["n_hits"] == 0
     assert all(r["k"] == 2 for r in out.values())
+
+
+def test_hard_negatives_string_labels(spark):
+    """ADVICE r10: label_col is parameterized, so non-integer label
+    types must work — the Arrow output field is derived from the input
+    schema, not hardcoded int."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_iceberg_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("cls", F.concat(F.lit("class_"), F.col("label")))
+        .drop("label")
+    )
+    rows = hard_negatives(
+        emb, query_ids=[0, 1, 2], k=3, label_col="cls"
+    ).collect()
+    assert len(rows) == 9
+    cls = {r["vec_id"]: r["cls"] for r in emb.select("vec_id", "cls").collect()}
+    for r in rows:
+        assert isinstance(r["neighbor_label"], str)
+        assert r["neighbor_label"] != cls[r["query_id"]]
+        assert r["neighbor_label"] == cls[r["neighbor_id"]]
