@@ -312,3 +312,253 @@ class IVFIndex:
                 F.round("cos", 3).alias("cosine"),
             )
         )
+
+
+class IVFPQIndex:
+    """Persistent IVF-PQ: the cell-partitioned STORED-CODES layout the
+    one-shot ``pq.ivfpq_adc_topk`` names as its scale gap (its
+    codes-to-cells join is corpus x corpus at every call; here codes
+    live on disk partitioned by cell, so a search is a partition-pruned
+    file scan + two broadcast joins — no corpus-sized join at query
+    time at all).  Mirrors :class:`IVFIndex` (raw-vector cells) but the
+    stored rows are ``(vec_id, cell, s, code)`` — m narrow-int rows per
+    vector, the FAISS ``IVFxx,PQyy`` inverted-list layout expressed as
+    a lakehouse table:
+
+    - build: ONE Arrow pass computes the coarse cell (GEMM vs the
+      broadcast coarse codebook) AND the m PQ codes (sequential-fold
+      argmin vs the frozen PQ codebooks) per vector, then appends
+      partitioned by cell — raw vectors are read exactly once, and the
+      one-shot path's corpus x corpus codes-to-cells SMJ never exists;
+    - search: the per-query ADC lookup table (|Q| * m * ks doubles) is
+      computed driver-side with the same sequential fold and broadcast;
+      candidates come ONLY from probed cells' files (manifest-level
+      pruning, zero Spark jobs to plan); the scan is join-broadcast-
+      probes + join-broadcast-LUT + one (qid, vec_id) partial-agg sum —
+      per-search I/O is ~n_probe/n_cells of the CODES (m bytes/vector),
+      not of the raw vectors;
+    - add_batch: encode against the FROZEN codebooks and append into
+      cell partitions (batch update == rebuild given the same
+      codebooks; codebook drift is a periodic-rebuild concern, as in
+      every IVF system).
+
+    Both codebooks persist in table properties (n_cells * dim +
+    m * ks * dim/m doubles — planning-scale JSON).  The fold-order
+    contract (``pq.seq_fold_d2_batch``) keeps every stored code and
+    every LUT entry bit-identical to the in-plan ``pq_encode`` /
+    ``pq_adc_topk`` arithmetic, which is what lets exhaustive probing
+    reuse the brute-force-over-codes oracle."""
+
+    def __init__(self, table: LakeTable) -> None:
+        self.table = table
+        props = table.metadata().properties
+        self.centroids = np.array(json.loads(props["ivf.centroids"]))
+        self.n_cells = int(props["ivf.n-cells"])
+        self.codebooks = np.array(json.loads(props["pq.codebooks"]))
+        self.code_ids = json.loads(props["pq.code-ids"])
+        self.dim = int(props["pq.dim"])
+        self.m = int(props["pq.m"])
+        self.ks = int(props["pq.ks"])
+
+    # ------------------------------------------------------------ build
+    @staticmethod
+    def build(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        df: DataFrame,
+        dim: int,
+        n_cells: int = 16,
+        m: int = 8,
+        ks: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        train: str = "hash",
+        train_iters: int = 5,
+    ) -> "IVFPQIndex":
+        from ..lakehouse.transforms import parse_partition_spec
+        from .pq import collect_pq_codebooks
+
+        if train == "kmeans":
+            cmat = train_kmeans_codebook(
+                df, n_cells, n_iters=train_iters, id_col=id_col, vec_col=vec_col
+            )
+        elif train == "hash":
+            cmat = _hash_codebook(df, n_cells, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown trainer {train!r}")
+        cb, code_ids = collect_pq_codebooks(df, dim, m, ks, id_col, vec_col)
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("s", T.IntegerType()),
+                T.StructField("code", T.LongType()),
+            ]
+        )
+        table = catalog.create_table(
+            namespace,
+            name,
+            schema,
+            partition_spec=parse_partition_spec("cell"),
+            properties={
+                "ivf.centroids": json.dumps([[float(x) for x in c] for c in cmat]),
+                "ivf.n-cells": str(n_cells),
+                "pq.codebooks": json.dumps(
+                    [[[float(x) for x in c] for c in sub] for sub in cb]
+                ),
+                "pq.code-ids": json.dumps([int(c) for c in code_ids]),
+                "pq.dim": str(dim),
+                "pq.m": str(m),
+                "pq.ks": str(ks),
+            },
+        )
+        idx = IVFPQIndex(table)
+        idx.add_batch(df, id_col=id_col, vec_col=vec_col)
+        return idx
+
+    # ------------------------------------------------------- incremental
+    def add_batch(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> int:
+        """One Arrow pass: coarse cell + all m PQ codes per vector
+        against the FROZEN codebooks, appended cell-partitioned.  The
+        raw vectors are read once and never stored."""
+        from .pq import seq_fold_d2_batch
+
+        cmat = self.centroids
+        cb = self.codebooks
+        code_ids = np.asarray(self.code_ids, dtype=np.int64)
+        m, dsub = self.m, self.dim // self.m
+
+        def encode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                vn = _l2_normalize(vecs)
+                cells = np.argmax(vn @ cmat.T, axis=1).astype("int32")
+                out_id, out_cell, out_s, out_code = [], [], [], []
+                for s in range(m):
+                    sub = vecs[:, s * dsub : (s + 1) * dsub]
+                    # sequential fold == pq_encode's _fold_d2; argmin's
+                    # first-occurrence rule == ties to the lower code id
+                    codes = code_ids[np.argmin(seq_fold_d2_batch(sub, cb[s]), axis=1)]
+                    out_id.extend(ids)
+                    out_cell.extend(cells)
+                    out_s.extend([s] * len(ids))
+                    out_code.extend(codes)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": out_id,
+                        "cell": pd.array(out_cell, dtype="int32"),
+                        "s": pd.array(out_s, dtype="int32"),
+                        "code": out_code,
+                    }
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            encode, schema=self.table.metadata().schema
+        )
+        before = self.table.row_count()
+        self.table.append(assigned)
+        return self.table.row_count() - before
+
+    # ------------------------------------------------------------ search
+    def probed_files(
+        self, query_vecs: np.ndarray, n_probe: int
+    ) -> tuple[list, dict[int, list[int]]]:
+        """Manifest-level planning (same as :meth:`IVFIndex.probed_files`):
+        per-query n_probe nearest cells + the files any query probes."""
+        qn = _l2_normalize(query_vecs)
+        per_query: dict[int, list[int]] = {}
+        cells: set[int] = set()
+        for i, qv in enumerate(qn):
+            order = np.argsort(-(self.centroids @ qv))[:n_probe]
+            per_query[i] = [int(c) for c in order]
+            cells.update(per_query[i])
+        files = [
+            f
+            for f in self.table.current_files()
+            if f.partition.get("_p_cell") is None
+            or int(f.partition["_p_cell"]) in cells
+        ]
+        return files, per_query
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_ids: list[int],
+        query_vecs: np.ndarray,
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells only.  ``query_vecs`` is
+        row-aligned with ``query_ids`` and REQUIRED: the index stores
+        codes, not raw vectors, so queries cannot be resolved from the
+        table (by design — the raw corpus stays in its source table).
+
+        Returns ``(query_id, rank, neighbor_id, adc_dist2)`` —
+        the :func:`pq.pq_adc_topk` output contract."""
+        from .pq import seq_fold_d2_batch
+
+        empty = spark.createDataFrame(
+            [],
+            schema="query_id long, rank int, neighbor_id long, adc_dist2 double",
+        )
+        if not query_ids:
+            return empty
+        qmat = np.asarray(query_vecs, dtype=np.float64)
+        files, per_query = self.probed_files(qmat, n_probe)
+        if not files:
+            return empty
+        probe_rows = [
+            (int(qid), int(cell))
+            for i, qid in enumerate(query_ids)
+            for cell in per_query[i]
+        ]
+        probes = spark.createDataFrame(probe_rows, schema="_qid long, cell int")
+        m, dsub = self.m, self.dim // self.m
+        lut_rows = []
+        for qid, qv in zip(query_ids, qmat):
+            for s in range(m):
+                d2s = seq_fold_d2_batch(
+                    qv[s * dsub : (s + 1) * dsub][None, :], self.codebooks[s]
+                )[0]
+                lut_rows.extend(
+                    (int(qid), s, int(self.code_ids[j]), float(d2s[j]))
+                    for j in range(self.ks)
+                )
+        lut = spark.createDataFrame(
+            lut_rows, schema="_qid long, s int, code long, _qd2 double"
+        )
+        cand = self.table.scan_files(spark, files)
+        adc = (
+            cand.join(F.broadcast(probes), "cell")
+            .join(F.broadcast(lut), ["_qid", "s", "code"])
+            .filter(F.col("vec_id") != F.col("_qid"))
+            .groupBy("_qid", "vec_id")
+            .agg(F.round(F.sum("_qd2"), 4).alias("adc_dist2"))
+        )
+        pre = Window.partitionBy(
+            "_qid", F.pmod(F.col("vec_id"), F.lit(64))
+        ).orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        final = Window.partitionBy("_qid").orderBy(
+            F.col("adc_dist2").asc(), F.col("vec_id").asc()
+        )
+        return (
+            adc.withColumn("_pr", F.row_number().over(pre))
+            .filter(F.col("_pr") <= k)
+            .drop("_pr")
+            .withColumn("rank", F.row_number().over(final))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("_qid").alias("query_id"),
+                "rank",
+                F.col("vec_id").alias("neighbor_id"),
+                "adc_dist2",
+            )
+        )

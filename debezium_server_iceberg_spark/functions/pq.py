@@ -317,3 +317,48 @@ def pq_adc_topk(
             "adc_dist2",
         )
     )
+
+
+def collect_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The PQ codebooks as a dense numpy array ``[m][ks][dim/m]`` —
+    the driver-side form a persistent index freezes into table
+    properties (m*ks rows, planning scale).  Values are EXACTLY the
+    ``pq_codebooks`` relation's (the seeds' cast-to-double slices), so
+    numpy sequential-fold distances over this array reproduce the
+    Spark/DuckDB fold-order contract bit-for-bit."""
+    import numpy as np
+
+    rows = pq_codebooks(df, dim, m, ks, id_col, vec_col).collect()
+    dsub = dim // m
+    # code_id values are the seed vectors' ids (ks lowest ids), not
+    # 0..ks-1 — keep them ordered so code index j maps to the j-th
+    # lowest seed id, and return the id mapping alongside
+    code_ids = sorted({r["code_id"] for r in rows})
+    pos = {cid: j for j, cid in enumerate(code_ids)}
+    cb = np.zeros((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        cb[r["_s"], pos[r["code_id"]]] = np.asarray(r["_cent"], dtype=np.float64)
+    return cb, code_ids
+
+
+def seq_fold_d2_batch(sub, cents):
+    """Squared L2 distances between every row of ``sub`` (n, dsub) and
+    every row of ``cents`` (ks, dsub), accumulated SEQUENTIALLY over
+    the dsub axis — the same left fold as ``_fold_d2`` (Spark
+    ``aggregate``) and the oracle's ``list_sum``, so argmins and LUT
+    entries computed here are bit-identical to the in-plan ones."""
+    import numpy as np
+
+    n, dsub = sub.shape
+    acc = np.zeros((n, cents.shape[0]), dtype=np.float64)
+    for t in range(dsub):
+        diff = sub[:, t : t + 1] - cents[None, :, t]
+        acc = acc + diff * diff
+    return acc

@@ -3444,6 +3444,57 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["ann_ivfpq_topk"] = _ORACLES["pq_adc_topk"]
 
 
+@_register("ann_ivfpq_index_topk", None)  # oracle assigned below
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT IVF-PQ (VERDICT r10 item 4): codes stored
+    cell-partitioned in a lakehouse table, so the one-shot
+    ``ivfpq_adc_topk``'s corpus x corpus codes-to-cells join never
+    exists — the build is ONE Arrow pass (cell + m codes per vector)
+    and a search is a partition-pruned file scan + two broadcast joins
+    (probes, ADC LUT) + one partial-agg sum.  Incremental face included:
+    build on vec_id < 16 (exactly the PQ seed set — the 16 lowest ids —
+    so the frozen codebooks equal the full-corpus ones), ``add_batch``
+    the rest against them; batch update == rebuild.  Exhaustive probing
+    makes the result exactly the pure ADC
+    scan — the brute-force-over-codes oracle (``functions/ann_index.py:
+    IVFPQIndex``; query-time no-corpus-join is plan-pinned in
+    ``tests/test_plans.py``)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import numpy as np
+
+    from .functions.ann_index import IVFPQIndex
+    from .lakehouse import LakeCatalog
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in q_rows
+    }
+    qmat = np.array([by_id[q] for q in qids])
+    wh = _tf.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        idx = IVFPQIndex.build(
+            LakeCatalog(wh), "ann", "ivfpq",
+            emb.filter(F.col("vec_id") < 16), dim=64, n_cells=8,
+        )
+        idx.add_batch(emb.filter(F.col("vec_id") >= 16))
+        return idx.search(
+            spark, qids, qmat, k=5, n_probe=8
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+_ORACLES["ann_ivfpq_index_topk"] = _ORACLES["pq_adc_topk"]
+
+
 def _bpe_oracle(n_merges: int, final: str) -> str:
     """Chained-CTE DuckDB replay of the BPE trainer
     (``functions/bpe.py``): per iteration — adjacent-pair counts, the

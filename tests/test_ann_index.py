@@ -186,3 +186,91 @@ def test_ivfpq_exhaustive_equals_adc_and_approx_bounded(spark):
         mine = sorted((r for r in approx if r["query_id"] == qid), key=lambda r: r["rank"])
         dists = [r["adc_dist2"] for r in mine]
         assert dists == sorted(dists)
+
+
+def _qmat(emb, qids):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = emb.filter(F.col("vec_id").isin(qids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    by_id = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    return np.array([by_id[q] for q in qids])
+
+
+def test_ivfpq_index_exhaustive_equals_adc(spark, warehouse):
+    """Persistent layout, exhaustive probing: bit-identical to the
+    one-shot pure-ADC scan — pins the whole stored-codes path (single
+    Arrow encode pass, cell-partitioned append, driver-side LUT fold,
+    probe-pruned scan)."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+    from debezium_server_iceberg_spark.functions.pq import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(10))
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "ivfpq", emb, dim=64, n_cells=8
+    )
+    got = sorted(map(tuple, idx.search(spark, qids, _qmat(emb, qids), k=5, n_probe=8).collect()))
+    want = sorted(map(tuple, pq_adc_topk(emb, qids, k=5, dim=64).collect()))
+    assert got == want
+
+
+def test_ivfpq_index_add_batch_equals_one_shot(spark, warehouse):
+    """Batch update == rebuild: building on the PQ seed set (ids 0..15,
+    so the frozen codebooks equal full-corpus ones) then add_batch-ing
+    the rest yields the identical stored relation and identical search
+    results as the one-shot full build."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(6))
+    qm = _qmat(emb, qids)
+    one = IVFPQIndex.build(
+        LakeCatalog(f"{warehouse}/one"), "ann", "ivfpq", emb, dim=64, n_cells=8
+    )
+    inc = IVFPQIndex.build(
+        LakeCatalog(f"{warehouse}/inc"), "ann", "ivfpq",
+        emb.filter(F.col("vec_id") < 16), dim=64, n_cells=8,
+    )
+    added = inc.add_batch(emb.filter(F.col("vec_id") >= 16))
+    assert added == (emb.count() - 16) * 8  # m rows per vector
+    # PQ codebooks frozen on the seed set == full-corpus codebooks
+    assert np.array_equal(one.codebooks, inc.codebooks)
+    stored_one = sorted(map(tuple, one.table.to_df(spark).select("vec_id", "s", "code").collect()))
+    stored_inc = sorted(map(tuple, inc.table.to_df(spark).select("vec_id", "s", "code").collect()))
+    assert stored_one == stored_inc
+    r1 = sorted(map(tuple, one.search(spark, qids, qm, k=5, n_probe=8).collect()))
+    r2 = sorted(map(tuple, inc.search(spark, qids, qm, k=5, n_probe=8).collect()))
+    assert r1 == r2
+
+
+def test_ivfpq_index_partial_probe_prunes_files_and_ranks(spark, warehouse):
+    """n_probe < n_cells: the manifest plans strictly fewer files, every
+    result comes from a probed cell, and per-query ranking stays
+    ADC-ordered; the search plan has NO corpus-sized join (broadcasts
+    only) — the query-time no-corpus-join contract."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    qm = _qmat(emb, qids)
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "ivfpq", emb, dim=64, n_cells=8
+    )
+    all_files, _ = idx.probed_files(qm, 8)
+    few_files, per_q = idx.probed_files(qm, 2)
+    assert len(few_files) < len(all_files)
+    assert all(len(cells) == 2 for cells in per_q.values())
+    res = idx.search(spark, qids, qm, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = res.collect()
+    assert 0 < len(rows) <= 25
+    for qid in {r["query_id"] for r in rows}:
+        mine = sorted((r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])
+        dists = [r["adc_dist2"] for r in mine]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != qid for r in mine)
