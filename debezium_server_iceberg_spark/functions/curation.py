@@ -539,11 +539,16 @@ def dsir_weights(
     Scale shape: bucket stats are two bounded aggregations (<= B rows
     each) merged into ONE broadcast score table; the raw corpus is
     scored inside its scan stage (explode -> bucket -> broadcast join)
-    with a single per-doc aggregation shuffle.  The raw side is scanned
-    twice (once for the distribution, once for scoring) — the price of
-    keeping both passes streaming; nothing corpus-sized is ever
-    collected or broadcast.  Documents with fewer than ``n`` tokens
-    produce no grams and are absent from the output.
+    with a single per-doc aggregation shuffle.  The raw side is
+    tokenized and hashed exactly ONCE: the bucketed-gram relation
+    (id, bucket — two narrow ints per gram occurrence, far smaller
+    than the text it came from) is materialized via localCheckpoint
+    and BOTH the distribution aggregate and the scoring join read the
+    materialized blocks, so the dominant cost (scan + tokenize + md5
+    over the raw text) is paid once instead of twice (VERDICT r10
+    item 5; the pre-r11 shape re-scanned raw per consumer).  Nothing
+    corpus-sized is ever collected or broadcast.  Documents with fewer
+    than ``n`` tokens produce no grams and are absent from the output.
     """
     from .text import word_gram_hashes
 
@@ -555,21 +560,30 @@ def dsir_weights(
             ),
         )
 
-    raw_b = bucketed(raw)
+    # one raw-text scan total: tokenize+hash once, reuse for both the
+    # distribution pass and the scoring join (same single-materialization
+    # pattern as BM25's postings and bitext's kNN relation)
+    raw_b = bucketed(raw).localCheckpoint(eager=True)
     tgt_b = bucketed(target)
     r_counts = raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("r_b"))
     t_counts = tgt_b.groupBy("_b").agg(F.count(F.lit(1)).alias("t_b"))
-    totals = r_counts.agg(F.sum("r_b").alias("r_tot")).crossJoin(
-        t_counts.agg(F.sum("t_b").alias("t_tot"))
-    )
-    score = (
+    # the merged per-bucket counts (<= n_buckets rows) feed two
+    # consumers (totals + score); checkpointing this BOUNDED relation
+    # costs ~B rows and makes the target side single-scan as well
+    counts = (
         r_counts.join(t_counts, "_b", "full")
         .select(
             "_b",
             F.coalesce("r_b", F.lit(0)).alias("r_b"),
             F.coalesce("t_b", F.lit(0)).alias("t_b"),
         )
-        .crossJoin(F.broadcast(totals))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    score = (
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "_b",
             F.expr(
