@@ -118,17 +118,23 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # The driver's artifact keeps only the LAST ~2000 chars of stdout
+    # (BENCH_r10.json: parsed null, tail-truncated) — so the END of this
+    # one JSON line must carry the headline: queries ordered
+    # fastest-first (the cheap entries are what truncation discards),
+    # then the slowest-10 recap, then sf and the total.  Key order
+    # survives json.dumps, so a truncated tail still reads
+    # ..."slowest_10":{...},"sf":0.1,"value":N}.
     payload = {
         "metric": "total_sec",
-        "value": total,
         "unit": "sec",
-        # heaviest first + compact separators: the driver's artifact
-        # truncates around 2 KB, so the per-query tail it keeps should be
-        # the most informative entries (BENCH_r07.json lost 39 of 105)
-        "queries": dict(
-            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
-        ),
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "slowest_10": slowest,
         "sf": _sf_from_dir(sf_dir),
+        "value": total,
     }
     line = json.dumps(payload, separators=(",", ":"))
     # The driver only keeps the tail of stdout; persist the full per-query
