@@ -6579,82 +6579,23 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-10 ROTATION (VERDICT r9 item 1): the driver checks the first
-    # 50 entries.  Front: the five round-10-new gates (never driver-
-    # confirmed), then the 14-gate tail whose newest driver row is round 7
-    # (the exact list the r9 verdict ordered), then the 8 oldest
-    # remaining r8-window gates (the later waves displaced the rest —
-    # see the verified accounting below).  r9-window gates (50) are
-    # 1 round old and sit after the fold.
-    # --- round-10 new (waves 3-7) ---
-    # WINDOW ACCOUNTING AT r10 (verified by set arithmetic over the
-    # CORRECTNESS_r08/r09 artifacts + the live registry): front =
-    # 29 round-10-new gates + the 14-gate r7-stale tail the r9 verdict
-    # ordered + 7 r8-era gates (changed_rows_scan,
-    # changed_rows_with_deletes, iceberg_export_partitioned_roundtrip,
-    # q2, q5, rollup_revenue, sql_read_surface; q6 now falls past the cutoff) = 50.  The 43 gates
-    # whose newest driver row stays r8 (q6_forecast_revenue joins the list) (in CORRECTNESS_r08, not in r09,
-    # past position 50: the q7-q21 TPC-H tail, the
-    # pivot/cube/percentile/window-fn showcase family, asof+funnel,
-    # token_stats/doc_fingerprint, the minhash/simhash/ngram/
-    # embedding-cosine dedup cousins, ann_ivf/lsh/index variants,
-    # reservoir/tfidf/packing/corpus-stats/curation tail) are 2 rounds
-    # old at r10 — SEED THE r11 WINDOW WITH THEM (43 + 7 fills from the
-    # r9-era fold = 50).
-    "cms_heavy_hitters",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "triangle_count_graph",
-    "epoch_plan_sources",
+    # ROUND-11 ROTATION (VERDICT r10 items 1-2): the driver checks the
+    # first 50 entries.  WINDOW ACCOUNTING AT r11 (from the freshness
+    # histogram over CORRECTNESS_r01..r10: 43 gates' newest green driver
+    # row is r8, 50 are r9, 49 are r10, and random_projection_embed has
+    # never had one): front = the FIXED random_projection_embed (r10's
+    # only red row — output reshaped to scalar (vec_id, j, c); must get
+    # its first green driver row) + the new r11 gate
+    # (ann_ivfpq_index_topk) + the 43-gate r8-stale tail the r10 verdict
+    # ordered rotated in + 5 r9-era fills (family-diverse writer/CDC/
+    # dedup picks) = 50.  Zero overlap with the r10 window except the
+    # re-included random_projection_embed (explicitly ordered).  After
+    # this round no gate's freshest driver row is older than r9 =
+    # two rounds.
     "random_projection_embed",
-    "ann_recall_eval",
-    "bitext_mining_pairs",
-    "winnowing_fingerprint_docs",
-    "bpe_encode_docs",
-    "quality_classifier_filter",
-    "bigram_logprob_docs",
-    "bpe_train_merges",
-    "bpe_vocab_after_merges",
-    "hybrid_rrf_retrieval",
-    "hard_negative_mining",
-    "ann_ivfpq_topk",
-    # --- round-10 new (second wave: retrieval/graph/contamination/ANN) ---
-    "bm25_topk_docs",
-    "pagerank_link_graph",
-    "decontaminate_fuzzy_docs",
-    "ann_filtered_topk",
-    "pq_encode_codes",
-    "pq_adc_topk",
-    "ann_ivf_incremental_topk",
-    # --- round-10 new (first wave) ---
-    "containment_capped_near_dup",
-    "image_ahash_near_dup",
-    "source_overlap_sketch",
-    "incremental_substring_profile",
-    "dsir_importance_weights",
-    # --- r7-stale tail (dedup/ANN/curation/shaping families) ---
-    "ann_cosine_topk",
-    "decontaminate_docs",
-    "dedup_canonical_clusters",
-    "dedup_exact",
-    "gopher_rules_filter",
-    "incremental_minhash_pairs",
-    "kmeans_lloyd_step",
-    "multimodal_image_features",
-    "pii_redact_docs",
-    "segment_dedup_docs",
-    "semantic_dedup_embeddings",
-    "simhash_near_dup",
-    "stratified_sample_docs",
-    "temperature_mixture_sample",
-    # --- round-8 window refresh (writer fidelity + relational core) ---
-    "changed_rows_with_deletes",
-    "iceberg_export_partitioned_roundtrip",
-    "changed_rows_scan",
-    "sql_read_surface",
-    "rollup_revenue",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
+    # --- r11 new ---
+    "ann_ivfpq_index_topk",
+    # --- r8-stale tail (TPC-H q6-q21 + showcase + dedup/ANN/curation) ---
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
@@ -6679,6 +6620,31 @@ _CHECK_PRIORITY = [
     "skew_salted_join_agg",
     "asof_join_purchases_clicks",
     "funnel_signup_click_purchase",
+    "token_stats",
+    "doc_fingerprint",
+    "minhash_near_dup",
+    "simhash",
+    "ann_ivf_index_topk",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_near_dup",
+    "events_sliding_counts",
+    "approx_distinct_parts",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "reservoir_sample_per_lang",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "corpus_top_ngrams",
+    "repetition_filter_docs",
+    "length_histogram_docs",
+    "unigram_logprob_docs",
+    "curriculum_rank_shards",
+    # --- r9-era fills (2 rounds old after this round, refreshed now) ---
+    "iceberg_export_roundtrip",
+    "cdc_envelope_roundtrip",
+    "containment_near_dup",
+    "sessionize_events",
+    "exact_substring_dedup",
 ]
 
 
