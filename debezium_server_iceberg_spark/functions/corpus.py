@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _doc_shingles
-from .text import quality_score
+from .text import quality_score, tokens_col as _corpus_tokens
 
 
 def source_overlap(
@@ -280,4 +280,92 @@ def quality_top_p(
     # language), so broadcasting it spares the corpus a second shuffle
     return docs.join(F.broadcast(selected), ["lang", "milli"]).select(
         id_col, "lang", "milli"
+    )
+
+
+def collocation_top_pairs(
+    df: DataFrame,
+    top_n: int = 50,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level collocation extraction: the ``top_n`` adjacent word
+    pairs ranked by scaled LIFT — ``floor(scale * c12 * T / (c1 * c2))``
+    with ``c12`` = corpus count of the adjacent pair, ``c1``/``c2`` =
+    unigram occurrence counts, ``T`` = total token occurrences.  Lift
+    is a strictly monotone transform of PMI (Church & Hanks 1990:
+    ``PMI = log(c12·T²/(N·c1·c2))``; across pairs T, N are constants, so
+    ordering by ``c12/(c1·c2)`` IS the PMI ordering) kept in exact
+    integer arithmetic — no libm logs to drift between engines; the
+    division runs in DECIMAL(38,0), overflow-safe for
+    ``c12·T ≤ 10^32/scale``.
+
+    ``min_count`` floors the pair count (classic PMI degeneracy: a
+    pair seen once between two hapax words maximizes lift; collocation
+    lists are mined above a support threshold).
+
+    Scale shape: adjacency is built IN-ARRAY inside the scan (zero
+    window shuffle, the ``bigram_logprob_score`` idiom); pair and
+    unigram tables are partial-agg aggregations bounded by distinct
+    bigrams / vocabulary, never corpus rows; the two count joins key on
+    a word (vocabulary-sized SMJ or AQE broadcast — data-dependent, not
+    pinned); the totals are 1-row broadcasts; the final top-n is the
+    salted two-phase window, never a single-partition sort of the pair
+    table.  Returns ``(rank, w1, w2, pair_count, lift_scaled)``.
+    """
+    toks = df.select(
+        F.col(id_col), _corpus_tokens(F.col(text_col)).alias("_tk")
+    )
+    pairs = (
+        toks.filter(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("_tk"), i).alias("w1"),
+                        F.get(F.col("_tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_g")
+        )
+        .select(F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    uni = toks.select(F.explode("_tk").alias("_w")).groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = uni.agg(F.sum("_c").alias("_t"))
+    cand = (
+        pair_counts.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("_w").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uni.select(F.col("_w").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0)) * pair_count * _t)"
+                " DIV (CAST(_c1 AS DECIMAL(38,0)) * _c2) AS LONG)"
+            ).alias("lift_scaled"),
+        )
+    )
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("lift_scaled").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    final = Window.orderBy(
+        F.col("lift_scaled").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        cand.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= top_n)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "w1", "w2", "pair_count", "lift_scaled")
     )

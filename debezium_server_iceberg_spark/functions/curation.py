@@ -605,3 +605,155 @@ def dsir_weights(
             (F.col("weight") / F.col("n_grams")).alias("weight_per_gram"),
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    per_cluster: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced coreset selection (the D4 / SemDeDup-family
+    diversity recipe, Abbas et al. 2023 — public): assign every
+    embedding to its nearest of ``k`` deterministic centroids, then keep
+    a FIXED budget per cluster — balanced coverage of the embedding
+    space instead of letting the dominant mode eat the whole sample.
+
+    Determinism contract (assignment is byte-for-byte the
+    ``kmeans_lloyd_step`` one the oracle already replays): lowest-id
+    seed centroids, sequential-fold squared distances, ties to the
+    lower centroid id.  Within a cluster the "random" draw is the
+    md5-of-id order (rerun-stable, engine-portable) with the id as
+    tiebreak.
+
+    Scale: k seed rows broadcast; assignment is an in-scan argmin (a
+    per-vector window over k rows); the per-cluster pick is the salted
+    TWO-PHASE top-k (per-partition pre-prune to ``per_cluster``, then
+    the bounded k*per_cluster survivors rank globally) — no
+    single-cluster partition ever sees more than its per-partition
+    winners, so one hot cluster cannot concentrate the corpus in one
+    task.  Returns ``(cluster_id, vec_id, pick_rank)``.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col), vec.alias("_v"))
+    cents = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cluster_id"), F.col("_v").alias("_c"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cluster_id"), dist2.alias("_d2")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy("_d2", "cluster_id")
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_h"))
+    )
+    pre = Window.partitionBy("cluster_id", F.spark_partition_id()).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    final = Window.partitionBy("cluster_id").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= per_cluster)
+        .drop("_pr")
+        .withColumn("pick_rank", F.row_number().over(final))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select("cluster_id", F.col(id_col), "pick_rank")
+    )
+
+
+def quality_rank_ensemble(
+    df: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-signal quality selection by RANK aggregation (the
+    FineWeb-style ensemble recipe: single thresholds are brittle, so
+    combine signals on the rank scale where calibration differences
+    between signals cancel).  Signals, all exact integers computed in
+    ONE scan of the text:
+
+    - length: ``n_chars``
+    - lexical diversity: ``floor(1e6 * distinct_tokens / tokens)``
+    - alphabetic purity: ``floor(1e6 * word_pieces / pieces)`` under
+      the BPE-ish regex
+
+    Each signal gets an exact global rank via :func:`global_rank`
+    (per-value offsets — NO single-partition corpus window), ranks sum,
+    and the ``top_n`` docs by (rank_sum asc, doc_id) surface through
+    the salted two-phase top-k.
+
+    Scale: the signal projection is one codegen'd map over the scan,
+    materialized once (localCheckpoint — three rank consumers);
+    each global_rank shuffles the narrow (id, signal) relation once;
+    the 3-way rank join keys on the id (SMJ, corpus-sized but narrow).
+    Returns ``(doc_id, len_rank, diversity_rank, alpha_rank, rank_sum,
+    rank)``.
+    """
+    from .text import BPE_RE, tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_RE), 0
+    )
+    n_words = F.size(F.filter(pieces, lambda x: x.rlike("^[a-z]+$")))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_len"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+        F.size(toks).alias("_nt"),
+        n_words.alias("_nw"),
+        F.size(pieces).alias("_np"),
+    )
+    # exact integer DIV (never float-divide-then-cast: a double quotient
+    # one ULP under an integer would floor differently than the oracle)
+    sig = base.select(
+        F.col(id_col),
+        F.col("_len"),
+        F.expr("(1000000 * _nd) DIV greatest(_nt, 1)").alias("_div"),
+        F.expr("(1000000 * _nw) DIV greatest(_np, 1)").alias("_alpha"),
+    ).localCheckpoint(eager=True)
+    r_len = global_rank(sig.select(id_col, "_len"), "_len", id_col).select(
+        id_col, F.col("rank").alias("len_rank")
+    )
+    r_div = global_rank(sig.select(id_col, "_div"), "_div", id_col).select(
+        id_col, F.col("rank").alias("diversity_rank")
+    )
+    r_alpha = global_rank(
+        sig.select(id_col, "_alpha"), "_alpha", id_col
+    ).select(id_col, F.col("rank").alias("alpha_rank"))
+    ens = (
+        r_len.join(r_div, id_col)
+        .join(r_alpha, id_col)
+        .withColumn(
+            "rank_sum",
+            F.col("len_rank") + F.col("diversity_rank") + F.col("alpha_rank"),
+        )
+    )
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("rank_sum").asc(), F.col(id_col).asc()
+    )
+    final = Window.orderBy(F.col("rank_sum").asc(), F.col(id_col).asc())
+    return (
+        ens.withColumn("_pr", F.row_number().over(pre))
+        .filter(F.col("_pr") <= top_n)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            id_col, "len_rank", "diversity_rank", "alpha_rank",
+            "rank_sum", "rank",
+        )
+    )
+

@@ -494,3 +494,40 @@ def winnowing_fingerprints(
             ),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language: pieces-per-word under the
+    BPE-ish regex tokenizer — the standard multilingual-tokenizer
+    efficiency report (a language whose fertility is 2x English's pays
+    2x the context window for the same content; data cards publish this
+    per-language table when choosing vocab size / allocation).
+
+    ``fertility_permille = floor(1000 * total_pieces / total_words)``
+    — exact integer contract (no float ratio to drift).  One codegen'd
+    projection + ONE partial-agg groupBy on the language key (bounded
+    cardinality); nothing else shuffles at any corpus size.
+
+    Returns ``(lang, n_docs, n_pieces, n_words, fertility_permille)``.
+    """
+    pieces = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+    )
+    words = F.size(tokens_col(F.col(text_col)))
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        pieces.alias("_p"),
+        words.alias("_w"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_p").alias("n_pieces"),
+        F.sum("_w").alias("n_words"),
+        F.expr("(1000 * sum(_p)) DIV greatest(sum(_w), 1)").alias(
+            "fertility_permille"
+        ),
+    )

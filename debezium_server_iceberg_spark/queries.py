@@ -6561,6 +6561,174 @@ def curriculum_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "collocation_lift_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT t[i.i + 1] AS w1, t[i.i + 2] AS w2
+      FROM toks, unnest(range(len(t) - 1)) AS i(i)
+      WHERE len(t) >= 2
+    ), pc AS (
+      SELECT w1, w2, count(*) AS pair_count FROM grams GROUP BY w1, w2
+    ), uni AS (
+      SELECT tok AS w, count(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni
+    ), cand AS (
+      SELECT pc.w1, pc.w2, CAST(pc.pair_count AS BIGINT) AS pair_count,
+             CAST((CAST(1000000 AS HUGEINT) * pc.pair_count * tot.tt)
+                  // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
+               AS lift_scaled
+      FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w, tot
+      WHERE pc.pair_count >= 5
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY lift_scaled DESC, w1 ASC, w2 ASC) AS rank
+      FROM cand
+    )
+    SELECT rank, w1, w2, pair_count, lift_scaled
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def collocation_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining (r11): top-50 adjacent word pairs by
+    scaled lift — an exact-integer, PMI-monotone association measure
+    (Church & Hanks 1990; across pairs the corpus totals are constants,
+    so ordering by c12/(c1*c2) IS the PMI ordering) above a support
+    floor of 5.  Adjacency builds in-array inside the scan (no window
+    shuffle); pair/unigram tables are partial aggregations bounded by
+    distinct bigrams / vocabulary; top-n is the salted two-phase window
+    (``functions/corpus.py:collocation_top_pairs``)."""
+    from .functions.corpus import collocation_top_pairs
+
+    return collocation_top_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH p AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS np,
+             len({_TOKENS_SQL}) AS nw
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(np) AS BIGINT) AS n_pieces,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST((1000 * sum(np)) // greatest(sum(nw), 1) AS BIGINT)
+             AS fertility_permille
+    FROM p GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (r11): pieces-per-word under the
+    BPE-ish regex — the multilingual tokenizer-efficiency table a data
+    card publishes (2x fertility = 2x context spent per content unit).
+    Exact integer permille; one codegen'd projection + ONE bounded-key
+    partial-agg groupBy (``functions/text.py:tokenizer_fertility``)."""
+    from .functions.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "cluster_balanced_sample",
+    """
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cluster_id, v AS c FROM pts ORDER BY vec_id LIMIT 8
+    ), scored AS (
+      SELECT p.vec_id, c.cluster_id,
+             list_sum(list_transform(range(1, len(p.v) + 1),
+                                     i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])))
+               AS d2
+      FROM pts p CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster_id) AS rn
+      FROM scored
+    ), member AS (
+      SELECT cluster_id, vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM assigned WHERE rn = 1
+    ), picked AS (
+      SELECT cluster_id, vec_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY h ASC, vec_id ASC) AS pick_rank
+      FROM member
+    )
+    SELECT cluster_id, vec_id, pick_rank FROM picked WHERE pick_rank <= 100
+    """,
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection (r11, D4-family): nearest-of-k
+    deterministic-centroid assignment (the oracle-proven
+    kmeans_lloyd_step fold/tie contract) + a fixed md5-ordered budget
+    per cluster — balanced embedding-space coverage instead of letting
+    the dominant mode eat the sample.  Per-cluster pick is the salted
+    two-phase top-k, so a hot cluster never concentrates in one task
+    (``functions/curation.py:cluster_balanced_sample``)."""
+    from .functions.curation import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), k=8, per_cluster=100
+    )
+
+
+@_register(
+    "quality_rank_ensemble",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, length(text) AS slen,
+             (1000000 * len(list_distinct({_TOKENS_SQL})))
+               // greatest(len({_TOKENS_SQL}), 1) AS sdiv,
+             (1000000 * len(list_filter(
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                 x -> regexp_matches(x, '^[a-z]+$'))))
+               // greatest(len(regexp_extract_all(lower(text),
+                               '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 1) AS salpha
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY slen DESC, doc_id ASC) AS len_rank,
+             row_number() OVER (ORDER BY sdiv DESC, doc_id ASC)
+               AS diversity_rank,
+             row_number() OVER (ORDER BY salpha DESC, doc_id ASC) AS alpha_rank
+      FROM sig
+    ), e AS (
+      SELECT doc_id, len_rank, diversity_rank, alpha_rank,
+             len_rank + diversity_rank + alpha_rank AS rank_sum
+      FROM r
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rank_sum ASC, doc_id ASC) AS rank
+      FROM e
+    )
+    SELECT doc_id, len_rank, diversity_rank, alpha_rank, rank_sum, rank
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality selection by rank aggregation (r11, the
+    FineWeb-style ensemble): three exact-integer signals from ONE text
+    scan (length, lexical diversity, alphabetic purity), each globally
+    ranked WITHOUT a single-partition corpus window (global_rank's
+    per-value-offset decomposition), summed on the rank scale, top-100
+    by (rank_sum, id) via the two-phase window
+    (``functions/curation.py:quality_rank_ensemble``)."""
+    from .functions.curation import quality_rank_ensemble
+
+    return quality_rank_ensemble(_t(spark, sf_dir, "documents"), top_n=100)
+
+
 # =====================================================================
 # public surface
 # =====================================================================
@@ -6595,6 +6763,10 @@ _CHECK_PRIORITY = [
     "random_projection_embed",
     # --- r11 new ---
     "ann_ivfpq_index_topk",
+    "collocation_lift_pairs",
+    "tokenizer_fertility_by_lang",
+    "cluster_balanced_sample",
+    "quality_rank_ensemble",
     # --- r8-stale tail (TPC-H q6-q21 + showcase + dedup/ANN/curation) ---
     "q6_forecast_revenue",
     "q7_nation_volume",
@@ -6639,12 +6811,10 @@ _CHECK_PRIORITY = [
     "length_histogram_docs",
     "unigram_logprob_docs",
     "curriculum_rank_shards",
-    # --- r9-era fills (2 rounds old after this round, refreshed now) ---
+    # --- r9-era fill (the writer-fidelity anchor; the other 4 fill
+    # slots went to the r11-new gates above, which MUST be driver-
+    # checked — r9 gates are exactly 2 rounds old at r11, within spec) ---
     "iceberg_export_roundtrip",
-    "cdc_envelope_roundtrip",
-    "containment_near_dup",
-    "sessionize_events",
-    "exact_substring_dedup",
 ]
 
 

@@ -265,3 +265,60 @@ def test_containment_cap_validation(spark):
     df = _docs(spark, [(1, "a b", "en", "w")])
     with pytest.raises(ValueError):
         containment_pairs(df, max_shingle_freq=0)
+
+
+def test_collocation_lift_hand_computed(spark):
+    """Tiny corpus with a known collocation: 'new york' always adjacent,
+    'the' everywhere — lift of the exclusive pair dominates, and the
+    integer contract matches the hand computation."""
+    from debezium_server_iceberg_spark.functions.corpus import (
+        collocation_top_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat near new york") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = collocation_top_pairs(docs, top_n=10, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    # every pair occurs exactly 5 times (once per doc); T = 45 tokens
+    # lift(new, york) = 1e6 * 5 * 45 / (5 * 5) = 9_000_000
+    assert by_pair[("new", "york")]["lift_scaled"] == 9_000_000
+    # lift(the, cat) = 1e6 * 5 * 45 / (10 * 5) = 4_500_000  ('the' x10)
+    assert by_pair[("the", "cat")]["lift_scaled"] == 4_500_000
+    # exclusive pair ranks strictly above the stopword-anchored one
+    assert by_pair[("new", "york")]["rank"] < by_pair[("the", "cat")]["rank"]
+    # support floor: nothing below min_count survives
+    assert all(r["pair_count"] >= 5 for r in rows)
+
+
+def test_collocation_support_floor_excludes_rare_pairs(spark):
+    from debezium_server_iceberg_spark.functions.corpus import (
+        collocation_top_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta gamma delta gamma delta "
+                               "gamma delta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = collocation_top_pairs(docs, top_n=10, min_count=5).collect()
+    pairs = {(r["w1"], r["w2"]) for r in rows}
+    assert ("alpha", "beta") not in pairs  # count 1 < 5
+    assert ("gamma", "delta") in pairs     # count 5
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from debezium_server_iceberg_spark.functions.text import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "don't stop", "en"), (1, "abc def", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    # "don't stop" -> pieces [don, ', t, stop] = 4, words [don, t, stop] = 3
+    assert rows["en"]["n_pieces"] == 4 and rows["en"]["n_words"] == 3
+    assert rows["en"]["fertility_permille"] == 1333  # floor(4000/3)
+    assert rows["xx"]["fertility_permille"] == 1000  # 2 pieces / 2 words

@@ -261,3 +261,42 @@ def test_epoch_plan_hand_computed_oversampling(spark):
     assert out["B"]["epochs"] == 1 and not out["B"]["oversampled"]
     # allocations never exceed the budget
     assert sum(r["alloc_tokens"] for r in out.values()) <= 10016 // 2
+
+
+def test_cluster_balanced_sample_budget_and_determinism(spark):
+    from debezium_server_iceberg_spark.functions.curation import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cluster_balanced_sample(emb, k=8, per_cluster=10)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["pick_rank"])
+    # every cluster respects the budget and ranks are 1..n contiguous
+    for cid, ranks in per.items():
+        assert len(ranks) <= 10
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # rerun-stable (md5 order, no RNG)
+    again = sorted(map(tuple, cluster_balanced_sample(emb, k=8, per_cluster=10).collect()))
+    assert again == sorted(map(tuple, rows))
+    # balanced: with budget << cluster sizes, most clusters fill
+    full = [cid for cid, ranks in per.items() if len(ranks) == 10]
+    assert len(full) >= 4  # most of the 8 clusters fill their budget
+
+
+def test_quality_rank_ensemble_rank_math(spark):
+    from debezium_server_iceberg_spark.functions.curation import (
+        quality_rank_ensemble,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_rank_ensemble(docs, top_n=20).collect()
+    assert len(out) == 20
+    # final ranking is (rank_sum asc, doc_id asc) with contiguous ranks
+    ordered = sorted(out, key=lambda r: (r["rank_sum"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, 21))
+    for r in out:
+        assert r["rank_sum"] == r["len_rank"] + r["diversity_rank"] + r["alpha_rank"]
+        assert min(r["len_rank"], r["diversity_rank"], r["alpha_rank"]) >= 1

@@ -695,3 +695,25 @@ def test_ivfpq_index_query_plan_has_no_corpus_join(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probes + LUT
+
+
+def test_collocation_two_phase_topk_and_broadcast_totals(spark, fns):
+    """Collocation mining: adjacency is in-array (no window before the
+    aggregations), the totals are a 1-row broadcast, and the global
+    top-n window runs over the per-partition prefilter's survivors —
+    never a single-partition sort of the raw pair table."""
+    plan = _plan(fns["collocation_lift_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 2  # pre-prune + bounded final
+    # the final single-partition window must sit above the pre-prune filter
+    pre, final = plan.find("Window ["), plan.rfind("Window [")
+    assert "row_number" in plan[pre:pre + 200]
+
+
+def test_quality_rank_ensemble_single_text_scan(spark, fns):
+    """The three signals come from ONE scan of the text (checkpointed
+    signal relation feeds all three global_rank consumers): the final
+    plan reads only ExistingRDD blocks, zero parquet scans."""
+    plan = _plan(fns["quality_rank_ensemble"](spark, SF))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 3
