@@ -621,11 +621,13 @@ def test_epoch_plan_planning_scale_no_wide_join(spark, fns):
 
 def test_random_projection_zero_shuffle(spark, fns):
     """The sign matrix is a plan constant and the projection a pure
-    column expression — scan + project, nothing else."""
+    column expression — scan + project (+ the gate's posexplode to
+    scalar rows, an in-stage Generate per the driver canonicalizer
+    contract), nothing else: still zero shuffles, zero joins."""
     plan = _plan(fns["random_projection_embed"](spark, SF))
     assert "Exchange" not in plan
     assert "Join" not in plan
-    assert "Generate" not in plan
+    assert plan.count("Generate") == 1  # the gate-level posexplode only
 
 
 def test_ann_recall_composition_k_bounded_tail(spark, fns):
