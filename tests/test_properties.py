@@ -266,3 +266,97 @@ def test_avro_codec_roundtrips_arbitrary_schemas(case, tmp_path_factory):
     got_schema, got, _meta = read_container(path)
     assert got_schema == schema
     assert got == records
+
+
+_colloc_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0, max_size=8,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_colloc_docs)
+def test_collocation_lift_matches_python_reference(spark, docs):
+    """collocation_top_pairs against a brute-force Python model: same
+    surviving pairs, counts, and exact integer lifts (min_count=2 so
+    tiny corpora still produce candidates)."""
+    from collections import Counter
+
+    from debezium_server_iceberg_spark.functions.corpus import (
+        collocation_top_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["lift_scaled"], r["rank"])
+        for r in collocation_top_pairs(df, top_n=100, min_count=2).collect()
+    }
+    pair_c, uni_c = Counter(), Counter()
+    for toks in docs:
+        uni_c.update(toks)
+        pair_c.update(zip(toks, toks[1:]))
+    total = sum(uni_c.values())
+    want = {
+        p: (c, (1_000_000 * c * total) // (uni_c[p[0]] * uni_c[p[1]]))
+        for p, c in pair_c.items() if c >= 2
+    }
+    assert {p: v[:2] for p, v in got.items()} == want
+    # ranking is (lift desc, w1, w2) dense over the survivors
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    for rank0, (p, _) in enumerate(ordered):
+        assert got[p][2] == rank0 + 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.floats(-4, 4, allow_nan=False, width=32),
+                 min_size=4, max_size=4),
+        min_size=9, max_size=24, unique_by=lambda v: tuple(v),
+    ),
+    st.integers(1, 5),
+)
+def test_cluster_balanced_sample_model(spark, vecs, budget):
+    """Assignment matches the nearest-seed model (lowest-id seeds,
+    sequential fold, ties to lower id); per-cluster picks are exactly
+    the budget-lowest md5(id)s of that cluster's members."""
+    import hashlib
+
+    from debezium_server_iceberg_spark.functions.curation import (
+        cluster_balanced_sample,
+    )
+
+    k = 4
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for r in cluster_balanced_sample(df, k=k, per_cluster=budget).collect():
+        got.setdefault(r["cluster_id"], []).append((r["pick_rank"], r["vec_id"]))
+    seeds = rows[:k]
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+    members = {}
+    for i, v in rows:
+        best = min(seeds, key=lambda s: (d2(v, s[1]), s[0]))
+        members.setdefault(best[0], []).append(i)
+    want = {
+        cid: [
+            (j + 1, vid)
+            for j, vid in enumerate(
+                sorted(ms, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:budget]
+            )
+        ]
+        for cid, ms in members.items()
+    }
+    assert {c: sorted(v) for c, v in got.items()} == {
+        c: sorted(v) for c, v in want.items() if v
+    }
