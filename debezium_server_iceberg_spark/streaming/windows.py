@@ -196,3 +196,117 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + gap)
     )
     return l.join(r, cond, how)
+
+
+CMS_STREAM_OUTPUT_SCHEMA = (
+    "row INT, shard INT, batch_adds LONG, total_mass LONG, "
+    "counters ARRAY<LONG>"
+)
+CMS_STREAM_STATE_SCHEMA = "counters ARRAY<LONG>"
+
+
+def streaming_cms_counts(
+    docs: DataFrame,
+    w: int = 1024,
+    d: int = 3,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuously-maintained count-min sketch: the streaming face of
+    ``functions/cms.cms_build`` for corpora that arrive as a stream
+    (crawl ingestion, CDC-fed document tables) — the sketch is the
+    canonical fixed-memory stream summary (Cormode & Muthukrishnan
+    2005 define it over a stream of updates).
+
+    Identical hash contract to the batch sketch (md5-prefix of
+    ``"j:token"`` mod w, computed IN-PLAN before the stateful stage),
+    so after any number of micro-batches the assembled state equals
+    ``cms_build`` over the union of all batches — pytest pins the
+    equivalence.
+
+    Layout: a streaming AGGREGATION cannot legally precede
+    ``applyInPandasWithState`` (chained stateful operators), so the
+    in-batch combine happens INSIDE the Arrow function (numpy bincount
+    per pandas chunk).  To keep one sketch row from funneling a whole
+    stream through one task, the group key is ``(row, shard)`` with
+    ``shard = bucket % n_shards`` — d * n_shards groups, each owning
+    the ``w / n_shards`` counters of its residue class
+    (``counters[i]`` is bucket ``shard + i * n_shards``).  State is
+    FIXED at d*w longs total regardless of stream volume; parallelism
+    is d * n_shards.  Emits one row per touched (row, shard) per
+    batch: ``(row, shard, batch_adds, total_mass, counters)``.
+
+    Batch inputs (tests, backfills) take the same plan through plain
+    ``applyInPandas`` (Spark rejects applyInPandasWithState in batch
+    queries): one group = one whole-history accumulation from zero —
+    definitionally the N=1-batch stream, so the equivalence tests
+    compare both faces against ``cms_build``.
+    """
+    import numpy as np
+
+    from ..functions.cms import _bucket
+    from ..functions.text import tokens_col
+
+    if w % n_shards:
+        raise ValueError(f"w {w} not divisible by n_shards {n_shards}")
+    seg = w // n_shards
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _bucket(F.col("_t"), j, w).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    addressed = toks.select(F.explode(cells).alias("_c")).select(
+        F.col("_c.row").alias("row"),
+        (F.col("_c.bucket") % n_shards).cast("int").alias("shard"),
+        # index within this shard's counter segment
+        (F.col("_c.bucket") / n_shards).cast("long").alias("idx"),
+    )
+
+    def update(key, pdfs, state):
+        row, shard = key
+        counters = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(seg, dtype=np.int64)
+        )
+        adds = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            counters += np.bincount(
+                pdf["idx"].to_numpy(), minlength=seg
+            ).astype(np.int64)
+            adds += len(pdf)
+        state.update((counters.tolist(),))
+        yield pd.DataFrame(
+            [(row, shard, adds, int(counters.sum()), counters.tolist())],
+            columns=["row", "shard", "batch_adds", "total_mass", "counters"],
+        )
+
+    if addressed.isStreaming:
+        return addressed.groupBy("row", "shard").applyInPandasWithState(
+            update,
+            outputStructType=CMS_STREAM_OUTPUT_SCHEMA,
+            stateStructType=CMS_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_update(key, pdf):
+        row, shard = key
+        counters = np.bincount(
+            pdf["idx"].to_numpy(), minlength=seg
+        ).astype(np.int64)
+        return pd.DataFrame(
+            [(row, shard, len(pdf), int(counters.sum()), counters.tolist())],
+            columns=["row", "shard", "batch_adds", "total_mass", "counters"],
+        )
+
+    return addressed.groupBy("row", "shard").applyInPandas(
+        batch_update, schema=CMS_STREAM_OUTPUT_SCHEMA
+    )

@@ -673,3 +673,90 @@ def test_interval_join_checkpoint_restart_no_duplicates(spark, tmp_path):
     ).parquet(str(tmp_path / "out")).collect()
     times = sorted(r.purchase_ts.minute for r in out)
     assert times == [10, 20]          # each pair exactly once
+
+
+def test_streaming_cms_batch_equals_cms_build(spark):
+    """Batch-mode run of the streaming sketch reassembles EXACTLY to
+    functions/cms.cms_build over the same docs (same hash family, the
+    sharded state is just a residue-class decomposition)."""
+    from debezium_server_iceberg_spark.functions.cms import cms_build
+    from debezium_server_iceberg_spark.streaming.windows import (
+        streaming_cms_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w, d, s = 256, 3, 8
+    got = {}
+    for r in streaming_cms_counts(docs, w=w, d=d, n_shards=s).collect():
+        for i, c in enumerate(r["counters"]):
+            if c:
+                got[(r["row"], r["shard"] + i * s)] = c
+    want = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in cms_build(docs, w=w, d=d).collect()
+    }
+    assert got == want
+
+
+def test_streaming_cms_across_batches_accumulates(spark, tmp_path):
+    """Two micro-batches through a real stream: the final state equals
+    the one-shot batch sketch over the union — cross-batch
+    accumulation, exactly-once per batch, fixed d*w state."""
+    import os
+
+    from debezium_server_iceberg_spark.functions.cms import cms_build
+    from debezium_server_iceberg_spark.streaming.windows import (
+        streaming_cms_counts,
+    )
+
+    indir = str(tmp_path / "cms_in")
+    os.makedirs(indir)
+    b1 = [{"doc_id": 1, "text": "aa bb aa"}, {"doc_id": 2, "text": "cc"}]
+    b2 = [{"doc_id": 3, "text": "aa dd dd"}]
+    for name, rows in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    w, d, s = 64, 2, 4
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    out = streaming_cms_counts(stream, w=w, d=d, n_shards=s)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from cms_stream").collect()
+    # keep each (row, shard)'s LAST emission (update mode re-emits)
+    latest = {}
+    for r in rows:
+        latest[(r["row"], r["shard"])] = r
+    got = {}
+    for (row, shard), r in latest.items():
+        for i, c in enumerate(r["counters"]):
+            if c:
+                got[(row, shard + i * s)] = c
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in cms_build(union, w=w, d=d).collect()
+    }
+    assert got == want
+    # per-batch emissions: batch_adds across all emissions == total
+    # token-cell increments (7 tokens * d rows)
+    assert sum(r["batch_adds"] for r in rows) == 7 * d
