@@ -274,3 +274,30 @@ def test_ivfpq_index_partial_probe_prunes_files_and_ranks(spark, warehouse):
         dists = [r["adc_dist2"] for r in mine]
         assert dists == sorted(dists)
         assert all(r["neighbor_id"] != qid for r in mine)
+
+
+def test_ivfpq_index_compaction_preserves_search(spark, warehouse):
+    """Maintenance story: repeated add_batch fragments cell partitions;
+    LakeTable.compact bin-packs within cells (partition transforms
+    recomputed from rows) and search results are bit-identical before
+    and after, with fewer files planned."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    qm = _qmat(emb, qids)
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "ivfpq",
+        emb.filter(F.col("vec_id") < 16), dim=64, n_cells=4,
+    )
+    # fragment: several small appends
+    for m in range(3):
+        idx.add_batch(emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 3 == m)))
+    before_files = len(idx.table.current_files())
+    before = sorted(map(tuple, idx.search(spark, qids, qm, k=5, n_probe=4).collect()))
+    removed = idx.table.compact(spark)
+    assert removed > 0
+    after_files = len(idx.table.current_files())
+    assert after_files < before_files
+    after = sorted(map(tuple, idx.search(spark, qids, qm, k=5, n_probe=4).collect()))
+    assert after == before
