@@ -530,7 +530,7 @@ class IVFPQIndex:
                 )[0]
                 lut_rows.extend(
                     (int(qid), s, int(self.code_ids[j]), float(d2s[j]))
-                    for j in range(self.ks)
+                    for j in range(len(self.code_ids))  # real seed count (<= ks)
                 )
         lut = spark.createDataFrame(
             lut_rows, schema="_qid long, s int, code long, _qd2 double"

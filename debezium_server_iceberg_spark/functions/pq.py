@@ -339,10 +339,12 @@ def collect_pq_codebooks(
     dsub = dim // m
     # code_id values are the seed vectors' ids (ks lowest ids), not
     # 0..ks-1 — keep them ordered so code index j maps to the j-th
-    # lowest seed id, and return the id mapping alongside
+    # lowest seed id, and return the id mapping alongside.  A corpus
+    # smaller than ks yields fewer seeds: size the array by the REAL
+    # seed count so an argmin can never land on a phantom zero row.
     code_ids = sorted({r["code_id"] for r in rows})
     pos = {cid: j for j, cid in enumerate(code_ids)}
-    cb = np.zeros((m, ks, dsub), dtype=np.float64)
+    cb = np.zeros((m, len(code_ids), dsub), dtype=np.float64)
     for r in rows:
         cb[r["_s"], pos[r["code_id"]]] = np.asarray(r["_cent"], dtype=np.float64)
     return cb, code_ids

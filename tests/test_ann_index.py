@@ -301,3 +301,25 @@ def test_ivfpq_index_compaction_preserves_search(spark, warehouse):
     assert after_files < before_files
     after = sorted(map(tuple, idx.search(spark, qids, qm, k=5, n_probe=4).collect()))
     assert after == before
+
+
+def test_ivfpq_index_small_corpus_fewer_seeds_than_ks(spark, warehouse):
+    """A corpus smaller than ks yields fewer PQ seeds; codebook arrays
+    size by the real seed count and search still ranks correctly (no
+    phantom zero-centroid codes, no index-out-of-bounds)."""
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+    from debezium_server_iceberg_spark.functions.pq import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 10  # < ks=16 vectors
+    )
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "tiny", emb, dim=64, n_cells=2
+    )
+    assert idx.codebooks.shape[1] == 10  # real seed count, not ks
+    qids = [0, 1]
+    got = sorted(map(tuple, idx.search(spark, qids, _qmat(emb, qids), k=3, n_probe=2).collect()))
+    want = sorted(map(tuple, pq_adc_topk(emb, qids, k=3, dim=64).collect()))
+    assert got == want
