@@ -627,13 +627,16 @@ def cluster_balanced_sample(
     md5-of-id order (rerun-stable, engine-portable) with the id as
     tiebreak.
 
-    Scale: k seed rows broadcast; assignment is an in-scan argmin (a
-    per-vector window over k rows); the per-cluster pick is the salted
-    TWO-PHASE top-k (per-partition pre-prune to ``per_cluster``, then
-    the bounded k*per_cluster survivors rank globally) — no
-    single-cluster partition ever sees more than its per-partition
-    winners, so one hot cluster cannot concentrate the corpus in one
-    task.  Returns ``(cluster_id, vec_id, pick_rank)``.
+    Scale: k seed rows broadcast; the argmin is a ``min_by(cluster_id,
+    struct(d2, cluster_id))`` PARTIAL AGGREGATE over the k rows per
+    vector — map-side combinable (the ``pq_encode`` idiom), one narrow
+    shuffle and NO per-vector window sort (struct ordering compares d2
+    then cluster_id: the exact tie contract); the per-cluster pick is
+    the salted TWO-PHASE top-k (per-partition pre-prune to
+    ``per_cluster``, then the bounded k*per_cluster survivors rank
+    globally) — no single-cluster partition ever sees more than its
+    per-partition winners, so one hot cluster cannot concentrate the
+    corpus in one task.  Returns ``(cluster_id, vec_id, pick_rank)``.
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = embeddings.select(F.col(id_col), vec.alias("_v"))
@@ -650,11 +653,18 @@ def cluster_balanced_sample(
     scored = pts.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col("cluster_id"), dist2.alias("_d2")
     )
-    w_assign = Window.partitionBy(id_col).orderBy("_d2", "cluster_id")
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("cluster_id", F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_h"))
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                "cluster_id", F.struct("_d2", "cluster_id")
+            ).alias("cluster_id")
+        )
+        .select(
+            "cluster_id",
+            F.col(id_col),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
     )
     pre = Window.partitionBy("cluster_id", F.spark_partition_id()).orderBy(
         F.col("_h").asc(), F.col(id_col).asc()

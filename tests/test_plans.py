@@ -719,3 +719,13 @@ def test_quality_rank_ensemble_single_text_scan(spark, fns):
     plan = _plan(fns["quality_rank_ensemble"](spark, SF))
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_cluster_balanced_assignment_is_partial_agg(spark, fns):
+    """Assignment must be the min_by partial aggregate (map-side
+    combinable), never a per-vector window sort; the only windows are
+    the two-phase per-cluster pick."""
+    plan = _plan(fns["cluster_balanced_sample"](spark, SF))
+    assert "min_by" in plan
+    assert plan.count("Window [") == 2  # pre-prune + bounded final pick
+    assert "CartesianProduct" not in plan
