@@ -966,3 +966,70 @@ def test_export_path_with_literal_percent_sequence(spark, tmp_path):
     native = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
     assert got == native
     assert (3, "v3") not in got and (3, "upd") in got
+
+
+def test_duckdb_foreign_reads_export_data_plane(spark, warehouse, tmp_path):
+    """DuckDB as a FOREIGN reader of the exported table's DATA PLANE:
+    the scan is planned from the exported metadata only
+    (plan_iceberg_scan), then every data byte is read by DuckDB —
+    data files and position-delete files via read_parquet with
+    file_row_number — and the spec's (file_path, pos) anti-join runs
+    in SQL.  The result must equal the engine-native read.  DuckDB
+    shares zero code with this repo's parquet writer or Spark's
+    reader, so this validates the physical data plane the way the
+    (env-blocked) pyiceberg test would, minus the metadata parser."""
+    import duckdb
+
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        plan_iceberg_scan,
+    )
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(8)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "duck_mor", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame(
+        [(1, "u1", "u"), (3, "gone", "d")], "id long, v string, __op string"
+    )
+    merge_into(
+        t, upd, mode="merge-on-read", delete_style="position",
+        keep_deletes=False,  # hard delete: id 3 must vanish via the
+        # position-delete file the foreign reader applies
+    )
+    dest = str(tmp_path / "ice_out")
+    export_iceberg_table(t, dest)
+
+    plan = plan_iceberg_scan(dest)
+    data_paths = [p for p, _s, _r in plan["data_files"]]
+    pos_paths = [p for p, _ in plan["pos_deletes"]]
+    assert data_paths and pos_paths, "fixture must produce MoR pos deletes"
+
+    def _lit(paths):
+        return "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
+
+    con = duckdb.connect()
+    # normalize scheme/slashes on both sides (manifests may record plain
+    # absolute paths; filename=true echoes the argument verbatim)
+    rows = con.execute(f"""
+        WITH data AS (
+          SELECT id, v,
+                 '/' || regexp_replace(filename, '^([a-zA-Z]+:)?/+', '') AS fp,
+                 file_row_number AS pos
+          FROM read_parquet({_lit(data_paths)},
+                            filename=true, file_row_number=true)
+        ), dels AS (
+          SELECT '/' || regexp_replace(file_path, '^([a-zA-Z]+:)?/+', '') AS fp,
+                 pos
+          FROM read_parquet({_lit(pos_paths)})
+        )
+        SELECT id, v FROM data
+        ANTI JOIN dels USING (fp, pos)
+        ORDER BY id
+    """).fetchall()
+    got = {r[0]: r[1] for r in rows}
+    native = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == native
+    assert got[1] == "u1" and 3 not in got and len(got) == 7
