@@ -1033,3 +1033,75 @@ def test_duckdb_foreign_reads_export_data_plane(spark, warehouse, tmp_path):
     native = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
     assert got == native
     assert got[1] == "u1" and 3 not in got and len(got) == 7
+
+
+def test_duckdb_foreign_reads_equality_deletes(spark, warehouse, tmp_path):
+    """Foreign-reader check of EQUALITY deletes incl. the sequence rule:
+    an equality delete removes key matches only in data files with a
+    STRICTLY LOWER data sequence number.  DuckDB reads data + delete
+    parquet and evaluates the rule in SQL from the planned
+    (path, data_sequence) pairs; result must equal the native read —
+    the same-commit data file carrying the new row version must
+    survive its own delete."""
+    import duckdb
+
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        plan_iceberg_scan,
+    )
+    from debezium_server_iceberg_spark.operators.merge import merge_into
+
+    cat = LakeCatalog(warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "r") for i in range(6)], "id long, v string, __op string"
+    )
+    t = cat.create_table("ice", "duck_eq", df.schema, identifier_fields=["id"])
+    merge_into(t, df, mode="merge-on-read")
+    upd = spark.createDataFrame(
+        [(2, "u2", "u"), (4, "u4", "u")], "id long, v string, __op string"
+    )
+    merge_into(t, upd, mode="merge-on-read", delete_style="equality")
+    dest = str(tmp_path / "ice_eq")
+    export_iceberg_table(t, dest)
+
+    plan = plan_iceberg_scan(dest)
+    eq = plan["eq_deletes"]
+    assert eq, "fixture must produce equality deletes"
+    # (path, delete sequence, [field ids]) per the plan contract
+    eq_paths = [e[0] for e in eq]
+    eq_seqs = {e[0]: int(e[1]) for e in eq}
+    assert all(isinstance(e[2], (list, tuple)) for e in eq)
+
+    def _lit(paths):
+        return "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
+
+    con = duckdb.connect()
+    data_seq = ", ".join(
+        f"('{p.replace(chr(39), chr(39)*2)}', {int(s)})"
+        for p, s, _r in plan["data_files"]
+    )
+    del_seq = ", ".join(
+        f"('{p.replace(chr(39), chr(39)*2)}', {int(sq)})" for p, sq in eq_seqs.items()
+    )
+    rows = con.execute(f"""
+        WITH dseq(fp, seq) AS (VALUES {data_seq}),
+        data AS (
+          SELECT d.id, d.v, s.seq
+          FROM read_parquet({_lit([p for p, _s, _r in plan["data_files"]])},
+                            filename=true) d
+          JOIN dseq s ON d.filename = s.fp
+        ), eseq(fp, dseq) AS (VALUES {del_seq}),
+        dels AS (
+          SELECT e.id, s.dseq
+          FROM read_parquet({_lit(eq_paths)}, filename=true) e
+          JOIN eseq s ON e.filename = s.fp
+        )
+        SELECT id, v FROM data d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dels x WHERE x.id = d.id AND d.seq < x.dseq
+        )
+        ORDER BY id
+    """).fetchall()
+    got = {r[0]: r[1] for r in rows}
+    native = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == native
+    assert got[2] == "u2" and got[4] == "u4" and len(got) == 6
