@@ -683,3 +683,84 @@ def as_binary_items(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
         ).alias("meta"),
     )
+
+
+def keyframe_select(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "item_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """Key-frame selection by inter-frame change — the deterministic
+    pixel-delta baseline of shot-boundary detection (frame i scores
+    the exact integer SUM of absolute per-pixel deltas vs frame i-1;
+    no codec, no floats).  Frame 0 is always a keyframe (rank 1, the
+    shot opener); the remaining ``k - 1`` slots go to the largest
+    deltas, ties to the earlier frame.
+
+    Selection happens entirely INSIDE one Arrow ``mapInPandas`` pass —
+    frames of one container never leave their batch, media bytes never
+    shuffle (the multimodal scale rule).  Non-VID0 or undecodable
+    content yields no rows.  Frames whose dimensions differ from their
+    predecessor score the sum of BOTH frames' pixel mass (maximal
+    change — a hard cut to a new geometry).
+
+    Returns ``(item_id, frame_index, rank, change_score, frame_sha256,
+    frame)``.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, data in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(data) if data is not None else b""
+                frames = decode_video(data) if data else None
+                if not frames:
+                    continue
+                decoded = [decode_bmp(fr) for fr in frames]
+                scored = []  # (score, index)
+                prev = None
+                for i, dec in enumerate(decoded):
+                    px = dec[3].astype(np.int64) if dec is not None else None
+                    if i == 0:
+                        scored.append((None, 0))  # always selected
+                    elif px is None or prev is None:
+                        scored.append((0, i))
+                    elif px.shape != prev.shape:
+                        scored.append((int(px.sum() + prev.sum()), i))
+                    else:
+                        scored.append((int(np.abs(px - prev).sum()), i))
+                    prev = px if px is not None else prev
+                rest = sorted(
+                    (s for s in scored[1:]), key=lambda t: (-t[0], t[1])
+                )[: max(0, k - 1)]
+                picks = [scored[0]] + rest
+                for rank, (score, i) in enumerate(picks, start=1):
+                    chunk = frames[i]
+                    rows.append(
+                        (
+                            item_id,
+                            i,
+                            rank,
+                            score if score is not None else 0,
+                            hashlib.sha256(chunk).hexdigest(),
+                            chunk,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "frame_index", "rank", "change_score",
+                    "frame_sha256", "frame",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bin_col).alias(bin_col)
+    ).mapInPandas(
+        op,
+        schema=(
+            "item_id long, frame_index int, rank int, change_score long, "
+            "frame_sha256 string, frame binary"
+        ),
+    )

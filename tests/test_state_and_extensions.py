@@ -470,3 +470,56 @@ def test_banded_hamming_rejects_loose_threshold():
 
     with _pytest.raises(ValueError):
         banded_hamming_pairs(None, max_hamming=4)
+
+
+def test_keyframe_select_matches_pixel_delta_model(spark):
+    """keyframe_select vs a pure-numpy model over the synthesized VID0
+    containers: frame 0 always rank 1; remaining slots are the largest
+    exact integer inter-frame pixel deltas, ties to the earlier frame;
+    emitted bytes are the container's original frame slices."""
+    import hashlib
+
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.multimodal import (
+        decode_bmp,
+        decode_video,
+        keyframe_select,
+        synthesize_videos,
+    )
+
+    base = spark.range(6).withColumnRenamed("id", "doc_id")
+    vids = synthesize_videos(base)  # (item_id, content)
+    out = keyframe_select(vids, k=3).collect()
+    raw = {r["item_id"]: bytes(r["content"]) for r in vids.collect()}
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r["item_id"], []).append(r)
+    assert set(by_item) == set(raw)
+    for item_id, rows in by_item.items():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        frames = decode_video(raw[item_id])
+        # model: scores
+        decoded = [decode_bmp(f)[3].astype(np.int64) for f in frames]
+        scores = []
+        for i in range(1, len(decoded)):
+            a, b = decoded[i], decoded[i - 1]
+            if a.shape != b.shape:  # geometry cut = maximal change
+                scores.append(int(a.sum() + b.sum()))
+            else:
+                scores.append(int(np.abs(a - b).sum()))
+        want_rest = sorted(
+            ((s, i + 1) for i, s in enumerate(scores)), key=lambda t: (-t[0], t[1])
+        )[:2]
+        assert rows[0]["frame_index"] == 0 and rows[0]["rank"] == 1
+        got_rest = [(r["change_score"], r["frame_index"]) for r in rows[1:]]
+        assert got_rest == want_rest
+        for r in rows:
+            chunk = frames[r["frame_index"]]
+            assert bytes(r["frame"]) == chunk
+            assert r["frame_sha256"] == hashlib.sha256(chunk).hexdigest()
+    # determinism
+    again = sorted(
+        (r["item_id"], r["frame_index"], r["rank"]) for r in keyframe_select(vids, k=3).collect()
+    )
+    assert again == sorted((r["item_id"], r["frame_index"], r["rank"]) for r in out)
