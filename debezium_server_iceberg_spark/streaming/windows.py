@@ -310,3 +310,78 @@ def streaming_cms_counts(
     return addressed.groupBy("row", "shard").applyInPandas(
         batch_update, schema=CMS_STREAM_OUTPUT_SCHEMA
     )
+
+
+SAMPLE_STREAM_OUTPUT_SCHEMA = "shard INT, hashes ARRAY<STRING>, ids ARRAY<LONG>"
+SAMPLE_STREAM_STATE_SCHEMA = "hashes ARRAY<STRING>, ids ARRAY<LONG>"
+
+
+def streaming_bottom_k_sample(
+    docs: DataFrame,
+    k: int = 64,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming deterministic uniform sample: keep the ``k`` ids with
+    the smallest md5(id) EVER SEEN — the bottom-k (KMV-style) sample,
+    the rerun-stable stream twin of ``pipeline.stratified_sample``'s
+    md5-order draws.  Because membership depends only on each id's own
+    hash, the sample after N micro-batches equals the batch bottom-k
+    over the union — no RNG state, no order sensitivity (a true
+    reservoir sample is order-dependent and unverifiable).
+
+    Sharded like the streaming CMS: group key = first hex nibble of
+    the hash (``n_shards`` in {1..16} groups), each shard's state holds
+    ITS k smallest (hash, id) pairs — the global bottom-k is the
+    k smallest of the per-shard unions, a trivial bounded merge the
+    caller (or a downstream batch op) applies.  State is at most
+    n_shards * k pairs no matter how much streams through.  Emits each
+    shard's full sorted bottom-k per batch.
+
+    Batch inputs take the same plan through plain ``applyInPandas``
+    (one whole-history accumulation per shard == the N=1-batch stream).
+    """
+    hashed = docs.select(
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+        F.col(id_col).alias("_id"),
+    ).select(
+        (F.conv(F.substring("h", 1, 1), 16, 10).cast("int") % n_shards)
+        .alias("shard"),
+        "h",
+        "_id",
+    )
+
+    def update(key, pdfs, state):
+        (shard,) = key
+        hs, ids = (state.get if state.exists else ([], []))
+        pairs = set(zip(hs, ids))
+        for pdf in pdfs:
+            pairs |= set(zip(pdf["h"], (int(i) for i in pdf["_id"])))
+        merged = sorted(pairs)[:k]
+        hs = [h for h, _ in merged]
+        ids = [i for _, i in merged]
+        state.update((hs, ids))
+        yield pd.DataFrame(
+            [(shard, hs, ids)], columns=["shard", "hashes", "ids"]
+        )
+
+    if hashed.isStreaming:
+        return hashed.groupBy("shard").applyInPandasWithState(
+            update,
+            outputStructType=SAMPLE_STREAM_OUTPUT_SCHEMA,
+            stateStructType=SAMPLE_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_update(key, pdf):
+        (shard,) = key
+        merged = sorted(set(zip(pdf["h"], (int(i) for i in pdf["_id"]))))[:k]
+        return pd.DataFrame(
+            [(shard, [h for h, _ in merged], [i for _, i in merged])],
+            columns=["shard", "hashes", "ids"],
+        )
+
+    return hashed.groupBy("shard").applyInPandas(
+        batch_update, schema=SAMPLE_STREAM_OUTPUT_SCHEMA
+    )

@@ -760,3 +760,60 @@ def test_streaming_cms_across_batches_accumulates(spark, tmp_path):
     # per-batch emissions: batch_adds across all emissions == total
     # token-cell increments (7 tokens * d rows)
     assert sum(r["batch_adds"] for r in rows) == 7 * d
+
+
+def test_streaming_bottom_k_sample_equals_batch_bottom_k(spark, tmp_path):
+    """Deterministic stream sample: after two micro-batches the merged
+    per-shard state is EXACTLY the batch bottom-k over the union (md5
+    order, no RNG, order-insensitive); the batch face agrees."""
+    import hashlib
+    import os
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        streaming_bottom_k_sample,
+    )
+
+    ids1, ids2 = list(range(0, 40)), list(range(40, 90))
+    indir = str(tmp_path / "sample_in")
+    os.makedirs(indir)
+    for name, ids in [("b1.jsonl", ids1), ("b2.jsonl", ids2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), True)])
+    k = 7
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    out = streaming_bottom_k_sample(stream, k=k, n_shards=4)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bk_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from bk_stream").collect()
+    latest = {}
+    for r in rows:  # keep last emission per shard
+        latest[r["shard"]] = r
+    merged = sorted(
+        (h, i)
+        for r in latest.values()
+        for h, i in zip(r["hashes"], r["ids"])
+    )[:k]
+    got = [i for _, i in merged]
+    want = sorted(
+        ((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids1 + ids2)
+    )[:k]
+    assert got == [i for _, i in want]
+    # batch face over the same union: identical merged sample
+    union = spark.createDataFrame([(i,) for i in ids1 + ids2], "doc_id long")
+    brows = streaming_bottom_k_sample(union, k=k, n_shards=4).collect()
+    bmerged = sorted(
+        (h, i) for r in brows for h, i in zip(r["hashes"], r["ids"])
+    )[:k]
+    assert [i for _, i in bmerged] == got
