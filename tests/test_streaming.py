@@ -817,3 +817,92 @@ def test_streaming_bottom_k_sample_equals_batch_bottom_k(spark, tmp_path):
         (h, i) for r in brows for h, i in zip(r["hashes"], r["ids"])
     )[:k]
     assert [i for _, i in bmerged] == got
+
+
+def test_streaming_cms_checkpoint_restart_resumes_state(spark, tmp_path):
+    """State-store recovery: stop the CMS stream after batch 1, restart
+    from the same checkpoint, feed batch 2 — the resumed state must
+    accumulate on top of batch 1 (equal to the union sketch), proving
+    the sketch state round-trips the checkpoint, with no reprocessing
+    of batch 1."""
+    import os
+
+    from debezium_server_iceberg_spark.functions.cms import cms_build
+    from debezium_server_iceberg_spark.streaming.windows import (
+        streaming_cms_counts,
+    )
+
+    indir = str(tmp_path / "cms_ckpt_in")
+    ckpt = str(tmp_path / "cms_ckpt")
+    os.makedirs(indir)
+    b1 = [{"doc_id": 1, "text": "aa bb aa"}]
+    b2 = [{"doc_id": 2, "text": "aa cc"}]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    w, d, s = 64, 2, 4
+
+    outdir = str(tmp_path / "cms_ckpt_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(indir)
+        out = streaming_cms_counts(stream, w=w, d=d, n_shards=s)
+
+        def sink(batch_df, bid):
+            batch_df.withColumn("_bid", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(outdir)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(outdir).collect()
+
+    with open(f"{indir}/b1.jsonl", "w") as fh:
+        for r in b1:
+            fh.write(json.dumps(r) + "\n")
+    first = run_once()
+    assert sum(r["batch_adds"] for r in first) == 3 * d  # batch 1 only
+
+    with open(f"{indir}/b2.jsonl", "w") as fh:
+        for r in b2:
+            fh.write(json.dumps(r) + "\n")
+    all_rows = run_once()
+    max_bid = max(r["_bid"] for r in all_rows)
+    second = [r for r in all_rows if r["_bid"] == max_bid]
+    # restart processed ONLY batch 2's 2 tokens (batch 1 not reprocessed)...
+    assert sum(r["batch_adds"] for r in second) == 2 * d
+    # ...but its state carries batch 1: assembled counters == union sketch
+    got = {}
+    for r in second:
+        for i, c in enumerate(r["counters"]):
+            if c:
+                got[(r["row"], r["shard"] + i * s)] = c
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in cms_build(union, w=w, d=d).collect()
+    }
+    # the restarted run only re-emits shards batch 2 TOUCHED; every
+    # emitted shard must match the union sketch exactly on its buckets
+    touched = {(r["row"], r["shard"]) for r in second}
+    assert touched
+    for (row, bucket), c in got.items():
+        assert want.get((row, bucket)) == c
+    # and batch-2's tokens' cells are all present in the emission
+    from debezium_server_iceberg_spark.functions.cms import _bucket  # noqa: F401
+    aa_cells = {k for k in want if k in got}
+    assert len(aa_cells) >= 2 * d - 1  # aa + cc cells (may collide)
