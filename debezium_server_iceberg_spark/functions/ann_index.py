@@ -495,6 +495,10 @@ class IVFPQIndex:
         query_vecs: np.ndarray,
         k: int = 5,
         n_probe: int = 4,
+        rerank_source: DataFrame | None = None,
+        rerank_expand: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
     ) -> DataFrame:
         """ADC top-k over the probed cells only.  ``query_vecs`` is
         row-aligned with ``query_ids`` and REQUIRED: the index stores
@@ -502,7 +506,17 @@ class IVFPQIndex:
         table (by design — the raw corpus stays in its source table).
 
         Returns ``(query_id, rank, neighbor_id, adc_dist2)`` —
-        the :func:`pq.pq_adc_topk` output contract."""
+        the :func:`pq.pq_adc_topk` output contract.
+
+        ``rerank_source`` enables the standard final step of a
+        production IVF-PQ pipeline (Jégou et al. §V.C): fetch an
+        EXPANDED ADC shortlist (``k * rerank_expand`` per query), join
+        it against the raw-vector table, and re-rank by exact cosine —
+        quantization error never decides the final order.  The join is
+        shortlist-sized (|Q| * k * expand rows, broadcast) against the
+        source scan, so the raw corpus is touched once, by id.  With
+        rerank the return contract is ``(query_id, rank, neighbor_id,
+        cosine)`` — the :func:`similarity.cosine_topk` shape."""
         from .pq import seq_fold_d2_batch
 
         empty = spark.createDataFrame(
@@ -543,22 +557,75 @@ class IVFPQIndex:
             .groupBy("_qid", "vec_id")
             .agg(F.round(F.sum("_qd2"), 4).alias("adc_dist2"))
         )
+        shortlist_k = k * rerank_expand if rerank_source is not None else k
         pre = Window.partitionBy(
             "_qid", F.pmod(F.col("vec_id"), F.lit(64))
         ).orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
         final = Window.partitionBy("_qid").orderBy(
             F.col("adc_dist2").asc(), F.col("vec_id").asc()
         )
-        return (
+        shortlist = (
             adc.withColumn("_pr", F.row_number().over(pre))
-            .filter(F.col("_pr") <= k)
+            .filter(F.col("_pr") <= shortlist_k)
             .drop("_pr")
             .withColumn("rank", F.row_number().over(final))
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= shortlist_k)
             .select(
                 F.col("_qid").alias("query_id"),
                 "rank",
                 F.col("vec_id").alias("neighbor_id"),
                 "adc_dist2",
+            )
+        )
+        if rerank_source is None:
+            return shortlist
+        # exact cosine re-rank: the shortlist (|Q| * k * expand rows)
+        # broadcasts into the raw-vector scan; query vectors ride the
+        # shortlist rows as plan constants (driver-held, |Q| of them)
+        qv_rows = [
+            (int(qid), [float(x) for x in qv])
+            for qid, qv in zip(query_ids, qmat)
+        ]
+        qvs = spark.createDataFrame(qv_rows, schema="query_id long, _qv array<double>")
+        cand_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(cand_vec, F.col("_qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = F.sqrt(
+            F.aggregate(cand_vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        qnorm = F.sqrt(
+            F.aggregate("_qv", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        scored = (
+            rerank_source.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+            )
+            .join(
+                F.broadcast(
+                    shortlist.select("query_id", "neighbor_id").join(
+                        F.broadcast(qvs), "query_id"
+                    )
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot / F.nullif(norm * qnorm, F.lit(0.0))).alias("cos"),
+            )
+            .filter(F.col("cos").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "rank", "neighbor_id",
+                F.round("cos", 3).alias("cosine"),
             )
         )

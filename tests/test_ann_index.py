@@ -323,3 +323,40 @@ def test_ivfpq_index_small_corpus_fewer_seeds_than_ks(spark, warehouse):
     got = sorted(map(tuple, idx.search(spark, qids, _qmat(emb, qids), k=3, n_probe=2).collect()))
     want = sorted(map(tuple, pq_adc_topk(emb, qids, k=3, dim=64).collect()))
     assert got == want
+
+
+def test_ivfpq_rerank_recovers_exact_cosine_order(spark, warehouse):
+    """Exact re-ranking of the expanded ADC shortlist: with exhaustive
+    probing and a generous expand factor the reranked top-k equals
+    brute-force cosine_topk — quantization error no longer decides the
+    final order.  The unreranked ADC top-k generally differs (that gap
+    is WHY production reranks)."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+    from debezium_server_iceberg_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(6))
+    qm = _qmat(emb, qids)
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "ivfpq", emb, dim=64, n_cells=8
+    )
+    # expand covering the whole corpus: rerank machinery must be exact
+    reranked = sorted(map(tuple, idx.search(
+        spark, qids, qm, k=5, n_probe=8,
+        rerank_source=emb, rerank_expand=100,
+    ).collect()))
+    exact = sorted(map(tuple, cosine_topk(emb, qids, k=5).collect()))
+    assert reranked == exact
+    # modest expand: high recall of the exact top-5 (the seed codebooks
+    # are deliberately coarse — 16 codes — so this is a band, not equality)
+    modest = idx.search(
+        spark, qids, qm, k=5, n_probe=8, rerank_source=emb, rerank_expand=8
+    ).collect()
+    exact_set = {(r[0], r[2]) for r in exact}
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact_set for r in modest)
+    assert hits >= int(0.8 * len(exact_set))
+    # rerank output follows the cosine_topk contract
+    cols = idx.search(
+        spark, qids, qm, k=5, n_probe=8, rerank_source=emb
+    ).columns
+    assert cols == ["query_id", "rank", "neighbor_id", "cosine"]
