@@ -110,16 +110,42 @@ class MinHashIndex:
             .distinct()
         )
 
+    def _epoch_already_applied(self, epoch_id: int | None) -> bool:
+        """Exactly-once guard for STREAMING feeds (same contract as
+        ``ChangeConsumer._epoch_already_applied``): every streamed
+        append stamps its epoch into the snapshot summary; a replayed
+        micro-batch (foreachBatch is at-least-once) is skipped instead
+        of double-appending band rows.  Checkpoint guarantees epochs
+        are monotone per query."""
+        if epoch_id is None:
+            return False
+        for s in reversed(self.table.metadata().snapshots):
+            e = s.summary.get("epoch_id")
+            if e is not None:
+                return int(e) >= epoch_id
+        return False
+
     def add_batch(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> DataFrame:
         """Index a batch; return its verified near-dup pairs — new-vs-history
         and new-vs-new, ``(doc_a, doc_b, agreement)`` with doc_a < doc_b.
 
         The returned plan is resolved against the PRE-append snapshot (the
         index scan captures the current manifest), so collecting it after
-        the append stays correct — lakehouse reads are snapshot-isolated."""
+        the append stays correct — lakehouse reads are snapshot-isolated.
+
+        ``epoch_id`` (streaming feeds) makes the append idempotent: a
+        replayed epoch returns an empty pairs frame and appends nothing."""
         spark = docs.sparkSession
+        if self._epoch_already_applied(epoch_id):
+            return spark.createDataFrame(
+                [], "doc_a long, doc_b long, agreement double"
+            )
         mcols = [f"m{s}" for s in range(self.num_hashes)]
         new = self._band_rows(docs, text_col, id_col).cache()
 
@@ -171,7 +197,10 @@ class MinHashIndex:
         # cache is released) — the checkpoint also makes the returned
         # DataFrame independent of this batch's cached/staged state
         pairs = self._verified(cross.unionByName(within)).localCheckpoint(eager=True)
-        self.table.append(new.select("doc", "band", "band_val", *mcols))
+        self.table.append(
+            new.select("doc", "band", "band_val", *mcols),
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
         new.unpersist()
         return pairs
 

@@ -385,3 +385,47 @@ def streaming_bottom_k_sample(
     return hashed.groupBy("shard").applyInPandas(
         batch_update, schema=SAMPLE_STREAM_OUTPUT_SCHEMA
     )
+
+
+def run_minhash_index_stream(
+    docs_stream: DataFrame,
+    index,
+    pairs_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuously-maintained near-dup index: each micro-batch of
+    documents is admitted into the persistent MinHash band index
+    (``functions/incremental.MinHashIndex``) and the batch's VERIFIED
+    near-dup pairs — new-vs-history and new-vs-new — land in a
+    partitioned parquet sink.
+
+    Exactly-once on BOTH effects of a micro-batch (foreachBatch is
+    at-least-once):
+
+    - the index append is epoch-stamped into the lakehouse snapshot
+      summary and a replayed epoch appends nothing (the
+      ``ChangeConsumer`` idempotence contract, reused);
+    - the pairs write goes to ``pairs_dir/epoch=N`` with
+      mode=overwrite — a replay rewrites the identical partition
+      instead of duplicating rows.
+
+    Scale: per-trigger work is the documented ``add_batch`` shape —
+    the batch's band rows probe the stored index (byte-estimated
+    broadcast, shuffle above the limit), history is never re-banded.
+
+    Returns the started StreamingQuery."""
+
+    def process(batch_df, epoch_id):
+        pairs = index.add_batch(
+            batch_df, text_col=text_col, id_col=id_col, epoch_id=epoch_id
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+        .start()
+    )

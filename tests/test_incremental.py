@@ -127,3 +127,73 @@ def test_substring_index_maintain_compacts(spark, warehouse):
     # probes against the compacted index still see all history
     tail = idx.add_batch(docs.limit(5).select("doc_id", "text"))
     assert tail.filter(F.col("n_shared") > 0).count() > 0  # dup of history
+
+
+def test_streaming_minhash_index_feed_exactly_once(spark, tmp_path):
+    """Streaming feed of the persistent MinHash index: two micro-batches
+    through a real stream produce the SAME index contents and the same
+    cumulative verified pairs as two direct add_batch calls; a replayed
+    epoch (simulated direct re-call with the same epoch_id) appends
+    nothing and returns no pairs."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        MinHashIndex,
+    )
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b2 = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    # reference: two direct admissions
+    ref = MinHashIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "idx")
+    ref_pairs = sorted(
+        map(tuple, ref.add_batch(b1).collect())
+    ) + sorted(map(tuple, ref.add_batch(b2).collect()))
+
+    # stream: same batches as two files, maxFilesPerTrigger=1
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    for name, bdf in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "str")), "dd", "idx")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_minhash_index_stream(
+        stream, idx, str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # same stored index relation
+    stored_ref = sorted(map(tuple, ref.table.to_df(spark).collect()))
+    stored_str = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    assert stored_str == stored_ref
+    # same cumulative pairs (file order == trigger order here)
+    got_pairs = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "pairs")).drop("epoch").collect())
+    )
+    assert got_pairs == sorted(ref_pairs)
+    # replay guard: re-admitting an already-stamped epoch is a no-op
+    before = idx.table.row_count()
+    replay = idx.add_batch(b2, epoch_id=1)
+    assert replay.count() == 0
+    assert idx.table.row_count() == before
