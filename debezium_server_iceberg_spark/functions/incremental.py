@@ -269,20 +269,36 @@ class SubstringIndex:
         )
         return SubstringIndex(table, k, max_shared_frac_tenths)
 
+    # same exactly-once contract as MinHashIndex (streaming feeds)
+    _epoch_already_applied = MinHashIndex._epoch_already_applied
+
     def add_batch(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> DataFrame:
         """Index a batch; return its duplication profile measured against
         history ∪ batch — ``(id, n_grams, n_shared, shared_frac, keep)``,
         the same schema/semantics as the one-shot operator over the union
         corpus, restricted to the batch's docs.  The plan resolves
         against the PRE-append snapshot, so collecting after the append
-        stays correct (lakehouse reads are snapshot-isolated)."""
+        stays correct (lakehouse reads are snapshot-isolated).
+
+        ``epoch_id`` (streaming feeds) makes the append idempotent: a
+        replayed epoch returns an empty profile and appends nothing."""
         from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
 
         from .text import word_gram_hashes
 
         spark = docs.sparkSession
+        if self._epoch_already_applied(epoch_id):
+            return spark.createDataFrame(
+                [],
+                f"{id_col} long, n_grams long, n_shared long, "
+                "shared_frac double, keep boolean",
+            )
         grams = word_gram_hashes(docs, self.k, text_col, id_col).dropDuplicates(
             [id_col, "_h"]
         ).cache()
@@ -322,7 +338,10 @@ class SubstringIndex:
         # profile materializes BEFORE the append (pre-append snapshot +
         # independence from the cached/staged batch state)
         prof = prof.localCheckpoint(eager=True)
-        self.table.append(batch_counts.select("_h", F.col("_nb").alias("n_docs")))
+        self.table.append(
+            batch_counts.select("_h", F.col("_nb").alias("n_docs")),
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
         batch_counts.unpersist()
         grams.unpersist()
         return prof

@@ -429,3 +429,9 @@ def run_minhash_index_stream(
         .foreachBatch(process)
         .start()
     )
+
+
+# the wrapper is index-agnostic: any persistent index exposing
+# add_batch(docs, text_col, id_col, epoch_id) -> DataFrame plugs in
+# (SubstringIndex shares the exactly-once contract)
+run_dedup_index_stream = run_minhash_index_stream

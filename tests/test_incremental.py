@@ -197,3 +197,65 @@ def test_streaming_minhash_index_feed_exactly_once(spark, tmp_path):
     replay = idx.add_batch(b2, epoch_id=1)
     assert replay.count() == 0
     assert idx.table.row_count() == before
+
+
+def test_streaming_substring_index_feed_exactly_once(spark, tmp_path):
+    """The generic stream wrapper drives SubstringIndex too: two
+    streamed micro-batches == two direct admissions (stored gram
+    relation and cumulative profiles), and a replayed epoch is a
+    no-op."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        SubstringIndex,
+    )
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b2 = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    ref = SubstringIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "sub")
+    ref_prof = sorted(map(tuple, ref.add_batch(b1).collect())) + sorted(
+        map(tuple, ref.add_batch(b2).collect())
+    )
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    for name, bdf in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    idx = SubstringIndex.create(LakeCatalog(str(tmp_path / "str")), "dd", "sub")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_dedup_index_stream(
+        stream, idx, str(tmp_path / "profiles"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored_ref = sorted(map(tuple, ref.table.to_df(spark).collect()))
+    stored_str = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    assert stored_str == stored_ref
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "profiles")).drop("epoch").collect())
+    )
+    assert got == sorted(ref_prof)
+    before = idx.table.row_count()
+    assert idx.add_batch(b2, epoch_id=1).count() == 0
+    assert idx.table.row_count() == before
