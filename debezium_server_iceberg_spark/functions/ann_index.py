@@ -179,9 +179,22 @@ class IVFIndex:
 
     # ------------------------------------------------------- incremental
     def add_batch(
-        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch_id: int | None = None,
     ) -> int:
-        """Assign against the frozen codebook and append (cell-partitioned)."""
+        """Assign against the frozen codebook and append (cell-partitioned).
+
+        ``epoch_id`` (streaming feeds — ``run_vector_index_stream``) makes
+        the append idempotent via the shared snapshot-summary stamp
+        (``incremental.epoch_already_applied``): a replayed micro-batch
+        appends nothing and returns 0; an epoch regression raises."""
+        from .incremental import epoch_already_applied
+
+        if epoch_already_applied(self.table, epoch_id):
+            return 0
         cmat = self.centroids
 
         def assign(batches):
@@ -205,8 +218,18 @@ class IVFIndex:
         # rows added come from the commit's own file stats — the assignment
         # GEMM runs exactly once (a pre-count would compute it twice)
         before = self.table.row_count()
-        self.table.append(assigned)
+        self.table.append(
+            assigned,
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
         return self.table.row_count() - before
+
+    def maintain(self, spark, min_input_files: int = 8) -> int:
+        """Bin-pack per-batch appends (compaction recomputes partition
+        transforms from rows, so the cell layout — and search-time
+        partition pruning — survives).  Atomic swap; returns files
+        removed."""
+        return self.table.compact(spark, min_input_files=min_input_files)
 
     # ------------------------------------------------------------ search
     def probed_files(
@@ -419,12 +442,24 @@ class IVFPQIndex:
 
     # ------------------------------------------------------- incremental
     def add_batch(
-        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch_id: int | None = None,
     ) -> int:
         """One Arrow pass: coarse cell + all m PQ codes per vector
         against the FROZEN codebooks, appended cell-partitioned.  The
-        raw vectors are read once and never stored."""
+        raw vectors are read once and never stored.
+
+        ``epoch_id`` (streaming feeds — ``run_vector_index_stream``)
+        makes the append idempotent; replays return 0, regressions
+        raise (``incremental.epoch_already_applied``)."""
+        from .incremental import epoch_already_applied
         from .pq import seq_fold_d2_batch
+
+        if epoch_already_applied(self.table, epoch_id):
+            return 0
 
         cmat = self.centroids
         cb = self.codebooks
@@ -464,8 +499,13 @@ class IVFPQIndex:
             encode, schema=self.table.metadata().schema
         )
         before = self.table.row_count()
-        self.table.append(assigned)
+        self.table.append(
+            assigned,
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
         return self.table.row_count() - before
+
+    maintain = IVFIndex.maintain
 
     # ------------------------------------------------------------ search
     def probed_files(
@@ -519,9 +559,16 @@ class IVFPQIndex:
         cosine)`` — the :func:`similarity.cosine_topk` shape."""
         from .pq import seq_fold_d2_batch
 
+        # the empty frame must match the NON-empty path's contract: ADC
+        # shape without rerank, cosine shape with — downstream unions/
+        # writes break on a schema that flips with the row count
         empty = spark.createDataFrame(
             [],
-            schema="query_id long, rank int, neighbor_id long, adc_dist2 double",
+            schema=(
+                "query_id long, rank int, neighbor_id long, cosine double"
+                if rerank_source is not None
+                else "query_id long, rank int, neighbor_id long, adc_dist2 double"
+            ),
         )
         if not query_ids:
             return empty

@@ -20,19 +20,96 @@ band values depend only on a doc's own text, so a pair collides across
 batches iff it collides in a full-corpus run — incremental results are
 IDENTICAL to batch-at-once (asserted in tests/test_incremental.py).
 
-Scale notes: the index table should be partitioned by ``bucket(N,
-band_val)`` so the probe join co-locates; the probe side is batch-sized
-and broadcastable; the stored side is scanned with band-value pushdown.
+Scale notes: the index table IS partitioned by ``bucket(N, band_val)``
+(``create(partition_buckets=N)``), so each admitted batch's probe scan
+reads ONLY the files of the batch's own bucket set — collected
+driver-side (≤N ordinals, one bounded job) and pushed into the scan as
+``to_df(partition_values=)`` file pruning.  The probe side is
+batch-sized and broadcastable; a backfill-shaped batch that touches
+every bucket skips pruning and takes the shuffle join.  Without this,
+every micro-batch of a continuous feed full-scans the accumulated
+index — THE recurring-cost scale killer at 100 TB.
 Base LSH machinery: functions/dedup.py (minhash_near_dup_pairs).
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.catalog import LakeCatalog
-from ..lakehouse.table import LakeTable
+from ..lakehouse.table import LakeTable, bucket_hash_trusted
+from ..lakehouse.transforms import PartitionField
 from .dedup import _minhash_wide, band_structs_expr
+
+
+class EpochRegressionError(RuntimeError):
+    """A streamed batch's epoch is OLDER than the index's last stamped
+    epoch.  Structured Streaming epochs are monotone per checkpoint, so
+    this only happens when a checkpoint was reset (epochs restart at 0)
+    or a second query writes the same index table — silently skipping
+    would be silent data loss, so the feed fails loudly instead."""
+
+
+def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
+    """Exactly-once guard for STREAMING index feeds (same contract as
+    ``ChangeConsumer._epoch_already_applied``): every streamed append
+    stamps its epoch into the snapshot summary; a replayed micro-batch
+    (foreachBatch is at-least-once) is detected so the caller can skip
+    BOTH effects.  Since the checkpoint guarantees epochs are monotone
+    per query, a replay can only carry the LAST stamped epoch — an
+    epoch strictly below it means a reset checkpoint or a second writer
+    query, and raises :class:`EpochRegressionError` rather than
+    silently dropping every subsequent batch."""
+    if epoch_id is None:
+        return False
+    for s in reversed(table.metadata().snapshots):
+        e = s.summary.get("epoch_id")
+        if e is None:
+            continue  # maintenance/compaction snapshot: keep scanning
+        last = int(e)
+        if epoch_id < last:
+            raise EpochRegressionError(
+                f"batch epoch {epoch_id} < last applied epoch {last} for "
+                f"{table.location!r} — reset checkpoint or second writer "
+                "query; refusing to silently skip its appends"
+            )
+        return last == epoch_id
+    return False
+
+
+def _bucket_probe_values(
+    table: LakeTable, batch_df: DataFrame, source_col: str
+) -> dict[str, set] | None:
+    """The probe side's bucket set, as a ``to_df(partition_values=)``
+    pruning dict — or None when pruning can't help (unpartitioned /
+    untrusted-hash table, or the batch touches every bucket).
+
+    Cost: one bounded job over the (cached) batch frame collecting at
+    most N bucket ordinals — planning-scale regardless of batch size.
+    Correct because a bucket transform is a pure function of the join
+    key: every stored row that can equi-join a batch key lives in that
+    key's bucket, so files outside the batch's bucket set cannot
+    contribute matches."""
+    meta = table.metadata()
+    pfs = [
+        pf
+        for pf in meta.partition_spec
+        if pf.transform == "bucket" and pf.source == source_col
+    ]
+    if not pfs or not bucket_hash_trusted(meta):
+        return None
+    pf = pfs[0]
+    buckets = {
+        r[0]
+        for r in batch_df.select(pf.column("string").alias("_bk"))
+        .distinct()
+        .collect()
+    }
+    if len(buckets) >= pf.param:
+        return None  # backfill-shaped batch: every bucket probed anyway
+    return {pf.name: buckets}
 
 
 class MinHashIndex:
@@ -64,6 +141,7 @@ class MinHashIndex:
         band_size: int = 2,
         threshold: float = 0.5,
         shingle_size: int = 3,
+        partition_buckets: int = 32,
     ) -> "MinHashIndex":
         from pyspark.sql import types as T
 
@@ -74,7 +152,19 @@ class MinHashIndex:
         ] + [
             T.StructField(f"m{s}", T.StringType()) for s in range(num_hashes)
         ]
-        table = catalog.create_table(namespace, name, T.StructType(fields))
+        # bucket(N, band_val) co-locates the probe join's key: add_batch
+        # prunes the stored-side scan to the batch's bucket set instead of
+        # full-scanning the accumulated index per admitted batch
+        table = catalog.create_table(
+            namespace,
+            name,
+            T.StructType(fields),
+            partition_spec=(
+                [PartitionField("band_val", "bucket", partition_buckets)]
+                if partition_buckets
+                else None
+            ),
+        )
         return MinHashIndex(table, num_hashes, band_size, threshold, shingle_size)
 
     def _band_rows(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -111,19 +201,7 @@ class MinHashIndex:
         )
 
     def _epoch_already_applied(self, epoch_id: int | None) -> bool:
-        """Exactly-once guard for STREAMING feeds (same contract as
-        ``ChangeConsumer._epoch_already_applied``): every streamed
-        append stamps its epoch into the snapshot summary; a replayed
-        micro-batch (foreachBatch is at-least-once) is skipped instead
-        of double-appending band rows.  Checkpoint guarantees epochs
-        are monotone per query."""
-        if epoch_id is None:
-            return False
-        for s in reversed(self.table.metadata().snapshots):
-            e = s.summary.get("epoch_id")
-            if e is not None:
-                return int(e) >= epoch_id
-        return False
+        return epoch_already_applied(self.table, epoch_id)
 
     def add_batch(
         self,
@@ -131,7 +209,8 @@ class MinHashIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
-    ) -> DataFrame:
+        on_result: Callable[[DataFrame], None] | None = None,
+    ) -> DataFrame | None:
         """Index a batch; return its verified near-dup pairs — new-vs-history
         and new-vs-new, ``(doc_a, doc_b, agreement)`` with doc_a < doc_b.
 
@@ -140,22 +219,25 @@ class MinHashIndex:
         the append stays correct — lakehouse reads are snapshot-isolated.
 
         ``epoch_id`` (streaming feeds) makes the append idempotent: a
-        replayed epoch returns an empty pairs frame and appends nothing."""
+        replayed epoch appends nothing and returns ``None`` (distinct
+        from a genuinely empty result — the caller must NOT overwrite a
+        prior attempt's durable results with emptiness).
+
+        ``on_result`` is the exactly-once sink hook: it is invoked with
+        the materialized pairs BEFORE the epoch-stamped append commits,
+        so "epoch stamped" implies "results durable" — a crash anywhere
+        leaves a replay able to either recompute deterministically (stamp
+        missing) or skip both effects (stamp present).  On a replayed
+        epoch the hook is NOT invoked."""
         spark = docs.sparkSession
         if self._epoch_already_applied(epoch_id):
-            return spark.createDataFrame(
-                [], "doc_a long, doc_b long, agreement double"
-            )
+            return None
         mcols = [f"m{s}" for s in range(self.num_hashes)]
         new = self._band_rows(docs, text_col, id_col).cache()
 
         a = new.select(
             "band", "band_val", F.col("doc").alias("doc_n"),
             *[F.col(m).alias(f"a{s}") for s, m in enumerate(mcols)],
-        )
-        old = self.table.to_df(spark).select(
-            "band", "band_val", F.col("doc").alias("doc_o"),
-            *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
         )
         # batch side probes the stored index. Broadcast only when the
         # byte estimate says the batch fits (CDC-sized batches do); a large
@@ -164,6 +246,15 @@ class MinHashIndex:
         from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
 
         n_new = new.count()  # materializes the cache both joins reuse
+        # prune the stored-side scan to the batch's bucket set (bounded
+        # driver-side collect over the cached band rows); the equi-join on
+        # band_val keeps exactness — pruning only drops files that cannot
+        # hold a matching band_val
+        part_vals = _bucket_probe_values(self.table, new, "band_val")
+        old = self.table.to_df(spark, partition_values=part_vals).select(
+            "band", "band_val", F.col("doc").alias("doc_o"),
+            *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
+        )
         probe = (
             F.broadcast(a)
             if n_new * _est_row_width(new.schema) <= _BROADCAST_BYTES
@@ -197,6 +288,10 @@ class MinHashIndex:
         # cache is released) — the checkpoint also makes the returned
         # DataFrame independent of this batch's cached/staged state
         pairs = self._verified(cross.unionByName(within)).localCheckpoint(eager=True)
+        if on_result is not None:
+            # sink effect first: once the epoch stamp commits, the results
+            # are already durable (see docstring's crash matrix)
+            on_result(pairs)
         self.table.append(
             new.select("doc", "band", "band_val", *mcols),
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
@@ -237,9 +332,11 @@ class SubstringIndex:
 
     Scale: the batch side is (batch-distinct-gram)-sized and broadcast
     when its byte estimate fits (CDC-sized refreshes do); a backfill
-    takes the shuffle join.  The stored side is scanned once per batch —
-    partition the table by ``bucket(N, _h)`` to co-locate the probe at
-    very large index sizes.
+    takes the shuffle join.  The stored table IS partitioned by
+    ``bucket(N, _h)`` (``create(partition_buckets=N)``): each batch's
+    probe scan is pruned to the batch's own bucket set driver-side, so
+    per-batch stored-side I/O is bounded by the batch's gram spread, not
+    the accumulated index size.
     """
 
     def __init__(self, table: LakeTable, k: int = 8, max_shared_frac_tenths: int = 3) -> None:
@@ -254,6 +351,7 @@ class SubstringIndex:
         name: str,
         k: int = 8,
         max_shared_frac_tenths: int = 3,
+        partition_buckets: int = 32,
     ) -> "SubstringIndex":
         from pyspark.sql import types as T
 
@@ -265,6 +363,11 @@ class SubstringIndex:
                     T.StructField("_h", T.StringType()),
                     T.StructField("n_docs", T.LongType()),
                 ]
+            ),
+            partition_spec=(
+                [PartitionField("_h", "bucket", partition_buckets)]
+                if partition_buckets
+                else None
             ),
         )
         return SubstringIndex(table, k, max_shared_frac_tenths)
@@ -278,7 +381,8 @@ class SubstringIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
-    ) -> DataFrame:
+        on_result: Callable[[DataFrame], None] | None = None,
+    ) -> DataFrame | None:
         """Index a batch; return its duplication profile measured against
         history ∪ batch — ``(id, n_grams, n_shared, shared_frac, keep)``,
         the same schema/semantics as the one-shot operator over the union
@@ -287,18 +391,17 @@ class SubstringIndex:
         stays correct (lakehouse reads are snapshot-isolated).
 
         ``epoch_id`` (streaming feeds) makes the append idempotent: a
-        replayed epoch returns an empty profile and appends nothing."""
+        replayed epoch appends nothing and returns ``None`` without
+        invoking ``on_result`` — same contract as
+        :meth:`MinHashIndex.add_batch` (the sink hook runs on the
+        materialized profile BEFORE the epoch-stamped append)."""
         from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
 
         from .text import word_gram_hashes
 
         spark = docs.sparkSession
         if self._epoch_already_applied(epoch_id):
-            return spark.createDataFrame(
-                [],
-                f"{id_col} long, n_grams long, n_shared long, "
-                "shared_frac double, keep boolean",
-            )
+            return None
         grams = word_gram_hashes(docs, self.k, text_col, id_col).dropDuplicates(
             [id_col, "_h"]
         ).cache()
@@ -311,8 +414,11 @@ class SubstringIndex:
             if n_batch * _est_row_width(batch_counts.schema) <= _BROADCAST_BYTES
             else batch_counts
         )
+        # stored-side scan pruned to the batch's gram-bucket set (bounded
+        # collect over the cached counts); exactness rides the inner join
+        part_vals = _bucket_probe_values(self.table, batch_counts, "_h")
         stored = (
-            probe.join(self.table.to_df(spark), "_h")
+            probe.join(self.table.to_df(spark, partition_values=part_vals), "_h")
             .groupBy("_h")
             .agg(F.sum("n_docs").alias("_ns"))
         )
@@ -338,6 +444,8 @@ class SubstringIndex:
         # profile materializes BEFORE the append (pre-append snapshot +
         # independence from the cached/staged batch state)
         prof = prof.localCheckpoint(eager=True)
+        if on_result is not None:
+            on_result(prof)  # sink effect before the epoch stamp
         self.table.append(
             batch_counts.select("_h", F.col("_nb").alias("n_docs")),
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,

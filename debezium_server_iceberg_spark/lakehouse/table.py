@@ -1276,6 +1276,7 @@ class LakeTable:
         ref: str | None = None,
         lineage: bool = False,
         row_filter: dict | None = None,
+        partition_values: dict[str, set] | None = None,
     ) -> DataFrame:
         """Current (or time-travel / ref) table contents as a DataFrame.
 
@@ -1302,7 +1303,19 @@ class LakeTable:
         applied in-plan, so results are EXACTLY ``to_df().filter(...)``
         while a point lookup touches only the files that can match.  At
         100 TB this is the difference between a manifest scan and a
-        table scan."""
+        table scan.
+
+        ``partition_values`` is a PLANNING primitive for probe joins:
+        a dict of PHYSICAL partition-field name (``PartitionField.name``,
+        e.g. ``_p_bucket32_band_val``) -> set of allowed partition values.
+        Files whose stamped partition value falls outside the set are
+        pruned driver-side; files a value can't be trusted for (old-spec
+        layouts, unstamped bucket hashes, hive-default/null values) are
+        conservatively KEPT.  Unlike ``row_filter`` NO residual predicate
+        is applied — the caller's own join/filter must provide exactness;
+        the contract is only "every row that could match the caller's
+        predicate survives pruning", which holds because a partition
+        transform is a pure function of the source column."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -1315,6 +1328,8 @@ class LakeTable:
                 meta, files, row_filter,
                 session_tz=spark.conf.get("spark.sql.session.timeZone"),
             )
+        if partition_values:
+            files = _prune_files_by_partition_values(meta, files, partition_values)
         df = self._read(spark, meta, files, deletes, lineage=lineage)
         if row_filter:
             for col, want in row_filter.items():
@@ -2204,6 +2219,41 @@ def _prune_files_by_filter(
         return True
 
     return [f for f in files if _file_might_match(f)]
+
+
+def _prune_files_by_partition_values(
+    meta: TableMetadata,
+    files: list[DataFile],
+    partition_values: dict[str, set],
+) -> list[DataFile]:
+    """Set-membership file pruning on stamped partition values (the
+    ``to_df(partition_values=)`` planning primitive).  Conservative like
+    ``_prune_files_by_filter``: an old-spec file missing the field, a
+    null/hive-default value, an unknown field name, or a bucket field
+    whose on-disk hash ordinals predate the murmur3 stamp all KEEP the
+    file.  Values compare stringified — partition path values are raw
+    strings."""
+    trusted = bucket_hash_trusted(meta)
+    by_name = {pf.name: pf for pf in meta.partition_spec}
+    preds: dict[str, set[str]] = {}
+    for name, allowed in partition_values.items():
+        pf = by_name.get(name)
+        if pf is None or (pf.transform == "bucket" and not trusted):
+            continue
+        preds[name] = {str(v) for v in allowed}
+
+    def _keep(f: DataFile) -> bool:
+        for name, allowed in preds.items():
+            if name not in f.partition:
+                continue  # old-spec layout: unprunable
+            have = f.partition[name]
+            if have is None or have == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            if str(have) not in allowed:
+                return False
+        return True
+
+    return [f for f in files if _keep(f)]
 
 
 def bound_key(v: Any) -> Any:

@@ -394,6 +394,7 @@ def run_minhash_index_stream(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    maintain_every: int | None = None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -402,26 +403,45 @@ def run_minhash_index_stream(
     partitioned parquet sink.
 
     Exactly-once on BOTH effects of a micro-batch (foreachBatch is
-    at-least-once):
+    at-least-once), with a strict effect ORDER inside ``add_batch``:
 
+    - the pairs land in ``pairs_dir/epoch=N`` (mode=overwrite) via the
+      ``on_result`` hook, BEFORE the index append commits;
     - the index append is epoch-stamped into the lakehouse snapshot
-      summary and a replayed epoch appends nothing (the
-      ``ChangeConsumer`` idempotence contract, reused);
-    - the pairs write goes to ``pairs_dir/epoch=N`` with
-      mode=overwrite — a replay rewrites the identical partition
-      instead of duplicating rows.
+      summary (the ``ChangeConsumer`` idempotence contract, reused).
+
+    Crash matrix: stamp present ⇒ pairs already durable ⇒ the replay
+    skips both effects (``add_batch`` returns None without invoking the
+    hook — it never overwrites the first attempt's pairs with an empty
+    frame); stamp absent ⇒ the replay recomputes deterministically,
+    overwriting ``epoch=N`` with identical rows, then appends.
+
+    ``maintain_every=N`` runs the index's small-file compaction
+    (``index.maintain``) every N epochs inside the same foreachBatch —
+    long-running feeds otherwise accumulate one file per trigger (the
+    consumer's ``compact_every_commits`` pattern).  Compaction is an
+    atomic snapshot swap; a crash-induced re-run is harmless (bin-pack
+    is idempotent on an already-compacted table).
 
     Scale: per-trigger work is the documented ``add_batch`` shape —
-    the batch's band rows probe the stored index (byte-estimated
-    broadcast, shuffle above the limit), history is never re-banded.
+    the batch's band rows probe the stored index with the scan PRUNED
+    to the batch's bucket set (byte-estimated broadcast, shuffle above
+    the limit); history is never re-banded and never full-scanned.
 
     Returns the started StreamingQuery."""
 
     def process(batch_df, epoch_id):
-        pairs = index.add_batch(
-            batch_df, text_col=text_col, id_col=id_col, epoch_id=epoch_id
+        index.add_batch(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            epoch_id=epoch_id,
+            on_result=lambda res: res.write.mode("overwrite").parquet(
+                f"{pairs_dir}/epoch={epoch_id}"
+            ),
         )
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+        if maintain_every and (epoch_id + 1) % maintain_every == 0:
+            index.maintain(batch_df.sparkSession)
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -432,6 +452,47 @@ def run_minhash_index_stream(
 
 
 # the wrapper is index-agnostic: any persistent index exposing
-# add_batch(docs, text_col, id_col, epoch_id) -> DataFrame plugs in
-# (SubstringIndex shares the exactly-once contract)
+# add_batch(docs, text_col, id_col, epoch_id, on_result) -> DataFrame|None
+# plugs in (SubstringIndex shares the exactly-once contract)
 run_dedup_index_stream = run_minhash_index_stream
+
+
+def run_vector_index_stream(
+    vec_stream: DataFrame,
+    index,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    maintain_every: int | None = None,
+):
+    """Continuously-maintained ANN index: each micro-batch of embeddings
+    is encoded against the FROZEN codebooks (coarse cell + PQ codes for
+    ``IVFPQIndex``, cell assignment for ``IVFIndex``) and appended into
+    the index's cell partitions — the long-running-embedding-stream shape
+    of incremental IVF maintenance (codebook drift stays a periodic-
+    rebuild concern, as in every IVF system).
+
+    Exactly-once: the single effect (the cell-partitioned append) is
+    epoch-stamped with the same snapshot-summary contract as the dedup
+    index feeds; a replayed micro-batch appends nothing, and an epoch
+    REGRESSION (reset checkpoint / second writer) raises rather than
+    silently dropping batches (``functions/incremental.
+    epoch_already_applied``).
+
+    ``maintain_every=N`` bin-packs the per-trigger files every N epochs
+    (compaction recomputes partition transforms from rows, so cell
+    layout — and therefore search-time partition pruning — survives).
+
+    Returns the started StreamingQuery."""
+
+    def process(batch_df, epoch_id):
+        index.add_batch(batch_df, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
+        if maintain_every and (epoch_id + 1) % maintain_every == 0:
+            index.maintain(batch_df.sparkSession)
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+        .start()
+    )

@@ -360,3 +360,96 @@ def test_ivfpq_rerank_recovers_exact_cosine_order(spark, warehouse):
         spark, qids, qm, k=5, n_probe=8, rerank_source=emb
     ).columns
     assert cols == ["query_id", "rank", "neighbor_id", "cosine"]
+
+
+def test_ivfpq_search_empty_inputs_keep_rerank_schema(spark, warehouse):
+    """Empty query lists / zero probed files must return the SAME schema
+    as the non-empty path: cosine shape when rerank_source is set, ADC
+    shape otherwise — downstream unions break on a schema that flips
+    with the row count."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "ivfpq", emb, dim=64, n_cells=8
+    )
+    no_q_plain = idx.search(spark, [], np.zeros((0, 64)), k=5)
+    assert no_q_plain.columns == ["query_id", "rank", "neighbor_id", "adc_dist2"]
+    no_q_rerank = idx.search(
+        spark, [], np.zeros((0, 64)), k=5, rerank_source=emb
+    )
+    assert no_q_rerank.columns == ["query_id", "rank", "neighbor_id", "cosine"]
+    assert no_q_rerank.count() == 0
+    # both empty frames union cleanly with their non-empty counterparts
+    qm = _qmat(emb, [0])
+    full = idx.search(spark, [0], qm, k=3, n_probe=8, rerank_source=emb)
+    assert full.unionByName(no_q_rerank).count() == full.count()
+
+
+def test_vector_index_stream_exactly_once(spark, tmp_path):
+    """run_vector_index_stream: two streamed micro-batches of embeddings
+    produce the identical stored index relation (and search results) as
+    two direct add_batch calls; a replayed epoch appends nothing; an
+    epoch regression raises."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        EpochRegressionError,
+    )
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_vector_index_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") < 100)
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") % 2 == 0))
+    b2 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") % 2 == 1))
+
+    # reference: same seed build + two direct admissions
+    ref = IVFIndex.build(LakeCatalog(str(tmp_path / "ref")), "ann", "ivf", seed, n_cells=8)
+    ref.add_batch(b1)
+    ref.add_batch(b2)
+
+    idx = IVFIndex.build(LakeCatalog(str(tmp_path / "str")), "ann", "ivf", seed, n_cells=8)
+    indir = str(tmp_path / "vecs_in")
+    os.makedirs(indir)
+    for name, bdf in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                ) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_vector_index_stream(stream, idx, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored_ref = sorted(map(tuple, ref.table.to_df(spark).collect()))
+    stored_str = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    assert stored_str == stored_ref
+    # identical search results through the streamed index
+    qids = [0, 7, 21]
+    qm = _qmat(emb, qids)
+    got = sorted(map(tuple, idx.search(spark, qids, k=5, n_probe=4, query_vecs=qm).collect()))
+    want = sorted(map(tuple, ref.search(spark, qids, k=5, n_probe=4, query_vecs=qm).collect()))
+    assert got == want
+    # replay guard + regression guard (shared epoch contract)
+    before = idx.table.row_count()
+    assert idx.add_batch(b2, epoch_id=1) == 0
+    assert idx.table.row_count() == before
+    with pytest.raises(EpochRegressionError):
+        idx.add_batch(b2, epoch_id=0)

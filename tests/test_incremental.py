@@ -129,6 +129,201 @@ def test_substring_index_maintain_compacts(spark, warehouse):
     assert tail.filter(F.col("n_shared") > 0).count() > 0  # dup of history
 
 
+def test_minhash_probe_scan_prunes_stored_files(spark, warehouse):
+    """The scale contract the index's partitioning buys: a CDC-sized
+    batch's probe reads only the files of ITS OWN bucket set, not the
+    accumulated index. (Pairs-correctness under partitioning is already
+    pinned by test_incremental_equals_batch_at_once — the same add_batch
+    runs against a bucket-partitioned table now.)"""
+    from debezium_server_iceberg_spark.functions.incremental import (
+        _bucket_probe_values,
+    )
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        _prune_files_by_partition_values,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    for b in range(4):
+        idx.add_batch(docs.filter(F.col("doc_id") % 5 == b)).collect()
+    all_files = idx.table.current_files()
+    small = docs.filter(F.col("doc_id") % 5 == 4).limit(2)
+    bands = idx._band_rows(small, "text", "doc_id")
+    pv = _bucket_probe_values(idx.table, bands, "band_val")
+    assert pv is not None and len(pv) == 1
+    (allowed,) = pv.values()
+    assert 0 < len(allowed) < 32  # a 2-doc batch touches a strict subset
+    kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
+    assert len(kept) < len(all_files)  # the probe scan skips files
+    # pruned scan ∪ residual join == unpruned join: every band_val the
+    # batch carries is still present in the pruned relation
+    pruned_vals = {
+        r[0]
+        for r in idx.table.to_df(spark, partition_values=pv)
+        .join(bands.select("band_val").distinct(), "band_val", "leftsemi")
+        .select("band_val").distinct().collect()
+    }
+    full_vals = {
+        r[0]
+        for r in idx.table.to_df(spark)
+        .join(bands.select("band_val").distinct(), "band_val", "leftsemi")
+        .select("band_val").distinct().collect()
+    }
+    assert pruned_vals == full_vals
+
+
+def test_epoch_regression_raises(spark, warehouse):
+    """A batch epoch OLDER than the last stamped one means a reset
+    checkpoint or a second writer — fail loudly instead of silently
+    skipping every subsequent append (which would be silent data loss)."""
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        EpochRegressionError,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    idx.add_batch(docs, epoch_id=5)
+    with pytest.raises(EpochRegressionError):
+        idx.add_batch(docs, epoch_id=0)
+    # the exact replay epoch is still a clean no-op
+    assert idx.add_batch(docs, epoch_id=5) is None
+    # and the next epoch applies normally
+    assert idx.add_batch(docs.limit(0), epoch_id=6) is not None
+
+
+def test_stream_replay_through_process_preserves_pairs(spark, tmp_path):
+    """THE at-least-once recovery path, exercised through the real
+    foreachBatch process(): after epoch 0 fully commits (pairs durable +
+    index stamped), wiping the checkpoint's commit marker makes Spark
+    REPLAY epoch 0 on restart.  The replay must leave the first
+    attempt's pairs intact — not overwrite epoch=0 with an empty frame."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [(1, base), (2, base + " tail")]  # an in-batch near-dup pair
+    b2 = [(3, base + " more tail")]
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    with open(f"{indir}/b1.jsonl", "w") as fh:
+        for i, t in b1:
+            fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "idx")
+    pairs_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        return run_minhash_index_stream(stream, idx, pairs_dir, ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{pairs_dir}/epoch=0").collect())
+    )
+    assert len(first) == 1  # the (1, 2) pair landed
+    rows_after_e0 = idx.table.row_count()
+
+    # simulate the crash window: epoch 0's effects are durable but the
+    # checkpoint commit marker is gone -> Spark re-runs batch 0
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    with open(f"{indir}/b2.jsonl", "w") as fh:
+        for i, t in b2:
+            fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # replayed epoch 0: pairs NOT wiped, index NOT double-appended
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{pairs_dir}/epoch=0").collect())
+    )
+    assert again == first
+    # epoch 1 processed normally on top (3 docs x 4 bands total)
+    assert idx.table.row_count() == rows_after_e0 + 4
+    e1 = spark.read.parquet(f"{pairs_dir}/epoch=1")
+    assert e1.count() >= 1  # doc 3 matches history
+
+
+def test_dedup_index_stream_maintain_every_bounds_files(spark, tmp_path):
+    """maintain_every=N compacts inside the foreachBatch: a many-epoch
+    feed ends with a bounded file count, and probes across the
+    compaction boundary still see all history."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    parts = [docs.filter(F.col("doc_id") % 4 == b).select("doc_id", "text") for b in range(4)]
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    for b, bdf in enumerate(parts):
+        with open(f"{indir}/b{b}.jsonl", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "idx")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_dedup_index_stream(
+        stream, idx, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        maintain_every=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # un-maintained, 4 bucket-partitioned appends leave ~4 files per
+    # touched bucket; two in-stream compactions bound it
+    n_files = len(idx.table.current_files())
+    ref = MinHashIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "idx")
+    for bdf in parts:
+        ref.add_batch(bdf).collect()
+    assert n_files < len(ref.table.current_files())
+    # identical stored relation + post-compaction probes see all history
+    assert sorted(map(tuple, idx.table.to_df(spark).collect())) == sorted(
+        map(tuple, ref.table.to_df(spark).collect())
+    )
+    tail = idx.add_batch(docs.limit(3).select("doc_id", "text"))
+    reftail = ref.add_batch(docs.limit(3).select("doc_id", "text"))
+    assert sorted(map(tuple, tail.collect())) == sorted(
+        map(tuple, reftail.collect())
+    )
+
+
 def test_streaming_minhash_index_feed_exactly_once(spark, tmp_path):
     """Streaming feed of the persistent MinHash index: two micro-batches
     through a real stream produce the SAME index contents and the same
@@ -192,10 +387,14 @@ def test_streaming_minhash_index_feed_exactly_once(spark, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "pairs")).drop("epoch").collect())
     )
     assert got_pairs == sorted(ref_pairs)
-    # replay guard: re-admitting an already-stamped epoch is a no-op
+    # replay guard: re-admitting an already-stamped epoch is a no-op and
+    # returns None (NOT an empty frame — the sink must not overwrite the
+    # first attempt's durable pairs with emptiness)
     before = idx.table.row_count()
-    replay = idx.add_batch(b2, epoch_id=1)
-    assert replay.count() == 0
+    sink_calls = []
+    replay = idx.add_batch(b2, epoch_id=1, on_result=sink_calls.append)
+    assert replay is None
+    assert sink_calls == []  # the sink hook never fires on a replay
     assert idx.table.row_count() == before
 
 
@@ -257,5 +456,5 @@ def test_streaming_substring_index_feed_exactly_once(spark, tmp_path):
     )
     assert got == sorted(ref_prof)
     before = idx.table.row_count()
-    assert idx.add_batch(b2, epoch_id=1).count() == 0
+    assert idx.add_batch(b2, epoch_id=1) is None
     assert idx.table.row_count() == before
