@@ -4274,6 +4274,25 @@ def incremental_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         idx = SubstringIndex.create(LakeCatalog(wh), "idx", "grams", k=8)
         p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0))
         p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1))
+        # in-gate scale assert (pruned_point_lookup pattern): a one-gram
+        # probe reads ONE bucket's files of the bucket-partitioned
+        # inversion — planning only, nothing appended, output untouched
+        from .functions.incremental import _bucket_probe_values
+        from .functions.text import word_gram_hashes
+        from .lakehouse.table import _prune_files_by_partition_values
+
+        tiny = spark.createDataFrame(
+            [(999_999_999, "eight plain tokens make exactly one probe gram")],
+            "doc_id long, text string",
+        )
+        pv = _bucket_probe_values(
+            idx.table, word_gram_hashes(tiny, 8, "text", "doc_id"), "_h"
+        )
+        all_files = idx.table.current_files()
+        kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
+        assert pv and len(kept) < len(all_files), (
+            f"probe scan not pruned: {len(kept)}/{len(all_files)} files"
+        )
         return p1.unionByName(p2)
     finally:
         _sh.rmtree(wh, ignore_errors=True)
@@ -5060,6 +5079,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "item_id", "frame_index", "frame_n_bytes", "frame_width", "frame_height"
     )
+
+
+@_register(
+    "key_frame_selection",
+    """
+    WITH d AS (
+      SELECT doc_id AS item_id, 2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 10 = 0
+    ), fr AS (
+      SELECT item_id, CAST(f.f AS INT) AS frame_index,
+             4 + (item_id + f.f) % 8 AS w,
+             4 + (item_id * 3 + f.f) % 8 AS h
+      FROM d, unnest(range(nf)) AS f(f)
+    ), mass AS (
+      -- exact integer pixel mass of a frame: gray value (i+f+y)%256 on
+      -- every one of w columns x 3 channels of row y
+      SELECT item_id, frame_index,
+             3 * w * sum((item_id + frame_index + y.y) % 256) AS m
+      FROM fr, unnest(range(h)) AS y(y)
+      GROUP BY item_id, frame_index, w
+    ), sc AS (
+      -- consecutive fixture frames ALWAYS change geometry (w, h walk
+      -- mod 8), so the operator's hard-cut branch applies: score =
+      -- this frame's mass + the previous frame's mass
+      SELECT m.item_id, m.frame_index,
+             CAST(m.m + p.m AS BIGINT) AS change_score
+      FROM mass m JOIN mass p
+        ON p.item_id = m.item_id AND p.frame_index = m.frame_index - 1
+    ), ranked AS (
+      SELECT item_id, frame_index, change_score,
+             row_number() OVER (
+               PARTITION BY item_id
+               ORDER BY change_score DESC, frame_index ASC
+             ) AS rn
+      FROM sc
+    )
+    SELECT item_id, 0 AS frame_index, 1 AS rank,
+           CAST(0 AS BIGINT) AS change_score
+    FROM d
+    UNION ALL
+    SELECT item_id, frame_index, CAST(rn + 1 AS INT) AS rank, change_score
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def key_frame_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frame selection by inter-frame change (r12 gate for the VID0
+    shot-boundary operator, ``functions/multimodal.py keyframe_select``):
+    fixture videos decode for REAL (VID0 walk + BMP parse), frame i
+    scores the exact-integer pixel delta vs frame i-1 (geometry change =
+    both frames' pixel mass), frame 0 is always rank 1, and the top
+    k-1=2 deltas fill the remaining slots — all inside ONE Arrow
+    ``mapInPandas`` pass; media bytes never shuffle.  The oracle replays
+    frame geometry, pixel mass, and the ranking closed-form, so a
+    mis-read frame table, wrong pixel stride, or tie-break drift all
+    hash-mismatch.  Gate output is the scalar projection (binary frame
+    bytes and sha stay operator-side per the gate-output contract)."""
+    from .functions.multimodal import keyframe_select, synthesize_videos
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = keyframe_select(synthesize_videos(docs, "doc_id"), k=3)
+    return out.select("item_id", "frame_index", "rank", "change_score")
 
 
 @_register(
@@ -5866,6 +5946,23 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the temp warehouse is removed) — no second checkpoint needed
         p1 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0))
         p2 = idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1))
+        # the scale contract, asserted in-gate (pruned_point_lookup
+        # pattern): a CDC-sized probe's stored-side scan reads a strict
+        # subset of the bucket-partitioned index's files — planning only,
+        # nothing is appended, the gate output is untouched
+        from .functions.incremental import _bucket_probe_values
+        from .lakehouse.table import _prune_files_by_partition_values
+
+        tiny = spark.createDataFrame(
+            [(999_999_999, "tiny probe document checking pruned scans")],
+            "doc_id long, text string",
+        )
+        pv = _bucket_probe_values(idx.table, idx._band_rows(tiny, "text", "doc_id"), "band_val")
+        all_files = idx.table.current_files()
+        kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
+        assert pv and len(kept) < len(all_files), (
+            f"probe scan not pruned: {len(kept)}/{len(all_files)} files"
+        )
         return p1.unionByName(p2)
     finally:
         _sh.rmtree(wh, ignore_errors=True)
@@ -6747,74 +6844,70 @@ def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-11 ROTATION (VERDICT r10 items 1-2): the driver checks the
-    # first 50 entries.  WINDOW ACCOUNTING AT r11 (from the freshness
-    # histogram over CORRECTNESS_r01..r10: 43 gates' newest green driver
-    # row is r8, 50 are r9, 49 are r10, and random_projection_embed has
-    # never had one): front = the FIXED random_projection_embed (r10's
-    # only red row — output reshaped to scalar (vec_id, j, c); must get
-    # its first green driver row) + the new r11 gate
-    # (ann_ivfpq_index_topk) + the 43-gate r8-stale tail the r10 verdict
-    # ordered rotated in + 5 r9-era fills (family-diverse writer/CDC/
-    # dedup picks) = 50.  Zero overlap with the r10 window except the
-    # re-included random_projection_embed (explicitly ordered).  After
-    # this round no gate's freshest driver row is older than r9 =
-    # two rounds.
-    "random_projection_embed",
-    # --- r11 new ---
-    "ann_ivfpq_index_topk",
-    "collocation_lift_pairs",
-    "tokenizer_fertility_by_lang",
-    "cluster_balanced_sample",
-    "quality_rank_ensemble",
-    # --- r8-stale tail (TPC-H q6-q21 + showcase + dedup/ANN/curation) ---
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "pivot_user_event_matrix",
-    "cube_order_stats",
-    "percentiles_order_value",
-    "window_running_revenue",
-    "window_navigation_functions",
-    "string_functions_showcase",
-    "date_functions_showcase",
-    "decorrelated_above_avg",
-    "skew_salted_join_agg",
-    "asof_join_purchases_clicks",
-    "funnel_signup_click_purchase",
-    "token_stats",
-    "doc_fingerprint",
-    "minhash_near_dup",
-    "simhash",
-    "ann_ivf_index_topk",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_near_dup",
-    "events_sliding_counts",
-    "approx_distinct_parts",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "reservoir_sample_per_lang",
-    "tfidf_top_terms",
-    "sequence_packing",
-    "corpus_top_ngrams",
-    "repetition_filter_docs",
-    "length_histogram_docs",
-    "unigram_logprob_docs",
-    "curriculum_rank_shards",
-    # --- r9-era fill (the writer-fidelity anchor; the other 4 fill
-    # slots went to the r11-new gates above, which MUST be driver-
-    # checked — r9 gates are exactly 2 rounds old at r11, within spec) ---
-    "iceberg_export_roundtrip",
+    # ROUND-12 ROTATION (VERDICT r11 item 2, NOTES_r11 seed arithmetic):
+    # the driver checks the first 50 entries.  FRESHNESS HISTOGRAM AT r12
+    # (recomputed from CORRECTNESS_r09/r10/r11: every gate's newest green
+    # driver row is r9, r10, or r11; the 49 r9-stale gates are exactly
+    # the r9 window minus iceberg_export_roundtrip, which r11 refreshed):
+    # front = the ONE r12-new gate (key_frame_selection — takes the fill
+    # slot per the fill rule) + the 49-gate r9-stale tail = 50.  Zero
+    # overlap with the r11 window; post-r12 histogram = {r10: 49,
+    # r11: 50, r12: 50} — no gate older than two rounds.
+    # --- r12 new ---
+    "key_frame_selection",
+    # --- r9-stale tail: CDC semantics + writer fidelity ---
+    "cdc_envelope_roundtrip",
+    "cdc_struct_roundtrip",
+    "cdc_route_by_destination",
+    "cdc_schema_evolution",
+    "cdc_upsert_orders",
+    "cdc_soft_delete_orders",
+    "cdc_dedup_op_priority",
+    "cdc_dedup_last_wins",
+    "row_lineage_upsert",
+    "wap_branch_publish",
+    "incremental_append_scan",
+    "pruned_point_lookup",
+    "iceberg_export_dv_roundtrip",
+    "iceberg_export_lineage_roundtrip",
+    "iceberg_export_mor_roundtrip",
+    # --- r9-stale tail: relational shapes ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_or_of_ands",
+    "q22_idle_balances",
+    "grouping_sets_revenue",
+    "setops_customer_status",
+    "anti_customers_without_orders",
+    "topk_orders_per_priority",
+    "window_rank_functions",
+    "json_props_extract",
+    "variant_props_extract",
+    # --- r9-stale tail: event time + temporal joins ---
+    "sessionize_events",
+    "events_hourly_rollup",
+    "interval_join_attribution",
+    "asof_last_click_before_purchase",
+    "range_join_order_overlaps",
+    # --- r9-stale tail: text / curation / dedup / multimodal ---
+    "lang_id",
+    "quality_score",
+    "token_count_bpe",
+    "doc_chunking",
+    "mixture_sample_sources",
+    "quality_top_p_docs",
+    "decontaminate_bloom_docs",
+    "exact_substring_dedup",
+    "containment_near_dup",
+    "source_overlap_matrix",
+    "pipeline_end_to_end",
+    "image_ahash_clusters",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
 ]
 
 
