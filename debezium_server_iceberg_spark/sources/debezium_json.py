@@ -113,6 +113,59 @@ def infer_event_schema(
     return conv.convert(vschema, kschema)
 
 
+def infer_batch_schema(
+    df: DataFrame, converter: DebeziumSchemaConverter | None = None
+) -> InferredSchema:
+    """Infer the target schema from the UNION of a batch's DISTINCT
+    embedded schemas — the schemaless-source path.
+
+    RDBMS topics carry one schema per batch, but a Mongo source through
+    ExtractNewDocumentState emits per-DOCUMENT field sets
+    (IcebergChangeConsumerMongodbTest.java:55-66): sampling one event
+    would silently drop any field that only other events of the batch
+    carry.  One columnar pass collects the distinct (value, key) schema
+    texts (exactly one for RDBMS feeds — the distinct is a few bytes per
+    event, not a payload shuffle), then the tiny distinct set converts
+    driver-side and merges union-by-name with the same widening lattice
+    table evolution uses.  Merge order is sorted-schema-text, so the
+    resulting field order is deterministic across retries/replays."""
+    from ..schema.evolution import merge_schemas
+
+    conv = converter or DebeziumSchemaConverter()
+    pairs = sorted(
+        (
+            (r["vs"], r["ks"])
+            for r in df.select(
+                F.get_json_object(F.col("value"), "$.schema").alias("vs"),
+                F.get_json_object(F.col("key"), "$.schema").alias("ks"),
+            )
+            .distinct()
+            .collect()
+        ),
+        key=lambda p: (p[0] or "", p[1] or ""),
+    )
+    merged: InferredSchema | None = None
+    for vs, ks in pairs:
+        if vs is None:
+            raise ValueError(
+                "event has no embedded schema; enable "
+                "debezium.format.value.schemas.enable"
+            )
+        one = conv.convert(json.loads(vs), json.loads(ks) if ks else None)
+        if merged is None:
+            merged = one
+        else:
+            merged = InferredSchema(
+                struct=merge_schemas(merged.struct, one.struct),
+                # first-seen semantic wins on a (pathological) conflict
+                semantics={**one.semantics, **merged.semantics},
+                key_fields=merged.key_fields or one.key_fields,
+            )
+    if merged is None:
+        raise ValueError("cannot infer a schema from an empty batch")
+    return merged
+
+
 # ------------------------------------------------------------- wire schema
 
 _WIRE_OVERRIDES = {

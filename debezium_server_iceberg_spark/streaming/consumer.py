@@ -39,7 +39,12 @@ from ..operators.project import conform_to_schema
 from ..operators.router import filter_heartbeats, destinations, for_destination
 from ..schema.converter import DebeziumSchemaConverter
 from ..schema.evolution import merge_schemas, schemas_equal
-from ..sources.debezium_json import infer_event_schema, parse_events, read_events_stream
+from ..sources.debezium_json import (
+    infer_batch_schema,
+    infer_event_schema,
+    parse_events,
+    read_events_stream,
+)
 
 
 @dataclass
@@ -155,7 +160,18 @@ class ChangeConsumer:
         sample = df.select("key", "value").first()
         if sample is None:
             return 0
-        inferred = infer_event_schema(sample["value"], sample["key"], self.converter)
+        if ic.allow_field_addition:
+            # union of the batch's distinct embedded schemas: schemaless
+            # sources (Mongo ExtractNewDocumentState) vary field sets
+            # event-to-event, and a single sample would drop the rest
+            inferred = infer_batch_schema(df, self.converter)
+        else:
+            # field addition disabled: shape pins to a sample event — the
+            # reference's own Mongo profile runs exactly this way
+            # (IcebergChangeConsumerMongodbTest.java allow-field-addition=false)
+            inferred = infer_event_schema(
+                sample["value"], sample["key"], self.converter
+            )
 
         table_name = map_destination(
             dest,
@@ -309,6 +325,10 @@ class ChangeConsumer:
         dest: str,
         materialize: bool = False,
         degrade_partitions: bool = False,
+        rest_uri: str | None = None,
+        rest_token: str | None = None,
+        rest_warehouse: str | None = None,
+        rest_transport=None,
     ) -> str:
         """Publish an engine-written table as a REAL Iceberg v2 table
         (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
@@ -318,15 +338,42 @@ class ChangeConsumer:
         deletes in spec form, equality deletes with equality_ids), so a
         publish never blocks on compaction; pass ``materialize=True`` to
         fold the deletes into data files first (smaller read-side work
-        for engines that scan delete manifests poorly)."""
+        for engines that scan delete manifests poorly).
+
+        ``rest_uri`` completes the reference's deployment story
+        (``debezium.sink.iceberg.type=rest`` + ``.uri`` —
+        testresources/CatalogRest.java:39-41): after the filesystem
+        export, the written metadata file is REGISTERED with an Iceberg
+        REST catalog (``lakehouse/rest_catalog.py`` — ensure-namespace +
+        RegisterTable, re-pointing on re-publish), so engines resolve
+        the table BY NAME through the catalog instead of by path.
+        Registration failures propagate: a half-published table (data
+        exported, catalog stale) must be visible to the operator, not
+        silently swallowed."""
         from ..lakehouse.iceberg_export import export_iceberg_table
 
         table = self.catalog.load_table(self.config.iceberg.namespace, table_name)
         if materialize and table.current_deletes():
             table.materialize_deletes(spark)
-        return export_iceberg_table(
+        md_path = export_iceberg_table(
             table, dest, degrade_partitions=degrade_partitions
         )
+        if rest_uri:
+            from ..lakehouse.rest_catalog import (
+                RestCatalogClient,
+                publish_to_rest_catalog,
+            )
+
+            client = RestCatalogClient(
+                rest_uri,
+                token=rest_token,
+                warehouse=rest_warehouse,
+                transport=rest_transport,
+            )
+            publish_to_rest_catalog(
+                client, self.config.iceberg.namespace, table_name, md_path
+            )
+        return md_path
 
     # -------------------------------------------------------- streaming path
 
