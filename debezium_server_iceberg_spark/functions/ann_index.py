@@ -224,12 +224,17 @@ class IVFIndex:
         )
         return self.table.row_count() - before
 
-    def maintain(self, spark, min_input_files: int = 8) -> int:
+    def maintain(
+        self, spark, min_input_files: int = 8, max_input_files: int | None = 256
+    ) -> int:
         """Bin-pack per-batch appends (compaction recomputes partition
         transforms from rows, so the cell layout — and search-time
-        partition pruning — survives).  Atomic swap; returns files
-        removed."""
-        return self.table.compact(spark, min_input_files=min_input_files)
+        partition pruning — survives).  ``max_input_files`` bounds one
+        pass so a streaming cadence never rewrites the whole index.
+        Atomic swap; returns files removed."""
+        return self.table.compact(
+            spark, min_input_files=min_input_files, max_input_files=max_input_files
+        )
 
     # ------------------------------------------------------------ search
     def probed_files(

@@ -299,13 +299,24 @@ class MinHashIndex:
         new.unpersist()
         return pairs
 
-    def maintain(self, spark, min_input_files: int = 8) -> int:
+    def maintain(
+        self, spark, min_input_files: int = 8, max_input_files: int | None = 256
+    ) -> int:
         """Bin-pack the index's per-batch appends (the small-files problem:
-        every add_batch commits one batch-sized file; probe-scan cost is
-        per-file overhead × file count until compacted). Atomic swap via
-        the table's delta commit — concurrent probes keep reading the old
-        snapshot. Returns files removed; call on a cadence, not per batch."""
-        return self.table.compact(spark, min_input_files=min_input_files)
+        every add_batch commits up to one file per touched bucket;
+        probe-scan cost is per-file overhead × file count until
+        compacted). Atomic swap via the table's delta commit — concurrent
+        probes keep reading the old snapshot; partition transforms are
+        recomputed on rewrite, so bucket pruning survives compaction.
+        ``max_input_files`` (default 256) bounds ONE maintenance pass so
+        a long-lived stream's cadence call never degenerates into a
+        whole-index rewrite — the recurring-cost rule that motivated the
+        bucket partitioning applies to maintenance too.  Returns files
+        removed; call on a cadence (``run_dedup_index_stream
+        maintain_every``), not per batch."""
+        return self.table.compact(
+            spark, min_input_files=min_input_files, max_input_files=max_input_files
+        )
 
 
 class SubstringIndex:
@@ -454,7 +465,13 @@ class SubstringIndex:
         grams.unpersist()
         return prof
 
-    def maintain(self, spark, min_input_files: int = 8) -> int:
+    def maintain(
+        self, spark, min_input_files: int = 8, max_input_files: int | None = 256
+    ) -> int:
         """Bin-pack per-batch appends; atomic swap, probes keep reading
-        the old snapshot.  Returns files removed."""
-        return self.table.compact(spark, min_input_files=min_input_files)
+        the old snapshot; bucket layout (and probe pruning) survives the
+        rewrite.  ``max_input_files`` bounds one pass — see
+        :meth:`MinHashIndex.maintain`.  Returns files removed."""
+        return self.table.compact(
+            spark, min_input_files=min_input_files, max_input_files=max_input_files
+        )

@@ -1017,6 +1017,7 @@ class LakeTable:
         spark: SparkSession,
         target_file_bytes: int | None = None,
         min_input_files: int = 2,
+        max_input_files: int | None = None,
     ) -> int:
         """rewrite_data_files: bin-pack small files into ~target-size ones.
 
@@ -1028,6 +1029,15 @@ class LakeTable:
         transforms are recomputed from the rows, so compaction preserves
         the partition layout by construction.
 
+        ``max_input_files`` bounds ONE run's rewrite work (Iceberg's
+        ``max-file-group-size-bytes`` idea on the file-count axis): the
+        SMALLEST files compact first, the rest wait for the next cadence
+        call.  Without a cap, a maintenance cadence on a corpus-scale
+        table would re-select every sub-threshold file and rewrite an
+        unbounded slice of the table per trigger; with it, repeated calls
+        converge (each pass strictly reduces small-file count) while
+        per-call cost stays O(cap) regardless of table size.
+
         Returns the number of files removed.
         """
         target = target_file_bytes or int(
@@ -1035,6 +1045,8 @@ class LakeTable:
         )
         files = self.current_files()
         small = [f for f in files if 0 < f.bytes < target * 0.75]
+        if max_input_files is not None and len(small) > max_input_files:
+            small = sorted(small, key=lambda f: (f.bytes, f.path))[:max_input_files]
         if len(small) < min_input_files:
             return 0
         total = sum(f.bytes for f in small)

@@ -155,6 +155,16 @@ def test_minhash_probe_scan_prunes_stored_files(spark, warehouse):
     assert 0 < len(allowed) < 32  # a 2-doc batch touches a strict subset
     kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
     assert len(kept) < len(all_files)  # the probe scan skips files
+    # bucket layout SURVIVES compaction: partition transforms are
+    # recomputed on rewrite, so pruning keeps working on the bin-packed
+    # index — the in-stream maintenance cadence never costs the pruning
+    idx.maintain(spark, min_input_files=2)
+    post_files = idx.table.current_files()
+    post_kept = _prune_files_by_partition_values(
+        idx.table.metadata(), post_files, pv
+    )
+    assert len(post_files) < len(all_files)  # compaction really ran
+    assert len(post_kept) < len(post_files)  # pruning still prunes
     # pruned scan ∪ residual join == unpruned join: every band_val the
     # batch carries is still present in the pruned relation
     pruned_vals = {

@@ -121,6 +121,28 @@ def test_compact_binpacks_small_files(spark, warehouse):
     assert t.compact(spark, target_file_bytes=1 << 20) == 0
 
 
+def test_compact_max_input_files_bounds_one_pass(spark, warehouse):
+    """max_input_files caps ONE compaction's rewrite work (smallest files
+    first); repeated cadence calls still converge to a compacted table —
+    the bounded-maintenance contract streaming index feeds rely on."""
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table("ns", "tcap", SCHEMA)
+    for i in range(9):
+        t.append(spark.createDataFrame([(i, f"r{i}", None)], SCHEMA))
+    n0 = len(t.current_files())
+    assert n0 >= 9
+    removed = t.compact(spark, target_file_bytes=1 << 20, max_input_files=4)
+    assert removed == 4  # exactly the cap, not the whole table
+    assert len(t.current_files()) == n0 - 4 + 1
+    # convergence: a few more capped passes leave nothing small enough
+    while t.compact(spark, target_file_bytes=1 << 20, max_input_files=4):
+        pass
+    assert t.to_df(spark).count() == 9
+    assert {r.id for r in t.to_df(spark).collect()} == set(range(9))
+    # a cap below min_input_files is a no-op, never an error
+    assert t.compact(spark, min_input_files=5, max_input_files=2) == 0
+
+
 def test_expire_snapshots_deletes_orphans(spark, warehouse):
     import os
 
