@@ -101,9 +101,16 @@ def _bucket_probe_values(
     if not pfs or not bucket_hash_trusted(meta):
         return None
     pf = pfs[0]
+    # the bucket hash is TYPE-dependent (murmur3 over the canonical byte
+    # form) — derive the source type from the TABLE schema, exactly as
+    # the writer did, or the computed bucket set silently prunes the
+    # wrong files
+    src_type = {
+        f.name: f.dataType.simpleString() for f in meta.schema.fields
+    }[source_col]
     buckets = {
         r[0]
-        for r in batch_df.select(pf.column("string").alias("_bk"))
+        for r in batch_df.select(pf.column(src_type).alias("_bk"))
         .distinct()
         .collect()
     }
@@ -475,3 +482,227 @@ class SubstringIndex:
         return self.table.compact(
             spark, min_input_files=min_input_files, max_input_files=max_input_files
         )
+
+
+class ClusterIndex:
+    """Incrementally-maintained connected components: the cluster half of
+    the continuous-dedup loop (near_dup_clusters is the ONE-SHOT form —
+    ``functions/dedup.py:200`` — whose union-find re-reads EVERY pair
+    ever found on each call; at corpus scale the cluster assignment is
+    state and must live on disk, exactly like the band index it feeds
+    from).
+
+    Storage is the classic union-find forest split into two tables:
+
+    - ``assign`` — one row ``(doc, rep)`` per EVER-SEEN doc, written once
+      at admission and never rewritten by add_batch (append-only: the
+      rep recorded is the component representative AT ADMIT TIME);
+      partitioned ``bucket(N, doc)`` so a batch's membership probe is a
+      pruned scan, same discipline as the band/gram indexes.
+    - ``merges`` — one row ``(old_rep, new_rep)`` per cluster-merge EVENT
+      (a later pair unifying two existing components).  A doc's CURRENT
+      canonical is ``rep`` chased through the merge chain to a fixed
+      point.
+
+    ``add_batch`` cost is EPOCH-sized: the batch's pairs, the touched
+    docs' assign rows (pruned probe), and the merge-event chain since the
+    last maintain all fit the driver (the same bounded-planning-fetch
+    class as the one-shot's <=500k-edge union-find path); history is
+    never re-clustered.  ``maintain()`` folds accumulated merge events
+    back into ``assign`` (full rewrite — the explicit heavy op, the
+    periodic-rebuild analog of IVF codebook drift) and empties
+    ``merges``, so the chain the per-batch path carries stays short.
+    Invariant throughout: canonical id = MIN member id, so incremental
+    admission in ANY batch order equals the one-shot clustering over the
+    union of all pairs (min over a merged component is the min of the
+    parts' minima) — asserted in tests/test_incremental.py.
+
+    Exactly-once: the ``assign`` append carries the epoch stamp (shared
+    guard); ``merges`` rows append FIRST and are deduplicated at
+    resolution, so a crash between the two appends replays to an
+    identical state.  Single writer per index, as with the other
+    persistent indexes.
+    """
+
+    def __init__(self, assign: LakeTable, merges: LakeTable) -> None:
+        self.assign = assign
+        self.merges = merges
+
+    @staticmethod
+    def create(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        partition_buckets: int = 32,
+    ) -> "ClusterIndex":
+        from pyspark.sql import types as T
+
+        assign = catalog.create_table(
+            namespace,
+            f"{name}_assign",
+            T.StructType(
+                [
+                    T.StructField("doc", T.LongType()),
+                    T.StructField("rep", T.LongType()),
+                ]
+            ),
+            partition_spec=(
+                [PartitionField("doc", "bucket", partition_buckets)]
+                if partition_buckets
+                else None
+            ),
+        )
+        merges = catalog.create_table(
+            namespace,
+            f"{name}_merges",
+            T.StructType(
+                [
+                    T.StructField("old_rep", T.LongType()),
+                    T.StructField("new_rep", T.LongType()),
+                ]
+            ),
+        )
+        return ClusterIndex(assign, merges)
+
+    # ------------------------------------------------------------ helpers
+    def _merge_map(self, spark) -> dict[int, int]:
+        """The merge chain since the last maintain, chased to fixed
+        point driver-side.  Size contract: one entry per cluster-merge
+        EVENT between maintains — planning-scale (call ``maintain`` on a
+        cadence to keep it so)."""
+        raw = {}
+        for r in self.merges.to_df(spark).collect():
+            old, new = int(r["old_rep"]), int(r["new_rep"])
+            # duplicates (crash-replay appends) agree by determinism;
+            # keep the smaller target if they ever disagree mid-chain
+            raw[old] = min(new, raw.get(old, new))
+
+        def chase(x: int) -> int:
+            seen = []
+            while x in raw and raw[x] != x:
+                seen.append(x)
+                x = raw[x]
+            for s in seen:  # path compression
+                raw[s] = x
+            return x
+
+        return {k: chase(k) for k in list(raw)}
+
+    def add_batch(self, pairs: DataFrame, epoch_id: int | None = None) -> DataFrame | None:
+        """Admit one epoch's verified near-dup pairs ``(doc_a, doc_b)``;
+        return the touched docs' POST-admission assignments
+        ``(doc, cluster_id, is_canonical)``.  Returns ``None`` on a
+        replayed epoch (nothing re-appended — same contract as the other
+        persistent indexes).
+
+        Per-epoch work: one pruned probe of ``assign`` for the touched
+        docs, then a driver union-find over (pairs + touched assignments
+        + merge chain) — all epoch-sized; stored components are merged by
+        RECORDING the merge event, never by rewriting their rows."""
+        spark = pairs.sparkSession
+        if epoch_already_applied(self.assign, epoch_id):
+            return None
+        edges = [
+            (int(r["doc_a"]), int(r["doc_b"]))
+            for r in pairs.select("doc_a", "doc_b").distinct().collect()
+        ]
+        touched = sorted({d for e in edges for d in e})
+        tdf = spark.createDataFrame([(d,) for d in touched] or [], "doc long")
+        part_vals = _bucket_probe_values(self.assign, tdf, "doc")
+        existing = {
+            int(r["doc"]): int(r["rep"])
+            for r in self.assign.to_df(spark, partition_values=part_vals)
+            .join(F.broadcast(tdf), "doc", "leftsemi")
+            .collect()
+        }
+        mmap = self._merge_map(spark)
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # union by min: the root IS the canonical
+
+        # seed with each existing doc's CURRENT canonical, then the pairs
+        cur_rep = {d: mmap.get(r, r) for d, r in existing.items()}
+        for d, r in cur_rep.items():
+            union(d, r)
+        for a, b in edges:
+            union(a, b)
+
+        new_assign = [
+            (d, find(d)) for d in touched if d not in existing
+        ]
+        merge_events = sorted(
+            {
+                (r, find(r))
+                for r in set(cur_rep.values())
+                if find(r) != r
+            }
+        )
+        # merges FIRST: duplicates from a crash-window replay are
+        # harmless (deduped + deterministic), a stamped assign append
+        # without its merges would not be
+        if merge_events:
+            self.merges.append(
+                spark.createDataFrame(merge_events, "old_rep long, new_rep long")
+            )
+        self.assign.append(
+            spark.createDataFrame(new_assign or [], "doc long, rep long"),
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
+        out = [(d, find(d), d == find(d)) for d in touched]
+        return spark.createDataFrame(
+            out or [], "doc long, cluster_id long, is_canonical boolean"
+        )
+
+    def resolve(self, spark) -> DataFrame:
+        """CURRENT clustering of every ever-seen doc:
+        ``(doc, cluster_id, is_canonical)`` — one scan of ``assign`` with
+        the (driver-chased, broadcast) merge map joined in; no shuffle."""
+        mmap = self._merge_map(spark)
+        assign = self.assign.to_df(spark)
+        if mmap:
+            mdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(mmap.items()), "rep long, _canon long"
+                )
+            )
+            assign = assign.join(mdf, "rep", "left").withColumn(
+                "rep", F.coalesce("_canon", "rep")
+            ).drop("_canon")
+        return assign.select(
+            "doc",
+            F.col("rep").alias("cluster_id"),
+            (F.col("doc") == F.col("rep")).alias("is_canonical"),
+        )
+
+    def maintain(self, spark) -> int:
+        """Fold accumulated merge events into ``assign`` (full rewrite —
+        the EXPLICIT heavy op; per-batch admission stays epoch-sized
+        because this runs on a cadence) and empty ``merges``; then
+        bin-pack the per-epoch assign appends.  Idempotent across a
+        crash between the two table writes: re-applying an already-
+        folded merge map is a no-op join.  Returns merge events
+        folded."""
+        mmap = self._merge_map(spark)
+        if mmap:
+            folded = self.resolve(spark).select(
+                "doc", F.col("cluster_id").alias("rep")
+            )
+            self.assign.overwrite(folded)
+            self.merges.overwrite(
+                spark.createDataFrame([], "old_rep long, new_rep long")
+            )
+        self.assign.compact(spark, min_input_files=8, max_input_files=256)
+        return len(mmap)

@@ -395,6 +395,7 @@ def run_minhash_index_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     maintain_every: int | None = None,
+    cluster_index=None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -423,6 +424,19 @@ def run_minhash_index_stream(
     atomic snapshot swap; a crash-induced re-run is harmless (bin-pack
     is idempotent on an already-compacted table).
 
+    ``cluster_index`` (a ``functions/incremental.ClusterIndex``) chains
+    the epoch's verified pairs into a persistent connected-components
+    index inside the same hook — the FULL continuous-dedup loop:
+    documents stream in, near-dup pairs stream out, and cluster
+    assignments stay queryable without ever re-clustering history.  The
+    chain keeps exactly once: cluster admission runs inside
+    ``on_result`` (before the band-index stamp) and carries its own
+    epoch stamp, so every crash window replays to the identical state
+    — if the band index committed, the cluster index had already
+    committed; if neither committed, the pairs recompute
+    deterministically and the cluster admission's own guard skips any
+    half-applied epoch.
+
     Scale: per-trigger work is the documented ``add_batch`` shape —
     the batch's band rows probe the stored index with the scan PRUNED
     to the batch's bucket set (byte-estimated broadcast, shuffle above
@@ -431,17 +445,22 @@ def run_minhash_index_stream(
     Returns the started StreamingQuery."""
 
     def process(batch_df, epoch_id):
+        def sink(res):
+            res.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+            if cluster_index is not None:
+                cluster_index.add_batch(res, epoch_id=epoch_id)
+
         index.add_batch(
             batch_df,
             text_col=text_col,
             id_col=id_col,
             epoch_id=epoch_id,
-            on_result=lambda res: res.write.mode("overwrite").parquet(
-                f"{pairs_dir}/epoch={epoch_id}"
-            ),
+            on_result=sink,
         )
         if maintain_every and (epoch_id + 1) % maintain_every == 0:
             index.maintain(batch_df.sparkSession)
+            if cluster_index is not None:
+                cluster_index.maintain(batch_df.sparkSession)
 
     return (
         docs_stream.writeStream.outputMode("append")

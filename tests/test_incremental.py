@@ -468,3 +468,137 @@ def test_streaming_substring_index_feed_exactly_once(spark, tmp_path):
     before = idx.table.row_count()
     assert idx.add_batch(b2, epoch_id=1) is None
     assert idx.table.row_count() == before
+
+
+# ------------------------------------------------------- cluster index
+
+
+def _clusters(df):
+    return {(r.doc, r.cluster_id, r.is_canonical) for r in df.collect()}
+
+
+def test_cluster_index_incremental_equals_one_shot(spark, warehouse):
+    """Admitting the pair stream in batches yields the SAME clustering as
+    the one-shot connected components over all pairs — in any split,
+    because canonical = min member id and min is merge-associative."""
+    from debezium_server_iceberg_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs).select("doc_a", "doc_b").cache()
+    assert pairs.count() > 0
+    oneshot = _clusters(near_dup_clusters(pairs))
+
+    idx = ClusterIndex.create(LakeCatalog(warehouse), "idx", "clusters")
+    for b in range(3):
+        idx.add_batch(pairs.filter((F.col("doc_a") + F.col("doc_b")) % 3 == b))
+    got = _clusters(idx.resolve(spark))
+    assert got == oneshot
+    # maintain folds the merge chain; resolution is unchanged, merges empty
+    idx.maintain(spark)
+    assert _clusters(idx.resolve(spark)) == oneshot
+    assert idx.merges.to_df(spark).count() == 0
+    # post-maintain reps are fully resolved in storage
+    stored = idx.assign.to_df(spark)
+    assert stored.filter(F.col("rep") != F.col("doc")).join(
+        stored.select(F.col("doc").alias("rep"), F.col("rep").alias("rr")),
+        "rep",
+    ).filter(F.col("rr") != F.col("rep")).count() == 0
+    pairs.unpersist()
+
+
+def test_cluster_index_cross_batch_merge_event(spark, warehouse):
+    """Two components built in separate epochs merge when a later pair
+    bridges them: the merge is recorded as an EVENT (no stored rows
+    rewritten), resolution follows the chain, replay is a no-op."""
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    idx = ClusterIndex.create(LakeCatalog(warehouse), "idx", "clusters")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    out0 = idx.add_batch(mk([(10, 20)]), epoch_id=0)
+    out1 = idx.add_batch(mk([(30, 40)]), epoch_id=1)
+    assert {(r.doc, r.cluster_id) for r in out0.collect()} == {(10, 10), (20, 10)}
+    assert {(r.doc, r.cluster_id) for r in out1.collect()} == {(30, 30), (40, 30)}
+    assign_rows_before = sorted(map(tuple, idx.assign.to_df(spark).collect()))
+
+    out2 = idx.add_batch(mk([(20, 30)]), epoch_id=2)  # bridges the two
+    assert {(r.doc, r.cluster_id) for r in out2.collect()} == {
+        (20, 10), (30, 10),
+    }
+    # stored assignment rows were NOT rewritten; the merge is an event
+    kept = sorted(map(tuple, idx.assign.to_df(spark).collect()))
+    assert kept == assign_rows_before  # no new docs in epoch 2
+    assert sorted(map(tuple, idx.merges.to_df(spark).collect())) == [(30, 10)]
+    want = {(10, 10, True), (20, 10, False), (30, 10, False), (40, 10, False)}
+    assert _clusters(idx.resolve(spark)) == want
+
+    # replay of the merge-only epoch: None, nothing re-appended
+    n_merges = idx.merges.to_df(spark).count()
+    assert idx.add_batch(mk([(20, 30)]), epoch_id=2) is None
+    assert idx.merges.to_df(spark).count() == n_merges
+    assert _clusters(idx.resolve(spark)) == want
+    # a new doc with a SMALLER id becomes the new canonical
+    idx.add_batch(mk([(1, 40)]), epoch_id=3)
+    assert _clusters(idx.resolve(spark)) == {
+        (1, 1, True), (10, 1, False), (20, 1, False),
+        (30, 1, False), (40, 1, False),
+    }
+
+
+def test_streamed_cluster_chain_equals_direct(spark, tmp_path):
+    """Full continuous-dedup loop: documents stream in; the MinHash index
+    emits per-epoch verified pairs; the chained ClusterIndex admits them
+    in the same hook.  End state == direct band-index + cluster
+    admissions, and maintain_every keeps both indexes compacted."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b2 = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    ref_mh = MinHashIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "idx")
+    ref_cl = ClusterIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "cl")
+    for bdf in (b1, b2):
+        ref_cl.add_batch(ref_mh.add_batch(bdf).select("doc_a", "doc_b"))
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    for name, bdf in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    mh = MinHashIndex.create(LakeCatalog(str(tmp_path / "str")), "dd", "idx")
+    cl = ClusterIndex.create(LakeCatalog(str(tmp_path / "str")), "dd", "cl")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_minhash_index_stream(
+        stream, mh, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        maintain_every=2, cluster_index=cl,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _clusters(cl.resolve(spark)) == _clusters(ref_cl.resolve(spark))
+    assert _clusters(cl.resolve(spark))  # non-trivial: clusters exist
+    # maintain_every=2 folded the chain at epoch 1
+    assert cl.merges.to_df(spark).count() == 0

@@ -143,6 +143,63 @@ def test_compact_max_input_files_bounds_one_pass(spark, warehouse):
     assert t.compact(spark, min_input_files=5, max_input_files=2) == 0
 
 
+def test_partition_values_pruning_is_conservative(spark, warehouse):
+    """to_df(partition_values=) planning contract: prunes only what it
+    can PROVE excluded — unknown field names, files from an old spec,
+    and untrusted bucket-hash layouts all keep every file; a trusted
+    bucket field prunes to exactly the allowed ordinals' files."""
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.lakehouse.table import (
+        BUCKET_HASH_PROP,
+        _prune_files_by_partition_values,
+    )
+    from debezium_server_iceberg_spark.lakehouse.transforms import PartitionField
+
+    cat = LakeCatalog(warehouse)
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = cat.create_table(
+        "ns", "tpv", schema, partition_spec=[PartitionField("k", "bucket", 8)]
+    )
+    t.append(
+        spark.createDataFrame([(f"k{i}", i) for i in range(40)], schema)
+    )
+    meta = t.metadata()
+    files = t.current_files()
+    buckets = {f.partition["_p_bucket8_k"] for f in files}
+    assert len(buckets) > 1
+    keep_one = {next(iter(buckets))}
+    pruned = _prune_files_by_partition_values(
+        meta, files, {"_p_bucket8_k": keep_one}
+    )
+    assert 0 < len(pruned) < len(files)
+    assert {f.partition["_p_bucket8_k"] for f in pruned} == keep_one
+    # and the pruned read returns exactly the full read's matching rows
+    got = t.to_df(spark, partition_values={"_p_bucket8_k": keep_one})
+    full = t.to_df(spark)
+    probe_keys = [r["k"] for r in got.select("k").collect()]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, full.filter(F.col("k").isin(probe_keys)).collect())
+    )
+    # unknown partition-field name: keeps everything
+    assert len(
+        _prune_files_by_partition_values(meta, files, {"_p_no_such": {"0"}})
+    ) == len(files)
+    # untrusted bucket hash (pre-murmur3 layout stamp): keeps everything
+    import dataclasses
+
+    props = dict(meta.properties)
+    props.pop(BUCKET_HASH_PROP, None)
+    untrusted = dataclasses.replace(meta, properties=props)
+    assert len(
+        _prune_files_by_partition_values(
+            untrusted, files, {"_p_bucket8_k": keep_one}
+        )
+    ) == len(files)
+
+
 def test_expire_snapshots_deletes_orphans(spark, warehouse):
     import os
 
