@@ -20,12 +20,14 @@ band values depend only on a doc's own text, so a pair collides across
 batches iff it collides in a full-corpus run — incremental results are
 IDENTICAL to batch-at-once (asserted in tests/test_incremental.py).
 
-Scale notes: the index table IS partitioned by ``bucket(N, band_val)``
-(``create(partition_buckets=N)``), so each admitted batch's probe scan
-reads ONLY the files of the batch's own bucket set — collected
-driver-side (≤N ordinals, one bounded job) and pushed into the scan as
-``to_df(partition_values=)`` file pruning.  The probe side is
-batch-sized and broadcastable; a backfill-shaped batch that touches
+Scale notes: the index table IS partitioned — ``identity(pbucket)``
+with ``pbucket = xxhash64(band_val) % N`` (``create(
+partition_buckets=N)``; see :func:`pbucket_col` for why the codegen'd
+xxhash64 and not the spec murmur3 bucket transform) — so each admitted
+batch's probe scan reads ONLY the files of the batch's own bucket set,
+collected driver-side (≤N ordinals, one bounded job) and pushed into
+the scan as ``to_df(partition_values=)`` file pruning.  The probe side
+is batch-sized and broadcastable; a backfill-shaped batch that touches
 every bucket skips pruning and takes the shuffle join.  Without this,
 every micro-batch of a continuous feed full-scans the accumulated
 index — THE recurring-cost scale killer at 100 TB.
@@ -39,7 +41,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.catalog import LakeCatalog
-from ..lakehouse.table import LakeTable, bucket_hash_trusted
+from ..lakehouse.table import LakeTable
 from ..lakehouse.transforms import PartitionField
 from .dedup import _minhash_wide, band_structs_expr
 
@@ -79,44 +81,54 @@ def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
     return False
 
 
-def _bucket_probe_values(
-    table: LakeTable, batch_df: DataFrame, source_col: str
+PBUCKET_COL = "pbucket"
+PBUCKETS_PROP = "index.pbuckets"
+
+
+def pbucket_col(col, n_buckets: int) -> F.Column:
+    """The index tables' partition key: ``pmod(xxhash64(col), N)``.
+
+    Deliberately NOT the Iceberg spec murmur3 bucket transform: spec
+    fidelity matters for EXPORTED CDC tables (W17 parity), but these are
+    engine-internal state tables where both writer and prober are this
+    code — and the spec hash over variable-length strings is an
+    interpreted higher-order ``F.aggregate`` chain (the repo's own
+    documented 2-3x-slow class), which at millions of gram strings per
+    admitted batch dominated the whole add_batch (measured 5.4 s -> 95 s
+    at sf0.1 before this column existed).  ``xxhash64`` is a codegen'd
+    JVM builtin: the partition key costs one flat expression."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _pbucket_probe_values(
+    table: LakeTable, batch_df: DataFrame
 ) -> dict[str, set] | None:
     """The probe side's bucket set, as a ``to_df(partition_values=)``
-    pruning dict — or None when pruning can't help (unpartitioned /
-    untrusted-hash table, or the batch touches every bucket).
+    pruning dict — or None when pruning can't help (unpartitioned table,
+    or the batch touches every bucket).  ``batch_df`` must already carry
+    the ``pbucket`` column (the index row builders add it).
 
     Cost: one bounded job over the (cached) batch frame collecting at
     most N bucket ordinals — planning-scale regardless of batch size.
-    Correct because a bucket transform is a pure function of the join
-    key: every stored row that can equi-join a batch key lives in that
-    key's bucket, so files outside the batch's bucket set cannot
-    contribute matches."""
+    Correct because the bucket is a pure function of the join key: every
+    stored row that can equi-join a batch key lives in that key's
+    bucket, so files outside the batch's bucket set cannot contribute
+    matches."""
     meta = table.metadata()
     pfs = [
         pf
         for pf in meta.partition_spec
-        if pf.transform == "bucket" and pf.source == source_col
+        if pf.transform == "identity" and pf.source == PBUCKET_COL
     ]
-    if not pfs or not bucket_hash_trusted(meta):
+    if not pfs:
         return None
-    pf = pfs[0]
-    # the bucket hash is TYPE-dependent (murmur3 over the canonical byte
-    # form) — derive the source type from the TABLE schema, exactly as
-    # the writer did, or the computed bucket set silently prunes the
-    # wrong files
-    src_type = {
-        f.name: f.dataType.simpleString() for f in meta.schema.fields
-    }[source_col]
+    n = int(meta.properties.get(PBUCKETS_PROP, "0") or 0)
     buckets = {
-        r[0]
-        for r in batch_df.select(pf.column(src_type).alias("_bk"))
-        .distinct()
-        .collect()
+        r[0] for r in batch_df.select(PBUCKET_COL).distinct().collect()
     }
-    if len(buckets) >= pf.param:
+    if n and len(buckets) >= n:
         return None  # backfill-shaped batch: every bucket probed anyway
-    return {pf.name: buckets}
+    return {pfs[0].name: buckets}
 
 
 class MinHashIndex:
@@ -150,6 +162,15 @@ class MinHashIndex:
         shingle_size: int = 3,
         partition_buckets: int = 32,
     ) -> "MinHashIndex":
+        """``partition_buckets`` sizing: the probe prune reads
+        ~``batch_keys / N`` of the index, while each append writes up to
+        ``min(batch_keys, N)`` files (bin-packed by ``maintain`` on a
+        cadence) — so size N to a few times the DISTINCT band values of a
+        typical admitted batch.  The default 32 suits test/backfill
+        shapes; a production CDC feed admitting hundreds of docs per
+        trigger against a corpus-scale index wants 1024-32768, where the
+        prune ratio is what keeps per-trigger stored-side I/O
+        batch-proportional.  0 = unpartitioned (no pruning)."""
         from pyspark.sql import types as T
 
         fields = [
@@ -158,16 +179,22 @@ class MinHashIndex:
             T.StructField("band_val", T.StringType()),
         ] + [
             T.StructField(f"m{s}", T.StringType()) for s in range(num_hashes)
-        ]
-        # bucket(N, band_val) co-locates the probe join's key: add_batch
-        # prunes the stored-side scan to the batch's bucket set instead of
+        ] + ([T.StructField(PBUCKET_COL, T.IntegerType())] if partition_buckets else [])
+        # identity(pbucket) with pbucket = xxhash64(band_val) % N
+        # co-locates the probe join's key: add_batch prunes the
+        # stored-side scan to the batch's bucket set instead of
         # full-scanning the accumulated index per admitted batch
         table = catalog.create_table(
             namespace,
             name,
             T.StructType(fields),
             partition_spec=(
-                [PartitionField("band_val", "bucket", partition_buckets)]
+                [PartitionField(PBUCKET_COL, "identity")]
+                if partition_buckets
+                else None
+            ),
+            properties=(
+                {PBUCKETS_PROP: str(partition_buckets)}
                 if partition_buckets
                 else None
             ),
@@ -182,7 +209,7 @@ class MinHashIndex:
         # the ONE canonical band formula — sharing it with the one-shot
         # pair generator is what makes incremental ≡ batch-at-once hold
         band_structs = band_structs_expr(self.num_hashes, self.band_size)
-        return wide.select(
+        rows = wide.select(
             F.col("doc").cast("long").alias("doc"),
             F.explode(band_structs).alias("bv"),
             *mcols,
@@ -192,6 +219,13 @@ class MinHashIndex:
             F.col("bv.band_val").alias("band_val"),
             *mcols,
         )
+        n = self._pbuckets()
+        if n:
+            rows = rows.withColumn(PBUCKET_COL, pbucket_col(F.col("band_val"), n))
+        return rows
+
+    def _pbuckets(self) -> int:
+        return int(self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0)
 
     def _verified(self, cand: DataFrame) -> DataFrame:
         matches = sum(
@@ -257,7 +291,9 @@ class MinHashIndex:
         # driver-side collect over the cached band rows); the equi-join on
         # band_val keeps exactness — pruning only drops files that cannot
         # hold a matching band_val
-        part_vals = _bucket_probe_values(self.table, new, "band_val")
+        part_vals = (
+            _pbucket_probe_values(self.table, new) if self._pbuckets() else None
+        )
         old = self.table.to_df(spark, partition_values=part_vals).select(
             "band", "band_val", F.col("doc").alias("doc_o"),
             *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
@@ -300,7 +336,7 @@ class MinHashIndex:
             # are already durable (see docstring's crash matrix)
             on_result(pairs)
         self.table.append(
-            new.select("doc", "band", "band_val", *mcols),
+            new,  # carries exactly the table's columns (incl. pbucket)
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
         new.unpersist()
@@ -381,9 +417,19 @@ class SubstringIndex:
                     T.StructField("_h", T.StringType()),
                     T.StructField("n_docs", T.LongType()),
                 ]
+                + (
+                    [T.StructField(PBUCKET_COL, T.IntegerType())]
+                    if partition_buckets
+                    else []
+                )
             ),
             partition_spec=(
-                [PartitionField("_h", "bucket", partition_buckets)]
+                [PartitionField(PBUCKET_COL, "identity")]
+                if partition_buckets
+                else None
+            ),
+            properties=(
+                {PBUCKETS_PROP: str(partition_buckets)}
                 if partition_buckets
                 else None
             ),
@@ -420,23 +466,39 @@ class SubstringIndex:
         spark = docs.sparkSession
         if self._epoch_already_applied(epoch_id):
             return None
+        n_pb = int(
+            self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
         grams = word_gram_hashes(docs, self.k, text_col, id_col).dropDuplicates(
             [id_col, "_h"]
         ).cache()
         batch_counts = grams.groupBy("_h").agg(
             F.count(F.lit(1)).alias("_nb")
-        ).cache()
+        )
+        if n_pb:
+            batch_counts = batch_counts.withColumn(
+                PBUCKET_COL, pbucket_col(F.col("_h"), n_pb)
+            )
+        batch_counts = batch_counts.cache()
         n_batch = batch_counts.count()  # materializes both reuses
+        probe_side = batch_counts.select("_h", "_nb")
         probe = (
-            F.broadcast(batch_counts)
+            F.broadcast(probe_side)
             if n_batch * _est_row_width(batch_counts.schema) <= _BROADCAST_BYTES
-            else batch_counts
+            else probe_side
         )
         # stored-side scan pruned to the batch's gram-bucket set (bounded
         # collect over the cached counts); exactness rides the inner join
-        part_vals = _bucket_probe_values(self.table, batch_counts, "_h")
+        part_vals = (
+            _pbucket_probe_values(self.table, batch_counts) if n_pb else None
+        )
         stored = (
-            probe.join(self.table.to_df(spark, partition_values=part_vals), "_h")
+            probe.join(
+                self.table.to_df(spark, partition_values=part_vals).select(
+                    "_h", "n_docs"
+                ),
+                "_h",
+            )
             .groupBy("_h")
             .agg(F.sum("n_docs").alias("_ns"))
         )
@@ -465,7 +527,11 @@ class SubstringIndex:
         if on_result is not None:
             on_result(prof)  # sink effect before the epoch stamp
         self.table.append(
-            batch_counts.select("_h", F.col("_nb").alias("n_docs")),
+            batch_counts.select(
+                "_h",
+                F.col("_nb").alias("n_docs"),
+                *([PBUCKET_COL] if n_pb else []),
+            ),
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
         batch_counts.unpersist()
@@ -545,9 +611,19 @@ class ClusterIndex:
                     T.StructField("doc", T.LongType()),
                     T.StructField("rep", T.LongType()),
                 ]
+                + (
+                    [T.StructField(PBUCKET_COL, T.IntegerType())]
+                    if partition_buckets
+                    else []
+                )
             ),
             partition_spec=(
-                [PartitionField("doc", "bucket", partition_buckets)]
+                [PartitionField(PBUCKET_COL, "identity")]
+                if partition_buckets
+                else None
+            ),
+            properties=(
+                {PBUCKETS_PROP: str(partition_buckets)}
                 if partition_buckets
                 else None
             ),
@@ -607,12 +683,18 @@ class ClusterIndex:
             for r in pairs.select("doc_a", "doc_b").distinct().collect()
         ]
         touched = sorted({d for e in edges for d in e})
+        n_pb = int(
+            self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
         tdf = spark.createDataFrame([(d,) for d in touched] or [], "doc long")
-        part_vals = _bucket_probe_values(self.assign, tdf, "doc")
+        if n_pb:
+            tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
+        part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
         existing = {
             int(r["doc"]): int(r["rep"])
             for r in self.assign.to_df(spark, partition_values=part_vals)
-            .join(F.broadcast(tdf), "doc", "leftsemi")
+            .join(F.broadcast(tdf.select("doc")), "doc", "leftsemi")
+            .select("doc", "rep")
             .collect()
         }
         mmap = self._merge_map(spark)
@@ -657,8 +739,15 @@ class ClusterIndex:
             self.merges.append(
                 spark.createDataFrame(merge_events, "old_rep long, new_rep long")
             )
+        assign_df = spark.createDataFrame(
+            new_assign or [], "doc long, rep long"
+        )
+        if n_pb:
+            assign_df = assign_df.withColumn(
+                PBUCKET_COL, pbucket_col(F.col("doc"), n_pb)
+            )
         self.assign.append(
-            spark.createDataFrame(new_assign or [], "doc long, rep long"),
+            assign_df,
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
         out = [(d, find(d), d == find(d)) for d in touched]
@@ -700,6 +789,13 @@ class ClusterIndex:
             folded = self.resolve(spark).select(
                 "doc", F.col("cluster_id").alias("rep")
             )
+            n_pb = int(
+                self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+            )
+            if n_pb:
+                folded = folded.withColumn(
+                    PBUCKET_COL, pbucket_col(F.col("doc"), n_pb)
+                )
             self.assign.overwrite(folded)
             self.merges.overwrite(
                 spark.createDataFrame([], "old_rep long, new_rep long")

@@ -4277,7 +4277,12 @@ def incremental_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         # in-gate scale assert (pruned_point_lookup pattern): a one-gram
         # probe reads ONE bucket's files of the bucket-partitioned
         # inversion — planning only, nothing appended, output untouched
-        from .functions.incremental import _bucket_probe_values
+        from .functions.incremental import (
+            PBUCKET_COL,
+            PBUCKETS_PROP,
+            _pbucket_probe_values,
+            pbucket_col,
+        )
         from .functions.text import word_gram_hashes
         from .lakehouse.table import _prune_files_by_partition_values
 
@@ -4285,8 +4290,12 @@ def incremental_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             [(999_999_999, "eight plain tokens make exactly one probe gram")],
             "doc_id long, text string",
         )
-        pv = _bucket_probe_values(
-            idx.table, word_gram_hashes(tiny, 8, "text", "doc_id"), "_h"
+        n_pb = int(idx.table.metadata().properties[PBUCKETS_PROP])
+        pv = _pbucket_probe_values(
+            idx.table,
+            word_gram_hashes(tiny, 8, "text", "doc_id").withColumn(
+                PBUCKET_COL, pbucket_col(F.col("_h"), n_pb)
+            ),
         )
         all_files = idx.table.current_files()
         kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
@@ -5950,14 +5959,14 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pattern): a CDC-sized probe's stored-side scan reads a strict
         # subset of the bucket-partitioned index's files — planning only,
         # nothing is appended, the gate output is untouched
-        from .functions.incremental import _bucket_probe_values
+        from .functions.incremental import _pbucket_probe_values
         from .lakehouse.table import _prune_files_by_partition_values
 
         tiny = spark.createDataFrame(
             [(999_999_999, "tiny probe document checking pruned scans")],
             "doc_id long, text string",
         )
-        pv = _bucket_probe_values(idx.table, idx._band_rows(tiny, "text", "doc_id"), "band_val")
+        pv = _pbucket_probe_values(idx.table, idx._band_rows(tiny, "text", "doc_id"))
         all_files = idx.table.current_files()
         kept = _prune_files_by_partition_values(idx.table.metadata(), all_files, pv)
         assert pv and len(kept) < len(all_files), (

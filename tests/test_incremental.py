@@ -136,7 +136,7 @@ def test_minhash_probe_scan_prunes_stored_files(spark, warehouse):
     pinned by test_incremental_equals_batch_at_once — the same add_batch
     runs against a bucket-partitioned table now.)"""
     from debezium_server_iceberg_spark.functions.incremental import (
-        _bucket_probe_values,
+        _pbucket_probe_values,
     )
     from debezium_server_iceberg_spark.lakehouse.table import (
         _prune_files_by_partition_values,
@@ -149,7 +149,7 @@ def test_minhash_probe_scan_prunes_stored_files(spark, warehouse):
     all_files = idx.table.current_files()
     small = docs.filter(F.col("doc_id") % 5 == 4).limit(2)
     bands = idx._band_rows(small, "text", "doc_id")
-    pv = _bucket_probe_values(idx.table, bands, "band_val")
+    pv = _pbucket_probe_values(idx.table, bands)
     assert pv is not None and len(pv) == 1
     (allowed,) = pv.values()
     assert 0 < len(allowed) < 32  # a 2-doc batch touches a strict subset
