@@ -134,7 +134,9 @@ def _pbucket_probe_values(
 class MinHashIndex:
     """Persistent LSH band index over a LakeTable.
 
-    Table schema: ``doc long, band int, band_val string, m0..m{H-1} string``.
+    Table schema: ``doc long, band int, band_val string, m0..m{H-1}
+    string, pbucket int`` (pbucket = the identity partition key, see
+    :func:`pbucket_col`; absent when created with partition_buckets=0).
     """
 
     def __init__(
@@ -386,11 +388,13 @@ class SubstringIndex:
 
     Scale: the batch side is (batch-distinct-gram)-sized and broadcast
     when its byte estimate fits (CDC-sized refreshes do); a backfill
-    takes the shuffle join.  The stored table IS partitioned by
-    ``bucket(N, _h)`` (``create(partition_buckets=N)``): each batch's
-    probe scan is pruned to the batch's own bucket set driver-side, so
-    per-batch stored-side I/O is bounded by the batch's gram spread, not
-    the accumulated index size.
+    takes the shuffle join.  The stored table IS partitioned —
+    ``identity(pbucket)``, ``pbucket = xxhash64(_h) % N``
+    (``create(partition_buckets=N)``; sizing rule in
+    :meth:`MinHashIndex.create`): each batch's probe scan is pruned to
+    the batch's own bucket set driver-side, so per-batch stored-side
+    I/O is bounded by the batch's gram spread, not the accumulated
+    index size.
     """
 
     def __init__(self, table: LakeTable, k: int = 8, max_shared_frac_tenths: int = 3) -> None:
@@ -563,8 +567,9 @@ class ClusterIndex:
     - ``assign`` — one row ``(doc, rep)`` per EVER-SEEN doc, written once
       at admission and never rewritten by add_batch (append-only: the
       rep recorded is the component representative AT ADMIT TIME);
-      partitioned ``bucket(N, doc)`` so a batch's membership probe is a
-      pruned scan, same discipline as the band/gram indexes.
+      partitioned ``identity(pbucket)`` (``pbucket = xxhash64(doc) % N``)
+      so a batch's membership probe is a pruned scan, same discipline as
+      the band/gram indexes.
     - ``merges`` — one row ``(old_rep, new_rep)`` per cluster-merge EVENT
       (a later pair unifying two existing components).  A doc's CURRENT
       canonical is ``rep`` chased through the merge chain to a fixed
