@@ -645,6 +645,41 @@ class ClusterIndex:
         )
         return ClusterIndex(assign, merges)
 
+    @staticmethod
+    def seed(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        clusters: DataFrame,
+        partition_buckets: int = 32,
+    ) -> "ClusterIndex":
+        """Bootstrap from a ONE-SHOT clustering — the BACKFILL entry
+        path.  ``add_batch`` is deliberately epoch-sized (driver
+        union-find over the batch's pairs); a historical corpus is
+        instead clustered once with the distributed one-shot operator
+        (``functions/dedup.near_dup_clusters`` — pointer doubling at
+        scale) and its ``(doc, cluster_id, ...)`` output seeds the
+        index in one distributed, bucket-partitioned append.  The
+        stream then admits incrementally on top.
+
+        Requires the one-shot's invariant (cluster_id = MIN member id),
+        which is exactly what ``near_dup_clusters`` produces — seeded +
+        incremental thereafter ≡ one-shot over the union of all pairs
+        (tested)."""
+        idx = ClusterIndex.create(
+            catalog, namespace, name, partition_buckets=partition_buckets
+        )
+        rows = clusters.select(
+            F.col("doc").cast("long").alias("doc"),
+            F.col("cluster_id").cast("long").alias("rep"),
+        )
+        if partition_buckets:
+            rows = rows.withColumn(
+                PBUCKET_COL, pbucket_col(F.col("doc"), partition_buckets)
+            )
+        idx.assign.append(rows, summary={"operation_detail": "seed"})
+        return idx
+
     # ------------------------------------------------------------ helpers
     def _merge_map(self, spark) -> dict[int, int]:
         """The merge chain since the last maintain, chased to fixed

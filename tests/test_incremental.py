@@ -602,3 +602,31 @@ def test_streamed_cluster_chain_equals_direct(spark, tmp_path):
     assert _clusters(cl.resolve(spark))  # non-trivial: clusters exist
     # maintain_every=2 folded the chain at epoch 1
     assert cl.merges.to_df(spark).count() == 0
+
+
+def test_cluster_index_seed_then_incremental_equals_one_shot(spark, warehouse):
+    """Backfill entry path: one-shot cluster the history, seed the index
+    distributed, then admit the remaining pairs incrementally — final
+    resolution equals the one-shot over ALL pairs."""
+    from debezium_server_iceberg_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs).select("doc_a", "doc_b").cache()
+    hist = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
+    tail = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 3 == 0)
+
+    idx = ClusterIndex.seed(
+        LakeCatalog(warehouse), "idx", "clusters", near_dup_clusters(hist)
+    )
+    idx.add_batch(tail, epoch_id=0)
+    assert _clusters(idx.resolve(spark)) == _clusters(near_dup_clusters(pairs))
+    # the seed was a distributed bucket-partitioned append
+    assert any(
+        "pbucket" in f.partition or "_p_pbucket" in f.partition
+        for f in idx.assign.current_files()
+    )
+    pairs.unpersist()
