@@ -190,6 +190,9 @@ class MinHashIndex:
             namespace,
             name,
             T.StructType(fields),
+            # `doc` declares the DELETE key (remove_docs' equality-delete
+            # target: one doc owns n_bands rows), not row uniqueness
+            identifier_fields=["doc"],
             partition_spec=(
                 [PartitionField(PBUCKET_COL, "identity")]
                 if partition_buckets
@@ -343,6 +346,35 @@ class MinHashIndex:
         )
         new.unpersist()
         return pairs
+
+    def remove_docs(self, spark, doc_ids) -> int:
+        """CDC deletes propagate into the index: ALL band rows of the
+        given docs are equality-deleted in one merge-on-read commit
+        (zero reads of stored data — the reference's equality-delta
+        shape, BaseDeltaTaskWriter.java:60-71), so subsequent probes
+        stop matching them; ``maintain``/compaction materializes the
+        tombstones.  ``doc_ids`` is a list of ids or a DataFrame with a
+        ``doc`` column.  Replay-safe by IDEMPOTENCE (re-deleting the
+        same keys matches nothing new), so streaming feeds need no
+        epoch stamp here — and must not use one: an add and a remove
+        in the SAME epoch are two commits, and only the add carries
+        the epoch guard.  Returns the deleted key count.
+
+        (SubstringIndex deliberately has no removal: its rows are
+        per-batch GRAM AGGREGATES, not doc-keyed — un-counting a doc
+        needs its gram set, i.e. a rebuild; ClusterIndex likewise —
+        removing a canonical member re-elects representatives, a
+        maintain-time concern.)"""
+        if isinstance(doc_ids, DataFrame):
+            keys = doc_ids.select(F.col("doc").cast("long").alias("doc"))
+        else:
+            keys = spark.createDataFrame(
+                [(int(d),) for d in doc_ids] or [], "doc long"
+            )
+        _, deleted = self.table.commit_row_delta(
+            None, keys, summary={"operation_detail": "remove-docs"}
+        )
+        return deleted
 
     def maintain(
         self, spark, min_input_files: int = 8, max_input_files: int | None = 256

@@ -630,3 +630,35 @@ def test_cluster_index_seed_then_incremental_equals_one_shot(spark, warehouse):
         for f in idx.assign.current_files()
     )
     pairs.unpersist()
+
+
+def test_minhash_remove_docs_stops_matching(spark, warehouse):
+    """CDC deletes propagate: after remove_docs, probes no longer pair
+    with the removed doc, the stored relation excludes its band rows
+    (merge-on-read), removal is idempotent, and compaction materializes
+    the tombstones without changing behavior."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    idx.add_batch(spark.createDataFrame([(1, base), (2, base + " tail")], schema))
+    rows_before = idx.table.to_df(spark).count()
+    assert rows_before == 2 * 4  # 2 docs x 4 bands
+
+    deleted = idx.remove_docs(spark, [1])
+    assert deleted == 1
+    assert idx.table.to_df(spark).count() == rows_before - 4
+    # a fresh probe that duplicates BOTH originals now only pairs with 2
+    pairs = idx.add_batch(
+        spark.createDataFrame([(3, base + " more")], schema)
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(2, 3)}
+    # idempotent replay
+    idx.remove_docs(spark, [1])
+    assert idx.table.to_df(spark).filter("doc = 1").count() == 0
+    # compaction folds the tombstones; behavior unchanged
+    idx.maintain(spark, min_input_files=2)
+    assert idx.table.to_df(spark).filter("doc = 1").count() == 0
+    again = idx.add_batch(
+        spark.createDataFrame([(4, base + " extra")], schema)
+    ).collect()
+    assert 1 not in {r.doc_a for r in again} | {r.doc_b for r in again}
