@@ -128,7 +128,15 @@ def infer_batch_schema(
     event, not a payload shuffle), then the tiny distinct set converts
     driver-side and merges union-by-name with the same widening lattice
     table evolution uses.  Merge order is sorted-schema-text, so the
-    resulting field order is deterministic across retries/replays."""
+    resulting field order is deterministic across retries/replays.
+
+    Kafka delete TOMBSTONES (null ``value`` — ``kafka_to_envelope``
+    passes them through for downstream filters) contribute a null
+    schema text and are SKIPPED, not fatal: raising on any null would
+    turn one tombstone anywhere in a batch into a permanent poison
+    pill (foreachBatch replays the same data).  The
+    no-embedded-schema error fires only when a non-empty batch yields
+    ZERO embedded schemas."""
     from ..schema.evolution import merge_schemas
 
     conv = converter or DebeziumSchemaConverter()
@@ -145,12 +153,11 @@ def infer_batch_schema(
         key=lambda p: (p[0] or "", p[1] or ""),
     )
     merged: InferredSchema | None = None
+    saw_rows = False
     for vs, ks in pairs:
+        saw_rows = True
         if vs is None:
-            raise ValueError(
-                "event has no embedded schema; enable "
-                "debezium.format.value.schemas.enable"
-            )
+            continue  # tombstone (null value) or schemaless event: skip
         one = conv.convert(json.loads(vs), json.loads(ks) if ks else None)
         if merged is None:
             merged = one
@@ -162,6 +169,11 @@ def infer_batch_schema(
                 key_fields=merged.key_fields or one.key_fields,
             )
     if merged is None:
+        if saw_rows:
+            raise ValueError(
+                "no event in the batch has an embedded schema; enable "
+                "debezium.format.value.schemas.enable"
+            )
         raise ValueError("cannot infer a schema from an empty batch")
     return merged
 

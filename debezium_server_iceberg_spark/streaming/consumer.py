@@ -28,7 +28,7 @@ import json
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
 from ..lakehouse import LakeCatalog, parse_partition_spec
@@ -156,7 +156,15 @@ class ChangeConsumer:
     ) -> int:
         cfg = self.config
         ic = cfg.iceberg
-        df = for_destination(raw, dest)
+        # Kafka delete tombstones (null value) are log-compaction markers,
+        # not events: parsing one yields an all-null payload (null __op,
+        # null PK) that fails assert_no_null_keys and — since foreachBatch
+        # replays the same data — poisons the batch permanently.  The
+        # delete itself arrived as the preceding op='d' event, so dropping
+        # the marker loses nothing (the reference's Debezium pipeline
+        # suppresses them at the source via tombstones.on.delete=false,
+        # DebeziumConfig defaults).
+        df = for_destination(raw, dest).filter(F.col("value").isNotNull())
         sample = df.select("key", "value").first()
         if sample is None:
             return 0

@@ -135,3 +135,45 @@ def test_mongo_key_payload_is_string_typed(spark, warehouse):
     assert [f["field"] for f in key["schema"]["fields"]] == ["_id"]
     assert [f["type"] for f in key["schema"]["fields"]] == ["string"]
     assert key["payload"]["_id"] == "d" * 24
+
+
+def test_kafka_tombstone_in_batch_is_skipped_not_poison(spark, warehouse):
+    """A Kafka delete TOMBSTONE (null value) anywhere in a batch must not
+    fail it: tombstones are log-compaction markers; the delete itself is
+    the preceding op='d' event.  Before the fix, infer_batch_schema
+    raised on the tombstone's null embedded schema (and the upsert path
+    would have tripped assert_no_null_keys on its all-null payload) —
+    and foreachBatch replay made it a permanent poison pill."""
+    oid = "e" * 24
+    tombstone = {"destination": DEST, "key": json.dumps({"payload": {"_id": oid}}), "value": None}
+    c = build(warehouse, upsert_keep_deletes=True)
+    c.handle_batch(
+        df(
+            spark,
+            [
+                mongo_event(oid, {"name": "t"}, "c", 1),
+                mongo_event(oid, {"name": "t"}, "d", 2),
+                tombstone,
+            ],
+        ),
+        epoch_id=0,
+    )
+    rows = c.table_df(spark, TABLE).collect()
+    assert len(rows) == 1 and rows[0]["__deleted"] is True
+
+
+def test_infer_batch_schema_skips_tombstones_raises_on_none(spark):
+    """Direct-API contract: null-value rows are skipped; a non-empty
+    batch with ZERO embedded schemas still raises."""
+    import pytest
+
+    from debezium_server_iceberg_spark.sources.debezium_json import infer_batch_schema
+
+    rows = [
+        mongo_event("f" * 24, {"name": "s"}, "c", 1),
+        {"destination": DEST, "key": None, "value": None},
+    ]
+    inferred = infer_batch_schema(df(spark, rows))
+    assert "name" in [f.name for f in inferred.struct.fields]
+    with pytest.raises(ValueError, match="no event in the batch"):
+        infer_batch_schema(df(spark, [{"destination": DEST, "key": None, "value": None}]))
