@@ -736,24 +736,63 @@ class ClusterIndex:
 
         return {k: chase(k) for k in list(raw)}
 
-    def add_batch(self, pairs: DataFrame, epoch_id: int | None = None) -> DataFrame | None:
+    def add_batch(
+        self,
+        pairs: DataFrame,
+        epoch_id: int | None = None,
+        small_edge_threshold: int = 500_000,
+    ) -> DataFrame | None:
         """Admit one epoch's verified near-dup pairs ``(doc_a, doc_b)``;
         return the touched docs' POST-admission assignments
         ``(doc, cluster_id, is_canonical)``.  Returns ``None`` on a
         replayed epoch (nothing re-appended — same contract as the other
         persistent indexes).
 
-        Per-epoch work: one pruned probe of ``assign`` for the touched
-        docs, then a driver union-find over (pairs + touched assignments
-        + merge chain) — all epoch-sized; stored components are merged by
-        RECORDING the merge event, never by rewriting their rows."""
+        Adaptive two-path execution, the same size-switch as the one-shot
+        ``near_dup_clusters``: the epoch's DISTINCT pair count is known
+        for free from the dedup pass, and PAIR VOLUME IS DATA-DEPENDENT,
+        not batch-size-dependent — one micro-batch of near-identical
+        boilerplate docs (a crawler template) makes the band join emit
+        O(batch²) verified pairs, which an unguarded driver collect would
+        OOM on silently.
+
+        - ≤ ``small_edge_threshold`` edges (normal CDC epochs): one
+          Arrow fetch of the edge list + a pruned probe of ``assign`` for
+          the touched docs, then a driver union-find over (pairs +
+          touched assignments + merge chain) — all epoch-sized.
+        - above it: :meth:`_add_batch_distributed` — distributed
+          connected components over the epoch's pairs, a distributed
+          membership join against ``assign``, and a (tiny) rep-graph
+          union to reconcile with existing components.  Same resolution
+          as the driver path (asserted in tests/test_incremental.py); a
+          true historical backfill should still prefer :meth:`seed`.
+
+        Either way, stored components are merged by RECORDING the merge
+        event, never by rewriting their rows."""
         spark = pairs.sparkSession
         if epoch_already_applied(self.assign, epoch_id):
             return None
-        edges = [
-            (int(r["doc_a"]), int(r["doc_b"]))
-            for r in pairs.select("doc_a", "doc_b").distinct().collect()
-        ]
+        dpairs = (
+            pairs.select(
+                F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_b"),
+            )
+            .distinct()
+            .cache()
+        )
+        n_edges = dpairs.count()  # materializes the cache either path uses
+        if n_edges > small_edge_threshold:
+            try:
+                return self._add_batch_distributed(spark, dpairs, epoch_id)
+            finally:
+                dpairs.unpersist()
+        # Arrow fetch -> two int64 numpy columns (~16 B/edge on the
+        # driver, not hundreds of bytes per pyspark Row)
+        pdf = dpairs.toPandas()
+        dpairs.unpersist()
+        edges = list(
+            zip(pdf["doc_a"].astype("int64").tolist(), pdf["doc_b"].astype("int64").tolist())
+        )
         touched = sorted({d for e in edges for d in e})
         n_pb = int(
             self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
@@ -825,6 +864,109 @@ class ClusterIndex:
         out = [(d, find(d), d == find(d)) for d in touched]
         return spark.createDataFrame(
             out or [], "doc long, cluster_id long, is_canonical boolean"
+        )
+
+    def _add_batch_distributed(
+        self, spark, dpairs: DataFrame, epoch_id: int | None
+    ) -> DataFrame:
+        """Over-threshold epoch admission with NO driver-side pair
+        collect (the escape hatch the driver union-find cannot be):
+
+        1. epoch-local components over the pairs via the distributed
+           one-shot (``near_dup_clusters`` — pointer doubling at this
+           size), giving each touched doc its batch-local min-id rep;
+        2. membership probe: ONE shuffle join of the touched docs
+           against the (bucket-pruned) ``assign`` scan — the only
+           corpus-sized relation, and it is pruned + inner-joined down
+           to epoch size;
+        3. rep-graph reconciliation: edges (local_rep, current_rep) —
+           one row per (batch component × existing component)
+           incidence, which boilerplate-heavy epochs COLLAPSE (the
+           O(batch²) pairs all share one local rep) — clustered again
+           by ``near_dup_clusters`` (itself adaptive);
+        4. merge EVENTS for existing reps whose canonical changed,
+           appended distributed; new docs' assignments appended
+           bucket-partitioned with the epoch stamp.
+
+        The min-id invariant composes: a merged component's canonical =
+        min(local reps, existing reps) = min over all members, so this
+        path resolves identically to the driver path and to the one-shot
+        over the union of all pairs (test-pinned)."""
+        from .dedup import near_dup_clusters
+
+        n_pb = int(
+            self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
+        local = (
+            near_dup_clusters(dpairs)
+            .select("doc", F.col("cluster_id").alias("lrep"))
+            .localCheckpoint(eager=True)
+        )
+        tdf = local.select("doc")
+        if n_pb:
+            tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
+        part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
+        stored = self.assign.to_df(spark, partition_values=part_vals).select(
+            "doc", "rep"
+        )
+        mmap = self._merge_map(spark)  # maintain-cadence-bounded, as ever
+        if mmap:
+            mdf = F.broadcast(
+                spark.createDataFrame(sorted(mmap.items()), "rep long, _canon long")
+            )
+            stored = (
+                stored.join(mdf, "rep", "left")
+                .withColumn("rep", F.coalesce("_canon", "rep"))
+                .drop("_canon")
+            )
+        # (doc, lrep, rep): the touched docs already known to the index,
+        # with their CURRENT canonical — epoch-sized after the inner join
+        existing = local.join(stored, "doc").localCheckpoint(eager=True)
+        rep_edges = (
+            existing.filter(F.col("lrep") != F.col("rep"))
+            .select(F.col("lrep").alias("doc_a"), F.col("rep").alias("doc_b"))
+            .distinct()
+        )
+        repmap = near_dup_clusters(rep_edges).select(
+            F.col("doc").alias("node"), F.col("cluster_id").alias("final")
+        )
+        lmap = (
+            local.select("lrep")
+            .distinct()
+            .join(repmap, F.col("lrep") == F.col("node"), "left")
+            .select("lrep", F.coalesce("final", "lrep").alias("frep"))
+        )
+        resolved = (
+            local.join(lmap, "lrep")
+            .select("doc", F.col("frep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        events = (
+            existing.select("rep")
+            .distinct()
+            .join(repmap, F.col("rep") == F.col("node"))
+            .filter(F.col("final") != F.col("rep"))
+            .select(F.col("rep").alias("old_rep"), F.col("final").alias("new_rep"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # merges FIRST, then the epoch-stamped assign append — same crash
+        # ordering as the driver path
+        if events.limit(1).count():
+            self.merges.append(events)
+        new_assign = resolved.join(existing.select("doc"), "doc", "left_anti")
+        if n_pb:
+            new_assign = new_assign.withColumn(
+                PBUCKET_COL, pbucket_col(F.col("doc"), n_pb)
+            )
+        self.assign.append(
+            new_assign,
+            summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
+        )
+        return resolved.select(
+            "doc",
+            F.col("rep").alias("cluster_id"),
+            (F.col("doc") == F.col("rep")).alias("is_canonical"),
         )
 
     def resolve(self, spark) -> DataFrame:
