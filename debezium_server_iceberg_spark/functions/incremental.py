@@ -51,7 +51,15 @@ class EpochRegressionError(RuntimeError):
     epoch.  Structured Streaming epochs are monotone per checkpoint, so
     this only happens when a checkpoint was reset (epochs restart at 0)
     or a second query writes the same index table — silently skipping
-    would be silent data loss, so the feed fails loudly instead."""
+    would be silent data loss, so the feed fails loudly instead.
+
+    Recovery from a LEGITIMATE checkpoint reset (the old checkpoint is
+    gone, the new query's epochs restart at 0, and the operator has
+    verified no data will be double-applied): call :func:`reset_epoch`
+    on the index table once — it stamps a marker snapshot behind which
+    the guard stops scanning, so the next feed's epoch numbering starts
+    fresh.  Without it, a table carrying a high stamped epoch would
+    raise on every epoch ``0..last`` of the new checkpoint forever."""
 
 
 def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
@@ -67,6 +75,10 @@ def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
     if epoch_id is None:
         return False
     for s in reversed(table.metadata().snapshots):
+        if s.summary.get("epoch_reset"):
+            # operator-stamped reset marker (see reset_epoch): epoch
+            # numbering restarted here — older stamps no longer bind
+            return False
         e = s.summary.get("epoch_id")
         if e is None:
             continue  # maintenance/compaction snapshot: keep scanning
@@ -79,6 +91,19 @@ def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
             )
         return last == epoch_id
     return False
+
+
+def reset_epoch(spark, table: LakeTable) -> None:
+    """Stamp an ``epoch_reset`` marker snapshot: the documented recovery
+    path after a LEGITIMATE checkpoint reset (see
+    :class:`EpochRegressionError`).  The exactly-once guard stops its
+    reverse scan at the marker, so the next feed's epochs (restarting at
+    0) are admitted instead of raising against the pre-reset stamps.
+    Deliberately an explicit operator action — an empty append commit —
+    never something the feed does on its own, because a regression can
+    equally mean a second writer query, where resetting WOULD lose data."""
+    empty = spark.createDataFrame([], table.metadata().schema)
+    table.append(empty, summary={"epoch_reset": "true"})
 
 
 PBUCKET_COL = "pbucket"

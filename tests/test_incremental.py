@@ -203,6 +203,32 @@ def test_epoch_regression_raises(spark, warehouse):
     assert idx.add_batch(docs.limit(0), epoch_id=6) is not None
 
 
+def test_reset_epoch_recovers_reset_checkpoint(spark, warehouse):
+    """The documented recovery path: after a legitimate checkpoint reset
+    (epochs restart at 0), reset_epoch stamps a marker snapshot and the
+    guard admits the new numbering instead of raising forever."""
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        EpochRegressionError,
+        reset_epoch,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "minhash_bands")
+    idx.add_batch(docs, epoch_id=7)
+    with pytest.raises(EpochRegressionError):
+        idx.add_batch(docs, epoch_id=0)  # bricked without the marker
+    reset_epoch(spark, idx.table)
+    rows_before = idx.table.to_df(spark).count()
+    # epochs restart at 0 and apply; replay/regression semantics resume
+    assert idx.add_batch(docs, epoch_id=0) is not None
+    assert idx.table.to_df(spark).count() > rows_before
+    assert idx.add_batch(docs, epoch_id=0) is None  # replay skips again
+    with pytest.raises(EpochRegressionError):
+        idx.add_batch(docs, epoch_id=-1)
+
+
 def test_stream_replay_through_process_preserves_pairs(spark, tmp_path):
     """THE at-least-once recovery path, exercised through the real
     foreachBatch process(): after epoch 0 fully commits (pairs durable +
