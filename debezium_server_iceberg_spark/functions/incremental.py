@@ -385,11 +385,11 @@ class MinHashIndex:
         in the SAME epoch are two commits, and only the add carries
         the epoch guard.  Returns the deleted key count.
 
-        (SubstringIndex deliberately has no removal: its rows are
-        per-batch GRAM AGGREGATES, not doc-keyed — un-counting a doc
-        needs its gram set, i.e. a rebuild; ClusterIndex likewise —
-        removing a canonical member re-elects representatives, a
-        maintain-time concern.)"""
+        (The other indexes remove differently, matching their storage:
+        :meth:`SubstringIndex.remove_docs` appends NEGATIVE gram counts
+        from the delete events' before-image text;
+        :meth:`ClusterIndex.maintain` takes ``removed_docs`` and
+        re-elects min-id representatives at fold time.)"""
         if isinstance(doc_ids, DataFrame):
             keys = doc_ids.select(F.col("doc").cast("long").alias("doc"))
         else:
@@ -599,13 +599,77 @@ class SubstringIndex:
         grams.unpersist()
         return prof
 
+    def remove_docs(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> int:
+        """CDC deletes propagate into the gram inversion as NEGATIVE
+        counts: the index rows are per-batch gram AGGREGATES, not
+        doc-keyed, so un-counting a doc needs its gram set — which a
+        Debezium delete event CARRIES as the ``before`` image
+        (Envelope.before; the reference's delete rows flow the same
+        payload, BaseDeltaTaskWriter.java:60-71).  ``docs`` is the
+        removed docs WITH their text; one append commits ``(_h, -n)``
+        rows (zero reads of stored data, batch-proportional like
+        add_batch), and every probe's SUM then equals an index built
+        without those docs.  ``maintain(fold=True)`` folds the negative
+        rows away.
+
+        NOT idempotent (unlike :meth:`MinHashIndex.remove_docs`, whose
+        equality delete re-applies as a no-op): a negative append is
+        arithmetic, so route removals exactly-once — remove each
+        indexed doc at most once, and only docs that were admitted.
+        Returns the number of docs whose grams were un-counted."""
+        from .text import word_gram_hashes
+
+        n_pb = int(
+            self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
+        grams = word_gram_hashes(docs, self.k, text_col, id_col).dropDuplicates(
+            [id_col, "_h"]
+        ).cache()
+        n_docs = grams.select(id_col).distinct().count()
+        neg = grams.groupBy("_h").agg(
+            (-F.count(F.lit(1))).cast("long").alias("n_docs")
+        )
+        if n_pb:
+            neg = neg.select(
+                "_h", "n_docs", pbucket_col(F.col("_h"), n_pb).alias(PBUCKET_COL)
+            )
+        self.table.append(neg, summary={"operation_detail": "remove-docs"})
+        grams.unpersist()
+        return n_docs
+
     def maintain(
-        self, spark, min_input_files: int = 8, max_input_files: int | None = 256
+        self,
+        spark,
+        min_input_files: int = 8,
+        max_input_files: int | None = 256,
+        fold: bool = False,
     ) -> int:
         """Bin-pack per-batch appends; atomic swap, probes keep reading
         the old snapshot; bucket layout (and probe pruning) survives the
         rewrite.  ``max_input_files`` bounds one pass — see
-        :meth:`MinHashIndex.maintain`.  Returns files removed."""
+        :meth:`MinHashIndex.maintain`.  Returns files removed.
+
+        ``fold=True`` is the EXPLICIT heavy op (one full rewrite): gram
+        rows re-aggregate to one row per ``_h`` and rows whose total
+        reached zero (all contributing docs removed via
+        :meth:`remove_docs`) drop out — run it on a slow cadence after
+        delete-heavy traffic; plain compaction stays the per-stream
+        cadence call."""
+        if fold:
+            n_pb = int(
+                self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+            )
+            bucket = [PBUCKET_COL] if n_pb else []
+            folded = (
+                self.table.to_df(spark)
+                .groupBy("_h", *bucket)
+                .agg(F.sum("n_docs").alias("n_docs"))
+                .filter(F.col("n_docs") > 0)
+                .select("_h", "n_docs", *bucket)
+            )
+            self.table.overwrite(folded, summary={"operation_detail": "fold"})
         return self.table.compact(
             spark, min_input_files=min_input_files, max_input_files=max_input_files
         )
@@ -1015,19 +1079,48 @@ class ClusterIndex:
             (F.col("doc") == F.col("rep")).alias("is_canonical"),
         )
 
-    def maintain(self, spark) -> int:
+    def maintain(self, spark, removed_docs: DataFrame | list | None = None) -> int:
         """Fold accumulated merge events into ``assign`` (full rewrite —
         the EXPLICIT heavy op; per-batch admission stays epoch-sized
         because this runs on a cadence) and empty ``merges``; then
         bin-pack the per-epoch assign appends.  Idempotent across a
         crash between the two table writes: re-applying an already-
         folded merge map is a no-op join.  Returns merge events
-        folded."""
+        folded.
+
+        ``removed_docs`` (a list of ids or a DataFrame with a ``doc``
+        column) is the CDC-delete path: the docs' assignment rows drop
+        out and each affected component RE-ELECTS its representative as
+        the min REMAINING member id, restoring the canonical=min
+        invariant — so an erasure batch never forces a rebuild.  Caveat,
+        inherent to union-find state (no pairs are stored): connectivity
+        that ran THROUGH a removed bridge doc is retained, not re-split;
+        a strict re-split needs a rebuild from the pair source.
+        Removal is idempotent (re-removing absent docs is a no-op
+        anti-join)."""
         mmap = self._merge_map(spark)
-        if mmap:
+        removed = None
+        if removed_docs is not None:
+            if isinstance(removed_docs, DataFrame):
+                removed = removed_docs.select(
+                    F.col("doc").cast("long").alias("doc")
+                )
+            else:
+                removed = spark.createDataFrame(
+                    [(int(d),) for d in removed_docs] or [], "doc long"
+                )
+        if mmap or removed is not None:
             folded = self.resolve(spark).select(
                 "doc", F.col("cluster_id").alias("rep")
             )
+            if removed is not None:
+                folded = folded.join(removed, "doc", "left_anti")
+                # re-elect: min remaining member per component (one
+                # partial-aggregating shuffle on rep + a same-key join)
+                folded = folded.join(
+                    folded.groupBy("rep").agg(F.min("doc").alias("_new_rep")),
+                    "rep",
+                ).select("doc", F.col("_new_rep").alias("rep"))
             n_pb = int(
                 self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
             )

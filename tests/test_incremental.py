@@ -745,3 +745,79 @@ def test_cluster_index_distributed_path_equals_one_shot_real_pairs(spark, wareho
         )
     assert _clusters(idx.resolve(spark)) == oneshot
     pairs.unpersist()
+
+
+def test_substring_remove_docs_equals_index_without_them(spark, warehouse):
+    """CDC deletes propagate into the gram inversion: negative-count
+    appends from the deleted docs' (before-image) text make every
+    subsequent probe profile equal an index that never saw those docs;
+    maintain(fold=True) folds the negatives away without changing
+    behavior and leaves one positive row per gram."""
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    keep = docs.filter("doc_id % 4 != 0")
+    gone = docs.filter("doc_id % 4 = 0")
+    assert gone.count() > 0
+    # fresh ids, overlapping text: the probe shares grams with history
+    probe1 = docs.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    probe2 = docs.filter("doc_id % 3 = 1").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+
+    full = SubstringIndex.create(LakeCatalog(warehouse), "idx", "full")
+    ref = SubstringIndex.create(LakeCatalog(warehouse), "idx", "ref")
+    full.add_batch(keep.unionByName(gone))
+    ref.add_batch(keep)
+    assert full.remove_docs(gone) == gone.count()
+
+    prof = lambda df: sorted(map(tuple, df.collect()))
+    p_full = prof(full.add_batch(probe1))
+    p_ref = prof(ref.add_batch(probe1))
+    assert p_full == p_ref
+    assert any(r[2] > 0 for r in p_full)  # non-trivial: shared grams exist
+
+    # fold materializes the subtraction; probes unchanged (both indexes
+    # admitted probe1, so their states stay comparable)
+    full.maintain(spark, fold=True)
+    stored = full.table.to_df(spark)
+    assert stored.filter(F.col("n_docs") <= 0).count() == 0
+    assert stored.groupBy("_h").count().filter("count > 1").count() == 0
+    assert prof(full.add_batch(probe2)) == prof(ref.add_batch(probe2))
+
+
+def test_cluster_index_maintain_removed_docs_reelects_reps(spark, warehouse):
+    """Erasure path: maintain(removed_docs=) drops the docs' assignment
+    rows and re-elects each affected component's min REMAINING member
+    as representative — no rebuild; idempotent; pending merge events
+    fold in the same pass."""
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    idx = ClusterIndex.create(LakeCatalog(warehouse), "idx", "clusters")
+    idx.add_batch(mk([(10, 20)]), epoch_id=0)
+    idx.add_batch(mk([(30, 40)]), epoch_id=1)
+    idx.add_batch(mk([(20, 30), (50, 60)]), epoch_id=2)  # pending merge event
+
+    idx.maintain(spark, removed_docs=[10, 60])
+    want = {(20, 20, True), (30, 20, False), (40, 20, False), (50, 50, True)}
+    assert _clusters(idx.resolve(spark)) == want
+    assert idx.merges.to_df(spark).count() == 0
+    idx.maintain(spark, removed_docs=[10, 60])  # idempotent no-op
+    assert _clusters(idx.resolve(spark)) == want
+
+    # documented caveat: removing a BRIDGE doc retains connectivity
+    # (union-find state stores no pairs; a strict split needs a rebuild)
+    idx.maintain(spark, removed_docs=[30])
+    assert _clusters(idx.resolve(spark)) == {
+        (20, 20, True), (40, 20, False), (50, 50, True),
+    }
+    # the feed keeps admitting on the re-elected state
+    idx.add_batch(mk([(20, 5)]), epoch_id=3)
+    assert _clusters(idx.resolve(spark)) == {
+        (5, 5, True), (20, 5, False), (40, 5, False), (50, 50, True),
+    }
