@@ -21,13 +21,24 @@ public Iceberg REST Catalog OpenAPI surface (apache/iceberg
   file — the spec's endpoint for externally-written tables, which is
   precisely what a filesystem publish produces)
 - ``GET  /v1/{prefix}/namespaces/{ns}/tables/{t}``   → LoadTable
+- ``POST /v1/{prefix}/namespaces/{ns}/tables/{t}``   → CommitTable
+  (the spec's CAS: requirements asserted against the catalog's current
+  state + the metadata updates that move it forward)
 - ``DELETE /v1/{prefix}/namespaces/{ns}/tables/{t}`` → DropTable
 
-Re-publishing bumps the metadata version on disk, so ``register_table``
-with ``overwrite=True`` re-points the catalog via drop+register (the
-spec has no "update metadata-location" shortcut for registered tables;
-the full commit protocol is a catalog-OWNED-metadata concern and stays
-out of scope for a publisher).
+Re-publishing bumps the metadata version on disk.  ``register_table``
+with ``overwrite=True`` re-points the catalog via the spec's
+CommitTable CAS (:meth:`RestCatalogClient.commit_table` — requirements
+``assert-table-uuid`` + ``assert-ref-snapshot-id`` on ``main``, updates
+computed as the new metadata file's delta over the catalog's current
+state: the exporter's chain is linear, so the delta is exact), keeping
+the table CONTINUOUSLY resolvable.  Only when the commit cannot apply —
+the registered table is a different uuid, the metadata file isn't
+locally readable, or the catalog rejects with 404/409 — does it fall
+back to drop+register, whose unregistered window between the DELETE and
+the second POST is documented on :func:`publish_to_rest_catalog` (the
+re-register retries once so a transient failure doesn't strand the
+table unregistered).
 
 Transport is injectable (``transport(method, url, headers, body) ->
 (status, body)``): production uses stdlib ``urllib`` — no third-party
@@ -85,6 +96,25 @@ def _quote(part: str) -> str:
     return _urlparse.quote(part, safe="")
 
 
+def _read_metadata(metadata_location: str) -> dict | None:
+    """The new metadata document, read from shared storage — the
+    publisher just wrote it, so a local/``file://`` location is always
+    readable here.  Returns None when it isn't (remote object-store
+    URIs without a local mount): the caller falls back to
+    drop+register rather than guessing at updates."""
+    path = metadata_location
+    if path.startswith("file://"):
+        path = _urlparse.urlparse(path).path
+    elif "://" in path:
+        return None
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            doc = json.load(fh)
+        return doc if isinstance(doc, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
 class RestCatalogClient:
     """Minimal spec-conformant client for table PUBLICATION.
 
@@ -115,7 +145,19 @@ class RestCatalogClient:
             h["Authorization"] = f"Bearer {self.token}"
         return h
 
-    def _call(self, method: str, path: str, body: dict | None = None) -> dict:
+    def _call(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        nf: type | None = None,
+    ) -> dict:
+        """``nf`` is the 404 class for THIS endpoint (namespace endpoints
+        pass NoSuchNamespaceError): the spec ErrorModel type is consulted
+        first, but a catalog returning an empty or non-spec error body
+        must still classify by which endpoint was called — otherwise
+        ``namespace_exists`` on such a catalog raises NoSuchTableError
+        instead of returning False."""
         payload = (
             json.dumps(body, sort_keys=True).encode("utf-8")
             if body is not None
@@ -137,11 +179,12 @@ class RestCatalogClient:
         etype = err.get("type", "")
         cls = RestCatalogError
         if status == 404:
-            cls = (
-                NoSuchNamespaceError
-                if "Namespace" in etype
-                else NoSuchTableError
-            )
+            if "Namespace" in etype:
+                cls = NoSuchNamespaceError
+            elif "Table" in etype or "View" in etype:
+                cls = NoSuchTableError
+            else:
+                cls = nf or NoSuchTableError
         elif status == 409:
             cls = AlreadyExistsError
         raise cls(status, msg, etype)
@@ -175,6 +218,7 @@ class RestCatalogClient:
                     "namespace": namespace.split("."),
                     "properties": properties or {},
                 },
+                nf=NoSuchNamespaceError,
             )
         except AlreadyExistsError:
             if not exist_ok:
@@ -183,7 +227,11 @@ class RestCatalogClient:
 
     def namespace_exists(self, namespace: str) -> bool:
         try:
-            self._call("GET", f"/v1{self._p()}/namespaces/{self._ns(namespace)}")
+            self._call(
+                "GET",
+                f"/v1{self._p()}/namespaces/{self._ns(namespace)}",
+                nf=NoSuchNamespaceError,
+            )
             return True
         except NoSuchNamespaceError:
             return False
@@ -196,26 +244,164 @@ class RestCatalogClient:
         overwrite: bool = False,
     ) -> dict:
         """RegisterTable: point the catalog at an existing metadata file
-        (the exporter's ``v{N}.metadata.json``).  ``overwrite=True``
-        re-registers an already-known table (drop WITHOUT purge — the
-        metadata/data stay on shared storage — then register), which is
-        the re-publish path."""
+        (the exporter's ``v{N}.metadata.json``).  ``overwrite=True`` is
+        the re-publish path: an already-registered table moves forward
+        through the spec's CommitTable CAS (:meth:`commit_table` — the
+        table stays continuously resolvable), falling back to
+        drop-without-purge + register only when the commit cannot apply:
+        different table-uuid under the name, metadata file unreadable
+        from here, or a 404/409 from the catalog.  The fallback's
+        re-register retries once on failure — a crash in that window
+        still leaves the table unregistered until the next publish (see
+        :func:`publish_to_rest_catalog`)."""
         body = {"name": name, "metadata-location": metadata_location}
+        register = lambda: self._call(
+            "POST",
+            f"/v1{self._p()}/namespaces/{self._ns(namespace)}/register",
+            body,
+            nf=NoSuchNamespaceError,
+        )
         try:
-            return self._call(
-                "POST",
-                f"/v1{self._p()}/namespaces/{self._ns(namespace)}/register",
-                body,
-            )
+            return register()
         except AlreadyExistsError:
             if not overwrite:
                 raise
-            self.drop_table(namespace, name, purge=False)
-            return self._call(
-                "POST",
-                f"/v1{self._p()}/namespaces/{self._ns(namespace)}/register",
-                body,
+        new_md = _read_metadata(metadata_location)
+        if new_md is not None:
+            try:
+                cur = self.load_table(namespace, name)
+                cur_md = cur.get("metadata") or {}
+                if cur_md.get("table-uuid") == new_md.get("table-uuid"):
+                    return self.commit_table(namespace, name, new_md, cur_md)
+            except (NoSuchTableError, NoSuchNamespaceError, AlreadyExistsError):
+                pass  # concurrent drop / requirement failure: re-register
+        self.drop_table(namespace, name, purge=False)
+        try:
+            return register()
+        except RestCatalogError:
+            # one retry: a transient failure here would otherwise leave
+            # the table UNREGISTERED (resolution fails for every engine)
+            # until the next publish
+            return register()
+
+    def commit_table(
+        self,
+        namespace: str,
+        name: str,
+        new_metadata: dict,
+        current_metadata: dict | None = None,
+    ) -> dict:
+        """CommitTable: the spec's CAS — requirements asserted against
+        the catalog's CURRENT state, updates computed as the new
+        metadata document's delta over it.  The exporter's metadata
+        chain is linear (each publish extends the previous file), so the
+        delta is exact: new snapshots append, refs re-point, schema/
+        spec/sort-order additions ride along, properties diff.  A
+        concurrent writer fails the ``assert-ref-snapshot-id``
+        requirement with 409 — the caller decides whether to reload and
+        retry or fall back (``register_table(overwrite=True)`` falls
+        back to drop+register)."""
+        cur = current_metadata
+        if cur is None:
+            cur = self.load_table(namespace, name).get("metadata") or {}
+        requirements: list[dict] = []
+        if cur.get("table-uuid"):
+            requirements.append(
+                {"type": "assert-table-uuid", "uuid": cur["table-uuid"]}
             )
+        cur_main = (cur.get("refs") or {}).get("main") or {}
+        requirements.append(
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                # null asserts the ref must not exist yet (spec)
+                "snapshot-id": cur_main.get("snapshot-id"),
+            }
+        )
+        updates: list[dict] = []
+        if int(new_metadata.get("format-version", 2)) > int(
+            cur.get("format-version", 2)
+        ):
+            updates.append(
+                {
+                    "action": "upgrade-format-version",
+                    "format-version": new_metadata["format-version"],
+                }
+            )
+        cur_schema_ids = {s["schema-id"] for s in cur.get("schemas", [])}
+        for s in new_metadata.get("schemas", []):
+            if s["schema-id"] not in cur_schema_ids:
+                updates.append({"action": "add-schema", "schema": s})
+        if new_metadata.get("current-schema-id") != cur.get("current-schema-id"):
+            updates.append(
+                {
+                    "action": "set-current-schema",
+                    "schema-id": new_metadata["current-schema-id"],
+                }
+            )
+        cur_spec_ids = {s["spec-id"] for s in cur.get("partition-specs", [])}
+        for s in new_metadata.get("partition-specs", []):
+            if s["spec-id"] not in cur_spec_ids:
+                updates.append({"action": "add-spec", "spec": s})
+        if new_metadata.get("default-spec-id") != cur.get("default-spec-id"):
+            updates.append(
+                {
+                    "action": "set-default-spec",
+                    "spec-id": new_metadata["default-spec-id"],
+                }
+            )
+        cur_order_ids = {o["order-id"] for o in cur.get("sort-orders", [])}
+        for o in new_metadata.get("sort-orders", []):
+            if o["order-id"] not in cur_order_ids:
+                updates.append({"action": "add-sort-order", "sort-order": o})
+        if new_metadata.get("default-sort-order-id") != cur.get(
+            "default-sort-order-id"
+        ):
+            updates.append(
+                {
+                    "action": "set-default-sort-order",
+                    "sort-order-id": new_metadata["default-sort-order-id"],
+                }
+            )
+        cur_props = cur.get("properties", {})
+        new_props = new_metadata.get("properties", {})
+        changed = {k: v for k, v in new_props.items() if cur_props.get(k) != v}
+        removed = sorted(k for k in cur_props if k not in new_props)
+        if changed:
+            updates.append({"action": "set-properties", "updates": changed})
+        if removed:
+            updates.append({"action": "remove-properties", "removals": removed})
+        cur_snap_ids = {s["snapshot-id"] for s in cur.get("snapshots", [])}
+        for s in new_metadata.get("snapshots", []):
+            if s["snapshot-id"] not in cur_snap_ids:
+                updates.append({"action": "add-snapshot", "snapshot": s})
+        cur_refs = cur.get("refs") or {}
+        new_refs = new_metadata.get("refs") or {}
+        for ref_name in sorted(new_refs):
+            if cur_refs.get(ref_name) != new_refs[ref_name]:
+                ref = new_refs[ref_name]
+                updates.append(
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": ref_name,
+                        **{k: v for k, v in ref.items()},
+                    }
+                )
+        for ref_name in sorted(cur_refs):
+            if ref_name not in new_refs:
+                updates.append(
+                    {"action": "remove-snapshot-ref", "ref-name": ref_name}
+                )
+        body = {
+            "identifier": {"namespace": namespace.split("."), "name": name},
+            "requirements": requirements,
+            "updates": updates,
+        }
+        return self._call(
+            "POST",
+            f"/v1{self._p()}/namespaces/{self._ns(namespace)}/tables/{_quote(name)}",
+            body,
+        )
 
     def load_table(self, namespace: str, name: str) -> dict:
         """LoadTableResult: ``metadata-location`` + inline metadata."""
@@ -241,7 +427,9 @@ class RestCatalogClient:
 
     def list_tables(self, namespace: str) -> list[dict]:
         doc = self._call(
-            "GET", f"/v1{self._p()}/namespaces/{self._ns(namespace)}/tables"
+            "GET",
+            f"/v1{self._p()}/namespaces/{self._ns(namespace)}/tables",
+            nf=NoSuchNamespaceError,
         )
         return doc.get("identifiers", [])
 
@@ -260,7 +448,18 @@ def publish_to_rest_catalog(
     """The full publication sequence a sink runs after an export:
     ensure the namespace, then (re-)register the metadata file.
     Idempotent: re-running with the same metadata re-points the catalog
-    at the identical location."""
+    at the identical location (the CAS path's requirements still hold —
+    zero updates is a valid commit).
+
+    Operational note: a re-publish normally moves the table forward via
+    the spec's CommitTable CAS, so readers always resolve the name.
+    Only the drop+register FALLBACK (different uuid / unreadable
+    metadata / catalog rejected the commit) has a window between the
+    DELETE and the second POST where the name does not resolve; a crash
+    or repeated HTTP failure inside it leaves the table unregistered
+    until the next publish — alarm on registration errors rather than
+    swallowing them (publish_iceberg propagates them for exactly this
+    reason)."""
     client.create_namespace(namespace, exist_ok=True)
     return client.register_table(
         namespace, name, metadata_location, overwrite=True

@@ -353,8 +353,11 @@ class ChangeConsumer:
         testresources/CatalogRest.java:39-41): after the filesystem
         export, the written metadata file is REGISTERED with an Iceberg
         REST catalog (``lakehouse/rest_catalog.py`` — ensure-namespace +
-        RegisterTable, re-pointing on re-publish), so engines resolve
-        the table BY NAME through the catalog instead of by path.
+        RegisterTable; re-publish moves the catalog forward via the
+        spec's CommitTable CAS so the table stays continuously
+        resolvable, with drop+register only as the documented
+        fallback), so engines resolve the table BY NAME through the
+        catalog instead of by path.
         Registration failures propagate: a half-published table (data
         exported, catalog stale) must be visible to the operator, not
         silently swallowed."""

@@ -189,3 +189,266 @@ def test_consumer_publish_registers_with_catalog(spark, warehouse, tmp_path):
     assert t.requests[1][3] == (
         b'{"namespace": ["debeziumevents"], "properties": {}}'
     )
+
+
+def _md(snap_ids, uuid="u1", props=None, schemas=None):
+    """Spec-shaped metadata doc with the given snapshot chain."""
+    return {
+        "format-version": 2,
+        "table-uuid": uuid,
+        "current-schema-id": 0,
+        "schemas": schemas or [{"schema-id": 0, "type": "struct", "fields": []}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": props or {},
+        "current-snapshot-id": snap_ids[-1],
+        "refs": {"main": {"snapshot-id": snap_ids[-1], "type": "branch"}},
+        "snapshots": [
+            {"snapshot-id": s, "sequence-number": i + 1}
+            for i, s in enumerate(snap_ids)
+        ],
+    }
+
+
+def test_republish_commits_via_cas(tmp_path):
+    """Re-publish of a readable metadata file moves the catalog forward
+    through the spec's CommitTable CAS — requirements block byte-exact,
+    updates = the new file's delta, and NO DELETE anywhere (the table
+    stays continuously resolvable)."""
+    old = _md([100], props={"a": "1"})
+    new = _md([100, 200], props={"a": "1", "b": "2"})
+    p = tmp_path / "v2.metadata.json"
+    p.write_text(json.dumps(new))
+    t = RecordedTransport(
+        [
+            CONFIG_NOPREFIX,
+            (409, {"error": {"message": "exists", "type":
+                   "AlreadyExistsException", "code": 409}}),
+            (409, {"error": {"message": "table exists", "type":
+                   "AlreadyExistsException", "code": 409}}),
+            (200, {"metadata-location": "v1", "metadata": old}),
+            (200, {"metadata-location": str(p), "metadata": new}),
+        ]
+    )
+    c = RestCatalogClient("http://cat:8181", transport=t)
+    out = publish_to_rest_catalog(c, "cdc", "orders", str(p))
+    assert out["metadata-location"] == str(p)
+    assert [(m, u) for m, u, _, _ in t.requests] == [
+        ("GET", "http://cat:8181/v1/config"),
+        ("POST", "http://cat:8181/v1/namespaces"),
+        ("POST", "http://cat:8181/v1/namespaces/cdc/register"),
+        ("GET", "http://cat:8181/v1/namespaces/cdc/tables/orders"),
+        ("POST", "http://cat:8181/v1/namespaces/cdc/tables/orders"),
+    ]
+    body = json.loads(t.requests[4][3])
+    assert body["identifier"] == {"namespace": ["cdc"], "name": "orders"}
+    assert body["requirements"] == [
+        {"type": "assert-table-uuid", "uuid": "u1"},
+        {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 100},
+    ]
+    assert {"action": "add-snapshot",
+            "snapshot": {"snapshot-id": 200, "sequence-number": 2}} in body["updates"]
+    assert {"action": "set-snapshot-ref", "ref-name": "main",
+            "snapshot-id": 200, "type": "branch"} in body["updates"]
+    assert {"action": "set-properties", "updates": {"b": "2"}} in body["updates"]
+    assert not any(u["action"] == "add-schema" for u in body["updates"])
+
+
+def test_republish_falls_back_when_commit_rejected(tmp_path):
+    """A 409 from the CAS (requirement failed / concurrent writer) falls
+    back to drop+register; ditto a different table-uuid, which skips the
+    doomed commit entirely."""
+    old = _md([100], uuid="OTHER")
+    new = _md([100, 200])
+    p = tmp_path / "v2.metadata.json"
+    p.write_text(json.dumps(new))
+    t = RecordedTransport(
+        [
+            CONFIG_NOPREFIX,
+            (409, {"error": {"message": "table exists", "type":
+                   "AlreadyExistsException", "code": 409}}),
+            (200, {"metadata-location": "v1", "metadata": old}),  # uuid mismatch
+            (204, None),
+            (200, {"metadata-location": str(p)}),
+        ]
+    )
+    c = RestCatalogClient("http://cat:8181", transport=t)
+    c.register_table("cdc", "orders", str(p), overwrite=True)
+    assert [m for m, _, _, _ in t.requests] == [
+        "GET", "POST", "GET", "DELETE", "POST"
+    ]
+
+
+def test_fallback_reregister_retries_once(tmp_path):
+    """The drop+register fallback's re-register retries once so a
+    transient failure doesn't strand the table unregistered."""
+    t = RecordedTransport(
+        [
+            CONFIG_NOPREFIX,
+            (409, {"error": {"message": "table exists", "type":
+                   "AlreadyExistsException", "code": 409}}),
+            (204, None),
+            (503, None),
+            (200, {"metadata-location": "file:///x/v2.metadata.json"}),
+        ]
+    )
+    c = RestCatalogClient("http://cat:8181", transport=t)
+    out = c.register_table(
+        "cdc", "orders", "file:///does/not/exist/v2.metadata.json",
+        overwrite=True,
+    )
+    assert out["metadata-location"].endswith("v2.metadata.json")
+    assert [m for m, _, _, _ in t.requests] == [
+        "GET", "POST", "DELETE", "POST", "POST"
+    ]
+
+
+def test_404_with_empty_body_classified_by_endpoint():
+    """A catalog returning an empty/non-spec 404 body still classifies
+    by the endpoint called: namespace_exists returns False instead of
+    raising NoSuchTableError."""
+    t = RecordedTransport([CONFIG_NOPREFIX, (404, None), (404, None)])
+    c = RestCatalogClient("http://cat:8181", transport=t)
+    assert c.namespace_exists("cdc") is False
+    assert c.table_exists("cdc", "orders") is False
+
+
+class FakeRestCatalog:
+    """In-memory catalog that REALLY applies the protocol: register
+    adopts the metadata file's content, CommitTable checks requirements
+    and applies updates, load reflects current state."""
+
+    def __init__(self):
+        self.namespaces = set()
+        self.tables = {}
+        self.log = []
+
+    def _doc(self, path):
+        with open(path.replace("file://", "")) as fh:
+            return json.load(fh)
+
+    def __call__(self, method, url, headers, body):
+        self.log.append((method, url))
+        path = url.split("8181", 1)[1]
+        seg = [s for s in path.split("?")[0].split("/") if s]
+        req = json.loads(body) if body else {}
+        if seg == ["v1", "config"]:
+            return 200, json.dumps({"defaults": {}, "overrides": {}}).encode()
+        if seg == ["v1", "namespaces"] and method == "POST":
+            ns = ".".join(req["namespace"])
+            if ns in self.namespaces:
+                return 409, json.dumps({"error": {
+                    "message": "exists", "type": "AlreadyExistsException",
+                    "code": 409}}).encode()
+            self.namespaces.add(ns)
+            return 200, json.dumps({"namespace": req["namespace"]}).encode()
+        if len(seg) == 4 and seg[3] == "register" and method == "POST":
+            key = (seg[2], req["name"])
+            if key in self.tables:
+                return 409, json.dumps({"error": {
+                    "message": "table exists",
+                    "type": "AlreadyExistsException", "code": 409}}).encode()
+            self.tables[key] = {
+                "metadata-location": req["metadata-location"],
+                "metadata": self._doc(req["metadata-location"]),
+            }
+            return 200, json.dumps(self.tables[key]).encode()
+        if len(seg) == 5 and seg[3] == "tables":
+            key = (seg[2], seg[4])
+            if method == "GET":
+                if key not in self.tables:
+                    return 404, b""
+                return 200, json.dumps(self.tables[key]).encode()
+            if method == "DELETE":
+                self.tables.pop(key, None)
+                return 204, b""
+            if method == "POST":  # CommitTable
+                if key not in self.tables:
+                    return 404, b""
+                md = json.loads(json.dumps(self.tables[key]["metadata"]))
+                for r in req["requirements"]:
+                    if r["type"] == "assert-table-uuid":
+                        if md.get("table-uuid") != r["uuid"]:
+                            return 409, b""
+                    elif r["type"] == "assert-ref-snapshot-id":
+                        cur = (md.get("refs") or {}).get(r["ref"]) or {}
+                        if cur.get("snapshot-id") != r["snapshot-id"]:
+                            return 409, b""
+                for u in req["updates"]:
+                    a = u["action"]
+                    if a == "add-snapshot":
+                        md["snapshots"].append(u["snapshot"])
+                    elif a == "set-snapshot-ref":
+                        md.setdefault("refs", {})[u["ref-name"]] = {
+                            k: v for k, v in u.items()
+                            if k not in ("action", "ref-name")
+                        }
+                        if u["ref-name"] == "main":
+                            md["current-snapshot-id"] = u["snapshot-id"]
+                    elif a == "add-schema":
+                        md["schemas"].append(u["schema"])
+                    elif a == "set-current-schema":
+                        md["current-schema-id"] = u["schema-id"]
+                    elif a == "set-properties":
+                        md["properties"].update(u["updates"])
+                    elif a == "remove-properties":
+                        for k in u["removals"]:
+                            md["properties"].pop(k, None)
+                n = sum(1 for m, _ in self.log if m == "POST")
+                self.tables[key] = {
+                    "metadata-location": f"committed-{n}",
+                    "metadata": md,
+                }
+                return 200, json.dumps(self.tables[key]).encode()
+        return 400, b""
+
+
+def test_consumer_republish_stays_resolvable_via_cas(spark, warehouse, tmp_path):
+    """End-to-end against a catalog that APPLIES the protocol: first
+    publish registers; a second publish after more commits moves the
+    catalog forward via CommitTable — no DELETE ever issued, the
+    catalog's snapshot chain and main ref equal the exporter's new
+    metadata file."""
+    from fixtures import customer_event
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from debezium_server_iceberg_spark.sources.debezium_json import (
+        RAW_ENVELOPE_SCHEMA,
+    )
+    from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = warehouse
+    cfg.iceberg.namespace = "debeziumevents"
+    c = ChangeConsumer(cfg)
+    c.handle_batch(
+        spark.createDataFrame(
+            [customer_event(1, "a", op="c", ts_ms=1)], RAW_ENVELOPE_SCHEMA
+        ),
+        epoch_id=0,
+    )
+    (tbl,) = c.catalog.list_tables("debeziumevents")
+    fake = FakeRestCatalog()
+    dest = str(tmp_path / "export")
+    c.publish_iceberg(spark, tbl, dest, rest_uri="http://cat:8181",
+                      rest_transport=fake)
+
+    c.handle_batch(
+        spark.createDataFrame(
+            [customer_event(2, "b", op="c", ts_ms=2)], RAW_ENVELOPE_SCHEMA
+        ),
+        epoch_id=1,
+    )
+    md_path = c.publish_iceberg(spark, tbl, dest, rest_uri="http://cat:8181",
+                                rest_transport=fake)
+
+    assert not any(m == "DELETE" for m, _ in fake.log)
+    new_doc = json.load(open(md_path))
+    got = fake.tables[("debeziumevents", tbl)]["metadata"]
+    assert {s["snapshot-id"] for s in got["snapshots"]} == {
+        s["snapshot-id"] for s in new_doc["snapshots"]
+    }
+    assert got["refs"]["main"] == new_doc["refs"]["main"]
+    assert got["current-snapshot-id"] == new_doc["current-snapshot-id"]
