@@ -830,8 +830,11 @@ class LakeTable:
                     if f.rows:
                         add_deletes.append(
                             DeleteFile(
-                                f.path, f.rows, 0, [], {}, f.bytes,
-                                content="position",
+                                # file_name min/max bounds let the read
+                                # side prune this delete from scans that
+                                # keep none of the named files
+                                f.path, f.rows, 0, [], _posdel_bounds(f.path),
+                                f.bytes, content="position",
                             )
                         )
                     else:  # empty batch touched nothing: drop the file
@@ -1611,6 +1614,19 @@ class LakeTable:
             if key_cols
             else []
         )
+        # bounds-based delete pruning: a PRUNED scan (partition_values /
+        # row_filter point lookups) must not pay tombstone-read
+        # amplification for delete files that cannot touch its kept
+        # files — position deletes name files explicitly (file_name
+        # bounds vs kept basenames), equality deletes are range-checked
+        # per key column; anything without usable bounds is kept
+        basenames = sorted(os.path.basename(f.path) for f in files)
+        pos_relevant = [
+            d for d in pos_relevant if _delete_touches_scan(d, files, basenames)
+        ]
+        relevant = [
+            d for d in relevant if _delete_touches_scan(d, files, basenames)
+        ]
 
         df = spark.read.schema(read_schema).parquet(*[f.path for f in files])
         if not relevant and not pos_relevant and not file_col and not lineage:
@@ -2266,6 +2282,86 @@ def _prune_files_by_partition_values(
         return True
 
     return [f for f in files if _keep(f)]
+
+
+def _posdel_bounds(path: str) -> dict[str, list]:
+    """``file_name`` min/max of a staged position-delete file, from the
+    parquet footer (driver-side, no data read).  Empty dict when the
+    footer lacks statistics — the read side then keeps the delete
+    conservatively."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }.get("file_name")
+        if idx is None:
+            return {}
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return {}
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        return {"file_name": [mn, mx]} if mn is not None else {}
+    except Exception:
+        return {}
+
+
+def _delete_touches_scan(
+    d: DeleteFile, files: list[DataFile], basenames: list[str]
+) -> bool:
+    """Can this delete file affect any of the scanned data files?
+    Conservative (missing/incomparable bounds keep the file); dropping a
+    delete that cannot match is EXACT — its anti-join would remove
+    nothing from these files.
+
+    - position deletes name their victims: relevant iff some scanned
+      basename falls inside the delete's ``file_name`` bounds
+      (``basenames`` is sorted — one bisect, not a product loop);
+    - equality deletes apply by key to OLDER files: relevant iff some
+      scanned file with ``seq < d.seq`` intersects the delete's bounds
+      on every bounded equality column."""
+    import bisect
+
+    if d.content == "position":
+        b = d.bounds.get("file_name")
+        if not b or b[0] is None or b[1] is None:
+            return True
+        i = bisect.bisect_left(basenames, str(b[0]))
+        return i < len(basenames) and basenames[i] <= str(b[1])
+    cols = [c for c in d.equality_cols if d.bounds.get(c)]
+    if not cols:
+        return True
+    for f in files:
+        if f.seq >= d.seq:
+            continue  # the anti-join ignores this file anyway
+        hit = True
+        for c in cols:
+            dlo, dhi = d.bounds[c]
+            fb = f.bounds.get(c)
+            if (
+                fb is None
+                or fb[0] is None
+                or fb[1] is None
+                or dlo is None
+                or dhi is None
+            ):
+                continue  # unknown on one side: cannot exclude this file
+            try:
+                if bound_key(fb[1]) < bound_key(dlo) or bound_key(fb[0]) > bound_key(dhi):
+                    hit = False
+                    break
+            except TypeError:  # incomparable (mixed types): keep
+                continue
+        if hit:
+            return True
+    return False
 
 
 def bound_key(v: Any) -> Any:

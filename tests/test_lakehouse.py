@@ -663,3 +663,102 @@ def test_partitioned_lineage_read_no_basename_collisions(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
     assert len(got) == 40 and got[7] == "X"
+
+
+def test_pruned_scan_skips_untouchable_delete_files(spark, warehouse):
+    """A pruned probe must not pay tombstone-read amplification: an
+    equality delete whose key bounds cannot intersect any kept file,
+    and a position delete naming only pruned files, drop out of the
+    scan plan entirely (exact — their anti-joins would remove nothing
+    from the kept files).  Deletes that CAN touch the kept files still
+    apply."""
+    from debezium_server_iceberg_spark.lakehouse.transforms import PartitionField
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table(
+        "ns", "delprune", schema, identifier_fields=["id"],
+        partition_spec=[PartitionField("grp", "identity")],
+    )
+    t.append(spark.createDataFrame([(1, 0, "a"), (2, 0, "b")], schema))
+    t.append(spark.createDataFrame([(100, 1, "x"), (101, 1, "y")], schema))
+    # equality delete hitting only the grp=1 file's id range
+    t.commit_row_delta(None, spark.createDataFrame([(100,)], "id long"))
+    # position delete naming only the grp=1 file
+    pname = t.metadata().partition_spec[0].name
+    grp1_file = next(
+        f for f in t.current_files() if str(f.partition.get(pname)) == "1"
+    )
+    import os as _os
+
+    t.commit_row_delta(
+        None,
+        None,
+        delete_positions_df=spark.createDataFrame(
+            [(_os.path.basename(grp1_file.path), 1)], "file_name string, pos long"
+        ),
+    )
+
+    pruned = t.to_df(spark, partition_values={pname: {0}})
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    assert "LeftAnti" not in _plan(pruned)  # both deletes pruned away
+
+    # the unpruned scan still applies both deletes
+    full = t.to_df(spark)
+    assert "LeftAnti" in _plan(full)
+    assert sorted(r.id for r in full.collect()) == [1, 2]  # 100 eq-del, 101 pos-del
+
+    # a pruned scan of the TOUCHED partition keeps them
+    touched = t.to_df(spark, partition_values={pname: {1}})
+    assert "LeftAnti" in _plan(touched)
+    assert [r.id for r in touched.collect()] == []
+
+
+def test_minhash_remove_docs_pruned_probe_skips_delete_file(spark, warehouse):
+    """remove_docs tombstone amplification is bounded: a probe pruned to
+    buckets whose files' doc bounds exclude the removed docs reads ZERO
+    delete files (the r12 verdict's item: delete files prune with the
+    partition_values scan)."""
+    from conftest import SF_DIR
+    from debezium_server_iceberg_spark.functions.incremental import MinHashIndex
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "mh_delprune")
+    # DISJOINT id ranges: the removal's key bounds must be separable
+    # from the b1 files' doc bounds for range pruning to bite
+    b1 = docs.filter("doc_id < 50").limit(4)
+    b2 = docs.filter("doc_id between 200 and 400").limit(4)
+    idx.add_batch(b1).collect()
+    idx.add_batch(b2).collect()
+    removed = [r["doc_id"] for r in b2.select("doc_id").collect()]
+    assert removed  # fixture sanity: b2 exists at this scale factor
+    idx.remove_docs(spark, removed)
+
+    # files holding only b1 docs: their doc bounds exclude the removals
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    b1_only = [
+        f for f in idx.table.current_files()
+        if f.bounds.get("doc")
+        and f.bounds["doc"][0] in b1_ids and f.bounds["doc"][1] in b1_ids
+    ]
+    assert b1_only  # the two batches produced disjoint files
+    pv = {idx.table.metadata().partition_spec[0].name:
+          {f.partition[next(iter(f.partition))] for f in b1_only}}
+    # direct check of the planning predicate: the equality-delete file
+    # does not touch a scan restricted to b1-only files
+    from debezium_server_iceberg_spark.lakehouse.table import _delete_touches_scan
+    import os as _os
+
+    dels = idx.table.current_deletes()
+    assert dels  # remove_docs really committed a delete file
+    names = sorted(_os.path.basename(f.path) for f in b1_only)
+    assert all(not _delete_touches_scan(d, b1_only, names) for d in dels)
