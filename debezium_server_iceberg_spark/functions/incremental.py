@@ -121,7 +121,16 @@ def pbucket_col(col, n_buckets: int) -> F.Column:
     documented 2-3x-slow class), which at millions of gram strings per
     admitted batch dominated the whole add_batch (measured 5.4 s -> 95 s
     at sf0.1 before this column existed).  ``xxhash64`` is a codegen'd
-    JVM builtin: the partition key costs one flat expression."""
+    JVM builtin: the partition key costs one flat expression.
+
+    Export stance: this choice does NOT make index tables
+    engine-private.  ``pbucket`` is a plain int DATA column under an
+    ``identity()`` transform, which the Iceberg spec exports verbatim —
+    the hash behind a data column is invisible to readers (spec murmur3
+    only governs ``bucket(N, col)`` TRANSFORMS).  ``export_iceberg_table``
+    / ``publish_iceberg`` therefore work on index tables unmodified,
+    including foreign-side partition pruning on the exported values
+    (test_minhash_index_table_exports_and_foreign_reads)."""
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 

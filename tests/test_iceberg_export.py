@@ -1105,3 +1105,58 @@ def test_duckdb_foreign_reads_equality_deletes(spark, warehouse, tmp_path):
     native = {r["id"]: r["v"] for r in t.to_df(spark).collect()}
     assert got == native
     assert got[2] == "u2" and got[4] == "u4" and len(got) == 6
+
+
+def test_minhash_index_table_exports_and_foreign_reads(spark, warehouse, tmp_path):
+    """The persistent dedup indexes are ordinary LakeTables, so the W17
+    export/publication path works on them unmodified — closing the loop
+    the xxhash64-vs-murmur3 decision opened: pbucket is a DATA column
+    under an identity() transform, which the spec exports verbatim (the
+    hash function behind the column is invisible to readers; spec
+    murmur3 only matters for bucket(N, col) TRANSFORMS).  A foreign
+    reader reproduces the stored relation and prunes by the exported
+    partition values."""
+    import duckdb
+
+    from debezium_server_iceberg_spark.functions.incremental import MinHashIndex
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        plan_iceberg_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    idx = MinHashIndex.create(LakeCatalog(warehouse), "idx", "mh_export")
+    idx.add_batch(docs).collect()
+    idx.maintain(spark, min_input_files=2)
+
+    dest = str(tmp_path / "ice_idx")
+    md_path = export_iceberg_table(idx.table, dest)
+    doc = json.load(open(md_path))
+    spec = next(
+        s for s in doc["partition-specs"] if s["spec-id"] == doc["default-spec-id"]
+    )
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    pname = spec["fields"][0]["name"]
+
+    plan_all = plan_iceberg_scan(dest)
+    assert len(plan_all["data_files"]) > 1
+    native = idx.table.to_df(spark)
+    bucket = native.select("pbucket").distinct().limit(1).collect()[0][0]
+    plan_pruned = plan_iceberg_scan(
+        dest, partition_filter={pname: [bucket, str(bucket)]}
+    )
+    assert plan_pruned["pruned_files"] > 0  # foreign-side pruning works
+    assert len(plan_pruned["data_files"]) < len(plan_all["data_files"])
+
+    paths = [p for p, _s, _r in plan_all["data_files"]]
+    lit = "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
+    con = duckdb.connect()
+    got = sorted(
+        con.execute(
+            f"SELECT doc, band, band_val FROM read_parquet({lit})"
+        ).fetchall()
+    )
+    want = sorted(
+        (r["doc"], r["band"], r["band_val"])
+        for r in native.select("doc", "band", "band_val").collect()
+    )
+    assert got == want and got
