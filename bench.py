@@ -138,10 +138,17 @@ def main() -> None:
     }
     line = json.dumps(payload, separators=(",", ":"))
     # The driver only keeps the tail of stdout; persist the full per-query
-    # JSON to a file too so timing history is never lossy.
+    # JSON to a file too so timing history is never lossy.  Default target
+    # is the UNTRACKED BENCH_last_run.json (gitignored): the committed
+    # BENCH_local.json is the idle-box artifact cross-round comparisons
+    # use, and the driver's contended per-round run kept clobbering it
+    # (r11+r12 verdict hygiene nit).  An idle run that should become the
+    # committed artifact sets SPARK_GRAFT_BENCH_OUT=BENCH_local.json.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_last_run.json"
+        ),
     )
     try:
         with open(out_path, "w") as fh:
