@@ -6853,70 +6853,76 @@ def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-12 ROTATION (VERDICT r11 item 2, NOTES_r11 seed arithmetic):
-    # the driver checks the first 50 entries.  FRESHNESS HISTOGRAM AT r12
-    # (recomputed from CORRECTNESS_r09/r10/r11: every gate's newest green
-    # driver row is r9, r10, or r11; the 49 r9-stale gates are exactly
-    # the r9 window minus iceberg_export_roundtrip, which r11 refreshed):
-    # front = the ONE r12-new gate (key_frame_selection — takes the fill
-    # slot per the fill rule) + the 49-gate r9-stale tail = 50.  Zero
-    # overlap with the r11 window; post-r12 histogram = {r10: 49,
-    # r11: 50, r12: 50} — no gate older than two rounds.
-    # --- r12 new ---
-    "key_frame_selection",
-    # --- r9-stale tail: CDC semantics + writer fidelity ---
-    "cdc_envelope_roundtrip",
-    "cdc_struct_roundtrip",
-    "cdc_route_by_destination",
-    "cdc_schema_evolution",
-    "cdc_upsert_orders",
-    "cdc_soft_delete_orders",
-    "cdc_dedup_op_priority",
-    "cdc_dedup_last_wins",
-    "row_lineage_upsert",
-    "wap_branch_publish",
-    "incremental_append_scan",
-    "pruned_point_lookup",
-    "iceberg_export_dv_roundtrip",
-    "iceberg_export_lineage_roundtrip",
-    "iceberg_export_mor_roundtrip",
-    # --- r9-stale tail: relational shapes ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_or_of_ands",
-    "q22_idle_balances",
-    "grouping_sets_revenue",
-    "setops_customer_status",
-    "anti_customers_without_orders",
-    "topk_orders_per_priority",
-    "window_rank_functions",
-    "json_props_extract",
-    "variant_props_extract",
-    # --- r9-stale tail: event time + temporal joins ---
-    "sessionize_events",
-    "events_hourly_rollup",
-    "interval_join_attribution",
-    "asof_last_click_before_purchase",
-    "range_join_order_overlaps",
-    # --- r9-stale tail: text / curation / dedup / multimodal ---
-    "lang_id",
-    "quality_score",
-    "token_count_bpe",
-    "doc_chunking",
-    "mixture_sample_sources",
-    "quality_top_p_docs",
-    "decontaminate_bloom_docs",
-    "exact_substring_dedup",
-    "containment_near_dup",
-    "source_overlap_matrix",
-    "pipeline_end_to_end",
-    "image_ahash_clusters",
-    "multimodal_resize",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
+    # ROUND-13 ROTATION (VERDICT r12 item 2, NOTES_r12 seed arithmetic):
+    # the driver checks the first 50 entries.  Seed = the 49 gates whose
+    # freshest driver row is r10 (recomputed: CORRECTNESS_r10 keys minus
+    # r11 keys minus r12 keys = exactly the r10 window minus
+    # random_projection_embed, which r11 re-included) — this set contains
+    # BOTH gates r12 rewrote after their last driver confirmation
+    # (incremental_minhash_pairs / incremental_substring_profile), so the
+    # rotation doubles as driver re-confirmation of the partitioning
+    # change.  r13 added ZERO new gates (registry AT CAP, 149), so the
+    # one fill slot takes iceberg_export_roundtrip from the r11 window —
+    # the export/publication path is what r13's REST CommitTable CAS and
+    # delete-file pruning touch.  Zero overlap with the r12 window;
+    # post-r13 histogram = {r11: 49, r12: 50, r13: 50} — no gate older
+    # than two rounds.
+    # --- fill (r11 window; freshest coverage of this round's changes) ---
+    "iceberg_export_roundtrip",
+    # --- r10-stale tail: writer/export/scan fidelity ---
+    "changed_rows_scan",
+    "changed_rows_with_deletes",
+    "iceberg_export_partitioned_roundtrip",
+    "sql_read_surface",
+    "incremental_minhash_pairs",
+    "incremental_substring_profile",
+    # --- r10-stale tail: relational shapes ---
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "epoch_plan_sources",
+    # --- r10-stale tail: dedup family ---
+    "dedup_exact",
+    "segment_dedup_docs",
+    "dedup_canonical_clusters",
+    "simhash_near_dup",
+    "semantic_dedup_embeddings",
+    "containment_capped_near_dup",
+    "winnowing_fingerprint_docs",
+    "source_overlap_sketch",
+    "cms_heavy_hitters",
+    # --- r10-stale tail: ANN / PQ / retrieval ---
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "ann_ivf_incremental_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_eval",
+    "pq_encode_codes",
+    "pq_adc_topk",
+    "bm25_topk_docs",
+    "hybrid_rrf_retrieval",
+    "hard_negative_mining",
+    "bitext_mining_pairs",
+    # --- r10-stale tail: curation / tokenizers / graph / multimodal ---
+    "gopher_rules_filter",
+    "quality_classifier_filter",
+    "bigram_logprob_docs",
+    "dsir_importance_weights",
+    "decontaminate_docs",
+    "decontaminate_fuzzy_docs",
+    "pii_redact_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_sample",
+    "kmeans_lloyd_step",
+    "bpe_train_merges",
+    "bpe_encode_docs",
+    "bpe_vocab_after_merges",
+    "pagerank_link_graph",
+    "triangle_count_graph",
+    "image_ahash_near_dup",
+    "multimodal_image_features",
 ]
 
 
