@@ -396,6 +396,8 @@ def run_minhash_index_stream(
     id_col: str = "doc_id",
     maintain_every: int | None = None,
     cluster_index=None,
+    op_col: str | None = None,
+    ts_col: str | None = None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -437,12 +439,44 @@ def run_minhash_index_stream(
     deterministically and the cluster admission's own guard skips any
     half-applied epoch.
 
+    ``op_col`` makes the feed CDC-aware (the reference's
+    delete-key-then-write shape, BaseDeltaTaskWriter.java:60-71):
+    events first collapse to one survivor per doc (``dedup_batch`` —
+    max by ``ts_col``/op-priority, the consumer's own comparator), then
+    docs whose batch carried an update or delete have their OLD band
+    rows equality-deleted (``MinHashIndex.remove_docs``), and the
+    non-deleted survivors are re-admitted.  An updated doc therefore
+    probes and pairs with its NEW text only; a deleted doc stops
+    matching.  Exactly-once extends over the extra effect because the
+    epoch guard moves in FRONT of everything: the epoch stamp still
+    rides the LAST commit (the band append), so "stamp present" ⇒ all
+    effects durable ⇒ a replay skips removals too — critical, since a
+    replayed removal (a higher-sequence delete) would otherwise erase
+    the first attempt's re-added rows.  Requires an index whose
+    ``remove_docs`` is id-keyed and idempotent (``MinHashIndex``;
+    ``SubstringIndex`` removal is arithmetic and needs the before-image
+    text — route its removals explicitly).  ``cluster_index`` removal
+    stays a maintenance concern (``maintain(removed_docs=)`` on the
+    operator's cadence): cluster state keeps no per-doc text and
+    re-election is the explicit heavy op.
+
     Scale: per-trigger work is the documented ``add_batch`` shape —
     the batch's band rows probe the stored index with the scan PRUNED
     to the batch's bucket set (byte-estimated broadcast, shuffle above
-    the limit); history is never re-banded and never full-scanned.
+    the limit); history is never re-banded and never full-scanned; the
+    per-trigger removal is one zero-read equality-delete commit.
 
     Returns the started StreamingQuery."""
+    if op_col is not None:
+        from ..functions.incremental import MinHashIndex
+
+        if not isinstance(index, MinHashIndex):
+            raise ValueError(
+                "op_col routing requires an id-keyed idempotent remove_docs "
+                "(MinHashIndex); SubstringIndex removals are arithmetic and "
+                "need the delete events' before-image text — route them "
+                "explicitly via SubstringIndex.remove_docs"
+            )
 
     def process(batch_df, epoch_id):
         def sink(res):
@@ -450,8 +484,34 @@ def run_minhash_index_stream(
             if cluster_index is not None:
                 cluster_index.add_batch(res, epoch_id=epoch_id)
 
+        batch = batch_df
+        if op_col is not None and op_col in batch.columns:
+            from ..functions.incremental import epoch_already_applied
+            from ..operators.dedup import dedup_batch
+
+            # guard FIRST: on a replayed epoch even the (idempotent)
+            # removal must not run — its replay commit would carry a
+            # higher sequence and erase the first attempt's re-adds
+            if epoch_already_applied(index.table, epoch_id):
+                return
+            final = dedup_batch(
+                batch, [id_col], dedup_column=ts_col, op_col=op_col
+            )
+            # remove by ANY d/u event in the RAW batch (not the survivor's
+            # op): a delete-then-recreate doc survives as 'c' but its old
+            # band rows from earlier epochs must still go
+            touched = (
+                batch.filter(F.col(op_col).isin("d", "u"))
+                .select(F.col(id_col).cast("long").alias("doc"))
+                .distinct()
+            )
+            if touched.limit(1).count():
+                index.remove_docs(batch.sparkSession, touched)
+            batch = final.filter(F.col(op_col) != "d").drop(
+                op_col, *( [ts_col] if ts_col and ts_col in final.columns else [] )
+            )
         index.add_batch(
-            batch_df,
+            batch,
             text_col=text_col,
             id_col=id_col,
             epoch_id=epoch_id,

@@ -821,3 +821,155 @@ def test_cluster_index_maintain_removed_docs_reelects_reps(spark, warehouse):
     assert _clusters(idx.resolve(spark)) == {
         (5, 5, True), (20, 5, False), (40, 5, False), (50, 50, True),
     }
+
+
+def _write_ops_file(path, rows):
+    import json as _json
+
+    with open(path, "w") as fh:
+        for doc_id, text, op, ts in rows:
+            fh.write(
+                _json.dumps(
+                    {"doc_id": doc_id, "text": text, "__op": op, "ts": ts}
+                )
+                + "\n"
+            )
+
+
+def test_stream_op_aware_cdc_into_minhash_index(spark, tmp_path):
+    """CDC-aware feed (op_col): updates replace a doc's band rows
+    (delete-key-then-write), deletes stop it matching, creates admit —
+    a later probe pairs against the CURRENT text only."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog again and again"
+    B = "completely different content with no shared shingles at all here"
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "idx")
+    pairs_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_minhash_index_stream(
+            stream, idx, pairs_dir, ckpt, op_col="__op", ts_col="ts"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_ops_file(f"{indir}/e0.jsonl", [(1, A, "c", 1), (2, A + " tail", "c", 2)])
+    run_all()
+    e0 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{pairs_dir}/epoch=0").collect()}
+    assert e0 == {(1, 2)}
+
+    # epoch 1: update 2 -> B (old rows must go), delete 1, create 3
+    _write_ops_file(
+        f"{indir}/e1.jsonl",
+        [(2, B, "u", 3), (1, A, "d", 4), (3, A + " more", "c", 5)],
+    )
+    run_all()
+    # epoch 2: a new A-flavored doc probes history: pairs ONLY with 3 —
+    # not with deleted 1 nor with 2's REPLACED text
+    _write_ops_file(f"{indir}/e2.jsonl", [(4, A + " extra", "c", 6)])
+    run_all()
+    e2 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{pairs_dir}/epoch=2").collect()}
+    assert e2 == {(3, 4)}
+    live = {r["doc"] for r in idx.table.to_df(spark).select("doc").distinct().collect()}
+    assert live == {2, 3, 4}  # doc 1 gone; 2 present under its new text
+
+
+def test_stream_op_aware_replay_skips_removals(spark, tmp_path):
+    """The hazard the front-of-process guard exists for: an epoch whose
+    UPDATE removed old rows and re-added new ones replays after a crash
+    (commit marker wiped).  A replayed removal commits at a HIGHER
+    sequence and would erase the first attempt's re-added rows while
+    the stamped append skips — the guard must skip BOTH effects."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog again and again"
+    B = "completely different content with no shared shingles at all here"
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "idx")
+    pairs_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_minhash_index_stream(
+            stream, idx, pairs_dir, ckpt, op_col="__op", ts_col="ts"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_ops_file(f"{indir}/e0.jsonl", [(2, A, "c", 1)])
+    _write_ops_file(f"{indir}/e1.jsonl", [(2, B, "u", 2), (4, B + " x", "c", 3)])
+    run_all()
+    state = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    assert {r[0] for r in state} == {2, 4}
+
+    # crash window: epoch 1's effects are durable, its commit marker gone
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_all()
+    assert sorted(map(tuple, idx.table.to_df(spark).collect())) == state
+    # and the feed keeps going afterwards
+    _write_ops_file(f"{indir}/e2.jsonl", [(2, B, "d", 4)])
+    run_all()
+    assert {
+        r["doc"] for r in idx.table.to_df(spark).select("doc").distinct().collect()
+    } == {4}
+
+
+def test_stream_op_aware_requires_idempotent_removal(spark, tmp_path):
+    """SubstringIndex removal is arithmetic (non-idempotent) — the
+    op-aware wrapper refuses it loudly."""
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    sub = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub")
+    with pytest.raises(ValueError, match="idempotent remove_docs"):
+        run_minhash_index_stream(
+            None, sub, str(tmp_path / "p"), str(tmp_path / "c"), op_col="__op"
+        )
