@@ -87,6 +87,20 @@ class IcebergSinkConfig:
     # so hours are plenty)
     remove_orphans_grace_seconds: float = 0.0
 
+    # continuous Iceberg publication: after every N commits to a table
+    # (snapshot-id distance, durable in a table property like the
+    # compaction cadence), export it (incremental, metadata-only) and —
+    # when publish_rest_uri is set — move the REST catalog forward via
+    # the CommitTable CAS.  External engines then resolve CDC tables BY
+    # NAME with a continuously fresh view, approximating the reference's
+    # deployment where every commit IS a catalog commit
+    # (IcebergChangeConsumer.java:100-102).  0 = off.
+    publish_every_commits: int = 0
+    publish_dest: str = ""                   # export root; table name appended
+    publish_rest_uri: str = ""
+    publish_rest_token: str = ""
+    publish_rest_warehouse: str = ""
+
     # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
     # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;
     # failures never fail the batch

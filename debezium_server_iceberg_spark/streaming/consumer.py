@@ -76,6 +76,9 @@ class ChangeConsumer:
                 file_path=ic.openlineage_file,
                 url=ic.openlineage_url,
             )
+        # injectable REST transport for the publication cadence (tests
+        # replay recorded fixtures; production None = stdlib urllib)
+        self.rest_transport = None
 
     # ------------------------------------------------------------ batch path
 
@@ -255,6 +258,7 @@ class ChangeConsumer:
             )
             self._maybe_publish_branch(table)
             self._maybe_compact(raw.sparkSession, table)
+            self._maybe_publish_iceberg(raw.sparkSession, table, table_name)
             return stats.source_rows
         conformed = conform_to_schema(events, meta.schema)
         n_rows = table.append(
@@ -264,6 +268,7 @@ class ChangeConsumer:
         )
         self._maybe_publish_branch(table)
         self._maybe_compact(raw.sparkSession, table)
+        self._maybe_publish_iceberg(raw.sparkSession, table, table_name)
         # row count from the commit's own file stats (manifest already has
         # it) — no extra action, and no -1 sentinel leaking into lineage
         # or the offsets mirror
@@ -325,6 +330,41 @@ class ChangeConsumer:
                     )
                 }
             )
+
+    def _maybe_publish_iceberg(self, spark: SparkSession, table, table_name: str) -> None:
+        """Continuous publication (``publish_every_commits``): export the
+        table's current snapshot (incremental, metadata-only) and, with
+        ``publish_rest_uri`` set, CAS the REST catalog forward — external
+        engines then see the CDC table by name, at most N commits stale.
+        Cadence is snapshot-id distance recorded in a table property
+        (durable across restarts, same pattern as the compaction
+        checkpoint).  Publication failures PROPAGATE — a stale catalog
+        must be operator-visible, not silently swallowed."""
+        import os
+
+        ic = self.config.iceberg
+        n = ic.publish_every_commits
+        if not n or not ic.publish_dest:
+            return
+        if ic.write_branch and not ic.write_branch_autopublish:
+            return  # staged commits not yet audited: main hasn't moved
+        meta = table.metadata()
+        sid = meta.current_snapshot_id or 0
+        last = int(meta.properties.get("publish.last-publish-snapshot-id", 0))
+        if sid - last < n:
+            return
+        self.publish_iceberg(
+            spark,
+            table_name,
+            os.path.join(ic.publish_dest, table_name),
+            rest_uri=ic.publish_rest_uri or None,
+            rest_token=ic.publish_rest_token or None,
+            rest_warehouse=ic.publish_rest_warehouse or None,
+            rest_transport=self.rest_transport,
+        )
+        table.update_properties(
+            **{"publish.last-publish-snapshot-id": str(sid)}
+        )
 
     def publish_iceberg(
         self,

@@ -452,3 +452,58 @@ def test_consumer_republish_stays_resolvable_via_cas(spark, warehouse, tmp_path)
     }
     assert got["refs"]["main"] == new_doc["refs"]["main"]
     assert got["current-snapshot-id"] == new_doc["current-snapshot-id"]
+
+
+def test_consumer_publish_cadence_continuous_catalog(spark, warehouse, tmp_path):
+    """publish_every_commits: the consumer exports + CAS-publishes on a
+    snapshot-distance cadence, so the REST catalog's view of a CDC table
+    is continuously fresh (at most N commits stale) — approximating the
+    reference's every-commit-is-a-catalog-commit deployment.  Cadence
+    state is durable in a table property; re-publish never DELETEs."""
+    from fixtures import customer_event
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+    from debezium_server_iceberg_spark.sources.debezium_json import (
+        RAW_ENVELOPE_SCHEMA,
+    )
+    from debezium_server_iceberg_spark.streaming.consumer import ChangeConsumer
+
+    cfg = EngineConfig()
+    cfg.iceberg.warehouse = warehouse
+    cfg.iceberg.namespace = "debeziumevents"
+    cfg.iceberg.publish_every_commits = 2
+    cfg.iceberg.publish_dest = str(tmp_path / "pub")
+    cfg.iceberg.publish_rest_uri = "http://cat:8181"
+    c = ChangeConsumer(cfg)
+    fake = FakeRestCatalog()
+    c.rest_transport = fake
+
+    def batch(i):
+        c.handle_batch(
+            spark.createDataFrame(
+                [customer_event(i, f"n{i}", op="c", ts_ms=i)], RAW_ENVELOPE_SCHEMA
+            ),
+            epoch_id=i,
+        )
+
+    batch(1)
+    assert not fake.tables  # one commit: below cadence
+    batch(2)
+    (tbl,) = c.catalog.list_tables("debeziumevents")
+    key = ("debeziumevents", tbl)
+    assert key in fake.tables  # cadence hit: exported + registered
+    # export history is ONE snapshot per PUBLISH (each publish folds the
+    # engine commits since the last one)
+    assert len(fake.tables[key]["metadata"]["snapshots"]) == 1
+    snap1 = fake.tables[key]["metadata"]["current-snapshot-id"]
+
+    batch(3)
+    assert len(fake.tables[key]["metadata"]["snapshots"]) == 1  # stale by 1: ok
+    batch(4)
+    got = fake.tables[key]["metadata"]
+    assert len(got["snapshots"]) == 2  # CAS moved the catalog forward
+    assert got["current-snapshot-id"] != snap1
+    assert not any(m == "DELETE" for m, _ in fake.log)
+    # cadence state is durable in the table property
+    t = c.catalog.load_table("debeziumevents", tbl)
+    assert int(t.metadata().properties["publish.last-publish-snapshot-id"]) >= 4
