@@ -163,4 +163,9 @@ class EngineConfig:
 
     def validate(self) -> "EngineConfig":
         self.debezium.validate()
+        if self.iceberg.publish_every_commits and not self.iceberg.publish_dest:
+            raise ValueError(
+                "publish_every_commits requires publish_dest (the export root "
+                "the cadence writes Iceberg metadata under)"
+            )
         return self

@@ -507,3 +507,14 @@ def test_consumer_publish_cadence_continuous_catalog(spark, warehouse, tmp_path)
     # cadence state is durable in the table property
     t = c.catalog.load_table("debeziumevents", tbl)
     assert int(t.metadata().properties["publish.last-publish-snapshot-id"]) >= 4
+
+
+def test_publish_cadence_config_requires_dest():
+    import pytest
+
+    from debezium_server_iceberg_spark.config import EngineConfig
+
+    cfg = EngineConfig()
+    cfg.iceberg.publish_every_commits = 2
+    with pytest.raises(ValueError, match="publish_dest"):
+        cfg.validate()
