@@ -167,6 +167,9 @@ class IVFIndex:
             namespace,
             name,
             schema,
+            # `vec_id` declares the DELETE key (remove_vectors' equality-
+            # delete target), mirroring the dedup indexes' removal parity
+            identifier_fields=["vec_id"],
             partition_spec=parse_partition_spec("cell"),
             properties={
                 "ivf.centroids": json.dumps([[float(x) for x in c] for c in cmat]),
@@ -223,6 +226,35 @@ class IVFIndex:
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
         return self.table.row_count() - before
+
+    def remove_vectors(self, spark, vec_ids) -> int:
+        """CDC deletes propagate into the index: ALL stored rows of the
+        given vectors (one row here; m segment rows in
+        :class:`IVFPQIndex`) are equality-deleted in one merge-on-read
+        commit — zero reads of stored data, the reference's
+        equality-delta shape (BaseDeltaTaskWriter.java:60-71) — so
+        searches stop returning them immediately (``scan_files``
+        applies current-snapshot deletes); ``maintain``/compaction
+        materializes the tombstones.  ``vec_ids`` is a list of ids or a
+        DataFrame with a ``vec_id`` column.  Replay-safe by IDEMPOTENCE
+        (re-deleting the same keys matches nothing new), matching
+        ``MinHashIndex.remove_docs`` — the streaming feed
+        (``run_vector_index_stream(op_col=)``) routes removals without
+        an epoch stamp; only the re-admitting append carries the guard.
+        Requires the table to declare ``vec_id`` as its identifier
+        field (indexes built before removal support need a rebuild —
+        ``commit_row_delta`` raises on them).  Returns the deleted key
+        count."""
+        if isinstance(vec_ids, DataFrame):
+            keys = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+        else:
+            keys = spark.createDataFrame(
+                [(int(v),) for v in vec_ids] or [], "vec_id long"
+            )
+        _, deleted = self.table.commit_row_delta(
+            None, keys, summary={"operation_detail": "remove-vectors"}
+        )
+        return deleted
 
     def maintain(
         self, spark, min_input_files: int = 8, max_input_files: int | None = 256
@@ -428,6 +460,9 @@ class IVFPQIndex:
             namespace,
             name,
             schema,
+            # `vec_id` declares the DELETE key (one vector owns m segment
+            # rows), not row uniqueness — remove_vectors' equality target
+            identifier_fields=["vec_id"],
             partition_spec=parse_partition_spec("cell"),
             properties={
                 "ivf.centroids": json.dumps([[float(x) for x in c] for c in cmat]),
@@ -511,6 +546,7 @@ class IVFPQIndex:
         return self.table.row_count() - before
 
     maintain = IVFIndex.maintain
+    remove_vectors = IVFIndex.remove_vectors
 
     # ------------------------------------------------------------ search
     def probed_files(

@@ -543,6 +543,8 @@ def run_vector_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     maintain_every: int | None = None,
+    op_col: str | None = None,
+    ts_col: str | None = None,
 ):
     """Continuously-maintained ANN index: each micro-batch of embeddings
     is encoded against the FROZEN codebooks (coarse cell + PQ codes for
@@ -562,10 +564,51 @@ def run_vector_index_stream(
     (compaction recomputes partition transforms from rows, so cell
     layout — and therefore search-time partition pruning — survives).
 
+    ``op_col`` makes the feed CDC-aware, the same routing as
+    ``run_minhash_index_stream``: events collapse to one survivor per
+    vector id (``dedup_batch`` — max by ``ts_col``/op-priority), ids
+    whose batch carried an update or delete have their OLD stored rows
+    equality-deleted (``remove_vectors`` — an updated embedding must
+    not keep matching under its stale cell/codes), and non-deleted
+    survivors re-encode against the frozen codebooks and re-admit.
+    Exactly-once extends over the removal with the guard in FRONT of
+    all effects: the epoch stamp rides the append, so "stamp present"
+    ⇒ removal + re-add durable ⇒ the replay skips both — a replayed
+    removal would otherwise commit at a higher sequence and erase the
+    first attempt's re-added rows (the hazard
+    ``test_stream_op_aware_replay_skips_removals`` pins for the dedup
+    feeds; same contract here).
+
     Returns the started StreamingQuery."""
 
     def process(batch_df, epoch_id):
-        index.add_batch(batch_df, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
+        batch = batch_df
+        if op_col is not None and op_col in batch.columns:
+            from ..functions.incremental import epoch_already_applied
+            from ..operators.dedup import dedup_batch
+
+            # guard FIRST: on a replayed epoch even the (idempotent)
+            # removal must not run — see run_minhash_index_stream
+            if epoch_already_applied(index.table, epoch_id):
+                return
+            final = dedup_batch(
+                batch, [id_col], dedup_column=ts_col, op_col=op_col
+            )
+            # remove by ANY d/u event in the RAW batch (not the
+            # survivor's op): delete-then-recreate survives as 'c' but
+            # its old rows from earlier epochs must still go
+            touched = (
+                batch.filter(F.col(op_col).isin("d", "u"))
+                .select(F.col(id_col).cast("long").alias("vec_id"))
+                .distinct()
+            )
+            if touched.limit(1).count():
+                index.remove_vectors(batch.sparkSession, touched)
+            batch = final.filter(F.col(op_col) != "d").drop(
+                op_col,
+                *([ts_col] if ts_col and ts_col in final.columns else []),
+            )
+        index.add_batch(batch, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
         if maintain_every and (epoch_id + 1) % maintain_every == 0:
             index.maintain(batch_df.sparkSession)
 

@@ -453,3 +453,146 @@ def test_vector_index_stream_exactly_once(spark, tmp_path):
     assert idx.table.row_count() == before
     with pytest.raises(EpochRegressionError):
         idx.add_batch(b2, epoch_id=0)
+
+
+def test_ivf_remove_vectors_stops_matching(spark, warehouse):
+    """remove_vectors: one zero-read equality-delete commit; searches
+    stop returning the removed vector immediately (scan_files applies
+    current-snapshot deletes), re-removal is a no-op on results, and
+    maintain materializes the tombstones without changing them."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IVFIndex.build(LakeCatalog(warehouse), "ann", "ivf_rm", emb, n_cells=8)
+
+    before = idx.search(spark, [0], k=3, n_probe=8).collect()
+    victim = next(r.neighbor_id for r in before if r.rank == 1)
+    files_before = len(idx.table.current_files())
+    idx.remove_vectors(spark, [victim])
+    # zero-read: no data file was rewritten by the removal
+    assert len(idx.table.current_files()) == files_before
+
+    after = idx.search(spark, [0], k=3, n_probe=8).collect()
+    assert victim not in {r.neighbor_id for r in after}
+    assert sorted(r.rank for r in after) == [1, 2, 3]  # backfilled from cell
+
+    # idempotent: re-deleting the same key changes nothing
+    idx.remove_vectors(spark, [victim])
+    again = idx.search(spark, [0], k=3, n_probe=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, after))
+
+    # compaction folds the tombstones; results identical
+    idx.maintain(spark, min_input_files=2)
+    folded = idx.search(spark, [0], k=3, n_probe=8).collect()
+    assert sorted(map(tuple, folded)) == sorted(map(tuple, after))
+    live = {r["vec_id"] for r in idx.table.to_df(spark).select("vec_id").distinct().collect()}
+    assert victim not in live
+
+
+def test_ivfpq_remove_vectors_removes_all_segments(spark, warehouse):
+    """IVFPQ stores m segment rows per vector; an equality delete on
+    vec_id removes all of them, and ADC search stops returning the id."""
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    dim = len(emb.first()["embedding"])
+    idx = IVFPQIndex.build(
+        LakeCatalog(warehouse), "ann", "pq_rm", emb, dim=dim, n_cells=4, m=4, ks=8
+    )
+    m = idx.m
+    qids = [0]
+    qm = _qmat(emb, qids)
+    before = idx.search(spark, qids, qm, k=3, n_probe=4).collect()
+    victim = next(r.neighbor_id for r in before if r.rank == 1)
+
+    n0 = idx.table.to_df(spark).count()
+    idx.remove_vectors(spark, [victim])
+    resolved = idx.table.to_df(spark)
+    assert resolved.count() == n0 - m  # every segment row of the vector went
+    assert resolved.filter(F.col("vec_id") == victim).count() == 0
+    after = idx.search(spark, qids, qm, k=3, n_probe=4).collect()
+    assert victim not in {r.neighbor_id for r in after}
+
+
+def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
+    """CDC-aware vector feed (op_col): an updated embedding stops
+    matching under its OLD direction and matches under its NEW one, a
+    deleted vector disappears, and a crash-replayed epoch (commit
+    marker wiped) does not let the replayed removal erase the first
+    attempt's re-added rows."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_vector_index_stream,
+    )
+
+    E1, E2, E3 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    seed = spark.createDataFrame(
+        [(1, E1), (2, E2)], "vec_id long, embedding array<double>"
+    )
+    idx = IVFIndex.build(LakeCatalog(str(tmp_path / "wh")), "ann", "ivf", seed, n_cells=2)
+
+    indir, ckpt = str(tmp_path / "vecs_in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+    def write_ops(name, rows):
+        with open(f"{indir}/{name}", "w") as fh:
+            for vid, vec, op, ts in rows:
+                fh.write(
+                    json.dumps(
+                        {"vec_id": vid, "embedding": vec, "__op": op, "ts": ts}
+                    )
+                    + "\n"
+                )
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_vector_index_stream(
+            stream, idx, ckpt, op_col="__op", ts_col="ts"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_ops("e0.jsonl", [(10, E1, "c", 1), (11, E2, "c", 2)])
+    run_all()
+    # epoch 1: update 10 -> E3 (old row must go), delete 11, create 12
+    write_ops("e1.jsonl", [(10, E3, "u", 3), (11, E2, "d", 4), (12, E2, "c", 5)])
+    run_all()
+
+    live = {
+        r["vec_id"]
+        for r in idx.table.to_df(spark).select("vec_id").distinct().collect()
+    }
+    assert live == {1, 2, 10, 12}  # 11 deleted; 10 present once, re-encoded
+    state = sorted(map(tuple, idx.table.to_df(spark).collect()))
+
+    # 10 matches its NEW direction at rank 1...
+    got = idx.search(spark, [99], k=1, n_probe=2, query_vecs=np.array([E3])).collect()
+    assert got[0].neighbor_id == 10 and got[0].cosine == 1.0
+    # ...and its OLD row is gone: without the removal, 10's stale E1 row
+    # would take rank 2 here (cos 1.0); with it, rank 2 falls to a
+    # zero-cos candidate
+    old = idx.search(spark, [99], k=2, n_probe=2, query_vecs=np.array([E1])).collect()
+    assert [r.neighbor_id for r in sorted(old, key=lambda r: r.rank)] == [1, 2]
+
+    # crash window: epoch 1 fully durable, its commit marker wiped — the
+    # replayed removal must be skipped by the front-of-process guard
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_all()
+    assert sorted(map(tuple, idx.table.to_df(spark).collect())) == state
