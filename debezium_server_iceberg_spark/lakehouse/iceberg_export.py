@@ -1158,9 +1158,10 @@ def export_iceberg_table(
 
 
 def plan_iceberg_scan(
-    location: str,
+    location: str | None,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    metadata_file: str | None = None,
 ) -> dict:
     """Walk an Iceberg table's standard metadata — version-hint →
     vN.metadata.json → snapshot's manifest list → manifests — and return
@@ -1176,12 +1177,22 @@ def plan_iceberg_scan(
     mismatches — absent fields and null values conservatively keep the
     file.  This is the pruner external engines run against exported
     metadata, so tests can assert published partition values actually
-    eliminate files."""
-    meta_dir = os.path.join(location, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        doc = json.load(fh)
+    eliminate files.
+
+    ``metadata_file`` reads a SPECIFIC metadata JSON instead of
+    resolving ``version-hint.text`` — the catalog-resolution path: an
+    engine loading a table through a catalog reads exactly the file the
+    catalog's ``metadata-location`` points at (which may lag the
+    filesystem's hint between publishes), never the hint."""
+    if metadata_file is not None:
+        with open(metadata_file) as fh:
+            doc = json.load(fh)
+    else:
+        meta_dir = os.path.join(location, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+            doc = json.load(fh)
     if doc["format-version"] not in (1, 2, 3):
         raise ValueError(f"unsupported format-version {doc['format-version']}")
     want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
@@ -1269,10 +1280,11 @@ def plan_iceberg_scan(
 
 def read_iceberg_table(
     spark: SparkSession,
-    location: str,
+    location: str | None,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     lineage: bool = False,
+    metadata_file: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table by walking ONLY its standard metadata —
     version-hint → vN.metadata.json → snapshot's manifest list →
@@ -1290,10 +1302,17 @@ def read_iceberg_table(
     row-lineage columns: ``_row_id`` = a file's explicit ``first_row_id``
     + row position (a value materialized IN the parquet, as rewrites do,
     wins), ``_last_updated_sequence_number`` = the entry's data sequence
-    unless materialized."""
+    unless materialized.
+
+    ``metadata_file`` reads a specific metadata JSON instead of the
+    version hint — see :func:`plan_iceberg_scan`; it is how
+    catalog-resolved reads (``rest_catalog.read_table_by_name``) honor
+    the catalog's ``metadata-location`` exactly."""
     from .table import LAST_SEQ_COL, ROW_ID_COL
 
-    plan = plan_iceberg_scan(location, snapshot_id, partition_filter)
+    plan = plan_iceberg_scan(
+        location, snapshot_id, partition_filter, metadata_file=metadata_file
+    )
     schema_json = plan["schema_json"]
     data_files = plan["data_files"]
     pos_deletes, eq_deletes = plan["pos_deletes"], plan["eq_deletes"]

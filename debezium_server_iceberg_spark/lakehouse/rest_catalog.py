@@ -464,3 +464,38 @@ def publish_to_rest_catalog(
     return client.register_table(
         namespace, name, metadata_location, overwrite=True
     )
+
+
+def read_table_by_name(
+    spark,
+    client: RestCatalogClient,
+    namespace: str,
+    name: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+    lineage: bool = False,
+):
+    """Catalog-resolved read — the consumer half of the publication
+    loop: resolve ``metadata-location`` through the catalog's LoadTable
+    (exactly what any engine configured against the same catalog does,
+    reference deployment testresources/CatalogRest.java:39-41), then
+    walk THAT metadata file's standard chain
+    (:func:`..iceberg_export.read_iceberg_table`) — never the
+    filesystem's ``version-hint.text``, which may already be ahead of
+    the catalog between publishes.  ``snapshot_id`` /
+    ``partition_filter`` / ``lineage`` as in ``read_iceberg_table``."""
+    from .iceberg_export import read_iceberg_table
+
+    loc = client.load_table(namespace, name).get("metadata-location")
+    if not loc:
+        raise RestCatalogError(
+            200, f"catalog returned no metadata-location for {namespace}.{name}"
+        )
+    return read_iceberg_table(
+        spark,
+        None,
+        snapshot_id=snapshot_id,
+        partition_filter=partition_filter,
+        lineage=lineage,
+        metadata_file=loc,
+    )

@@ -518,3 +518,52 @@ def test_publish_cadence_config_requires_dest():
     cfg.iceberg.publish_every_commits = 2
     with pytest.raises(ValueError, match="publish_dest"):
         cfg.validate()
+
+
+def test_read_table_by_name_resolves_catalog_metadata(spark, warehouse, tmp_path):
+    """The consumer half of the publication loop: an engine resolves a
+    published table BY NAME through the catalog (LoadTable ->
+    metadata-location) and reads exactly THAT metadata file — not the
+    filesystem's version-hint, which is already ahead after an export
+    that was never published."""
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.lakehouse import LakeCatalog
+    from debezium_server_iceberg_spark.lakehouse.iceberg_export import (
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+    from debezium_server_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        publish_to_rest_catalog,
+        read_table_by_name,
+    )
+
+    cat = LakeCatalog(warehouse)
+    t = cat.create_table(
+        "pub", "cust",
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    dest = str(tmp_path / "export")
+    md_path = export_iceberg_table(t, dest)
+
+    fake = FakeRestCatalog()
+    client = RestCatalogClient("http://cat:8181", transport=fake)
+    publish_to_rest_catalog(client, "pub", "cust", md_path)
+
+    got = read_table_by_name(spark, client, "pub", "cust")
+    assert sorted(map(tuple, got.collect())) == [(1, "a"), (2, "b")]
+
+    # a second export WITHOUT a publish bumps the version hint; the
+    # catalog-resolved read must stay on the registered file while a
+    # hint-resolved read already sees the new snapshot
+    t.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    export_iceberg_table(t, dest)
+    assert sorted(map(tuple, read_table_by_name(spark, client, "pub", "cust").collect())) \
+        == [(1, "a"), (2, "b")]
+    assert sorted(map(tuple, read_iceberg_table(spark, dest).collect())) \
+        == [(1, "a"), (2, "b"), (3, "c")]
