@@ -62,7 +62,9 @@ class EpochRegressionError(RuntimeError):
     raise on every epoch ``0..last`` of the new checkpoint forever."""
 
 
-def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
+def epoch_already_applied(
+    table: LakeTable, epoch_id: int | None, key: str = "epoch_id"
+) -> bool:
     """Exactly-once guard for STREAMING index feeds (same contract as
     ``ChangeConsumer._epoch_already_applied``): every streamed append
     stamps its epoch into the snapshot summary; a replayed micro-batch
@@ -71,7 +73,14 @@ def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
     per query, a replay can only carry the LAST stamped epoch — an
     epoch strictly below it means a reset checkpoint or a second writer
     query, and raises :class:`EpochRegressionError` rather than
-    silently dropping every subsequent batch."""
+    silently dropping every subsequent batch.
+
+    ``key`` names the summary stamp, letting one epoch carry SEVERAL
+    independently-guarded commits: the op-aware substring feed stamps
+    its (arithmetic, non-idempotent) removal commit with
+    ``removal_epoch_id`` so a crash between the removal and the
+    epoch-stamped re-admitting append replays the removal exactly
+    once."""
     if epoch_id is None:
         return False
     for s in reversed(table.metadata().snapshots):
@@ -79,13 +88,13 @@ def epoch_already_applied(table: LakeTable, epoch_id: int | None) -> bool:
             # operator-stamped reset marker (see reset_epoch): epoch
             # numbering restarted here — older stamps no longer bind
             return False
-        e = s.summary.get("epoch_id")
+        e = s.summary.get(key)
         if e is None:
-            continue  # maintenance/compaction snapshot: keep scanning
+            continue  # other-keyed/maintenance snapshot: keep scanning
         last = int(e)
         if epoch_id < last:
             raise EpochRegressionError(
-                f"batch epoch {epoch_id} < last applied epoch {last} for "
+                f"batch epoch {epoch_id} < last applied {key} {last} for "
                 f"{table.location!r} — reset checkpoint or second writer "
                 "query; refusing to silently skip its appends"
             )
@@ -609,7 +618,11 @@ class SubstringIndex:
         return prof
 
     def remove_docs(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> int:
         """CDC deletes propagate into the gram inversion as NEGATIVE
         counts: the index rows are per-batch gram AGGREGATES, not
@@ -627,9 +640,16 @@ class SubstringIndex:
         equality delete re-applies as a no-op): a negative append is
         arithmetic, so route removals exactly-once — remove each
         indexed doc at most once, and only docs that were admitted.
+        ``epoch_id`` (streaming feeds) provides that exactly-once: the
+        negative append stamps ``removal_epoch_id`` and a replayed call
+        for the same epoch appends nothing — the guard a crash between
+        the removal commit and the epoch-stamped re-admitting append
+        needs (:func:`epoch_already_applied` with ``key=``).
         Returns the number of docs whose grams were un-counted."""
         from .text import word_gram_hashes
 
+        if epoch_already_applied(self.table, epoch_id, key="removal_epoch_id"):
+            return 0
         n_pb = int(
             self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
         )
@@ -644,7 +664,10 @@ class SubstringIndex:
             neg = neg.select(
                 "_h", "n_docs", pbucket_col(F.col("_h"), n_pb).alias(PBUCKET_COL)
             )
-        self.table.append(neg, summary={"operation_detail": "remove-docs"})
+        summary = {"operation_detail": "remove-docs"}
+        if epoch_id is not None:
+            summary["removal_epoch_id"] = str(epoch_id)
+        self.table.append(neg, summary=summary)
         grams.unpersist()
         return n_docs
 

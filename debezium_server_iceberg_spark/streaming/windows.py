@@ -398,6 +398,7 @@ def run_minhash_index_stream(
     cluster_index=None,
     op_col: str | None = None,
     ts_col: str | None = None,
+    before_col: str | None = None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -452,13 +453,29 @@ def run_minhash_index_stream(
     rides the LAST commit (the band append), so "stamp present" ⇒ all
     effects durable ⇒ a replay skips removals too — critical, since a
     replayed removal (a higher-sequence delete) would otherwise erase
-    the first attempt's re-added rows.  Requires an index whose
-    ``remove_docs`` is id-keyed and idempotent (``MinHashIndex``;
-    ``SubstringIndex`` removal is arithmetic and needs the before-image
-    text — route its removals explicitly).  ``cluster_index`` removal
-    stays a maintenance concern (``maintain(removed_docs=)`` on the
-    operator's cadence): cluster state keeps no per-doc text and
-    re-election is the explicit heavy op.
+    the first attempt's re-added rows.
+
+    ``MinHashIndex`` removal is id-keyed and idempotent.
+    ``SubstringIndex`` removal is ARITHMETIC (negative gram counts) and
+    needs the delete events' before-image text: pass ``before_col``
+    (the Debezium ``before`` payload — d and u events carry the
+    previously-committed row).  Two rules make the arithmetic exact:
+
+    - only docs whose EARLIEST event in the batch is d/u are removed —
+      a doc first created in this batch has no admitted prior state,
+      and un-counting its (never-counted) before-image would corrupt
+      totals; per-key event order is a CDC integrity guarantee, so
+      "earliest is d/u" ⇔ "admitted by an earlier epoch";
+    - the negative append itself is epoch-stamped
+      (``removal_epoch_id``), so a crash between the removal commit and
+      the epoch-stamped re-admitting append replays the removal exactly
+      once (the front guard covers full-epoch replays; this covers the
+      half-applied window an idempotent removal doesn't need).
+
+    ``cluster_index`` removal stays a maintenance concern
+    (``maintain(removed_docs=)`` on the operator's cadence): cluster
+    state keeps no per-doc text and re-election is the explicit heavy
+    op.
 
     Scale: per-trigger work is the documented ``add_batch`` shape —
     the batch's band rows probe the stored index with the scan PRUNED
@@ -468,14 +485,21 @@ def run_minhash_index_stream(
 
     Returns the started StreamingQuery."""
     if op_col is not None:
-        from ..functions.incremental import MinHashIndex
+        from ..functions.incremental import MinHashIndex, SubstringIndex
 
-        if not isinstance(index, MinHashIndex):
+        if isinstance(index, SubstringIndex):
+            if before_col is None or ts_col is None:
+                raise ValueError(
+                    "SubstringIndex removal is arithmetic and needs the "
+                    "delete events' before-image text AND event order: "
+                    "pass before_col (the Debezium `before` payload) and "
+                    "ts_col (to pick each doc's earliest event)"
+                )
+        elif not isinstance(index, MinHashIndex):
             raise ValueError(
-                "op_col routing requires an id-keyed idempotent remove_docs "
-                "(MinHashIndex); SubstringIndex removals are arithmetic and "
-                "need the delete events' before-image text — route them "
-                "explicitly via SubstringIndex.remove_docs"
+                "op_col routing requires MinHashIndex (id-keyed idempotent "
+                "remove_docs) or SubstringIndex with before_col (stamped "
+                "arithmetic removal)"
             )
 
     def process(batch_df, epoch_id):
@@ -494,21 +518,51 @@ def run_minhash_index_stream(
             # higher sequence and erase the first attempt's re-adds
             if epoch_already_applied(index.table, epoch_id):
                 return
+            from ..functions.incremental import SubstringIndex
+
             final = dedup_batch(
                 batch, [id_col], dedup_column=ts_col, op_col=op_col
             )
-            # remove by ANY d/u event in the RAW batch (not the survivor's
-            # op): a delete-then-recreate doc survives as 'c' but its old
-            # band rows from earlier epochs must still go
-            touched = (
-                batch.filter(F.col(op_col).isin("d", "u"))
-                .select(F.col(id_col).cast("long").alias("doc"))
-                .distinct()
-            )
-            if touched.limit(1).count():
-                index.remove_docs(batch.sparkSession, touched)
+            if isinstance(index, SubstringIndex):
+                # arithmetic removal: un-count the EARLIEST event's
+                # before-image, and only for docs that pre-existed the
+                # batch (earliest event d/u — a doc first created here
+                # was never counted; see docstring).  Per-key window:
+                # bounded by a key's events in ONE micro-batch.
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(id_col).orderBy(F.col(ts_col).asc())
+                earliest = (
+                    batch.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .filter(F.col(op_col).isin("d", "u"))
+                    .filter(F.col(before_col).isNotNull())
+                    .select(id_col, F.col(before_col).alias(text_col))
+                )
+                if earliest.limit(1).count():
+                    index.remove_docs(
+                        earliest,
+                        text_col=text_col,
+                        id_col=id_col,
+                        epoch_id=epoch_id,
+                    )
+            else:
+                # remove by ANY d/u event in the RAW batch (not the
+                # survivor's op): a delete-then-recreate doc survives as
+                # 'c' but its old band rows from earlier epochs must
+                # still go; id-keyed equality delete of a never-admitted
+                # doc is a no-op, so no pre-existence rule is needed
+                touched = (
+                    batch.filter(F.col(op_col).isin("d", "u"))
+                    .select(F.col(id_col).cast("long").alias("doc"))
+                    .distinct()
+                )
+                if touched.limit(1).count():
+                    index.remove_docs(batch.sparkSession, touched)
             batch = final.filter(F.col(op_col) != "d").drop(
-                op_col, *( [ts_col] if ts_col and ts_col in final.columns else [] )
+                op_col,
+                *([ts_col] if ts_col and ts_col in final.columns else []),
+                *([before_col] if before_col and before_col in final.columns else []),
             )
         index.add_batch(
             batch,

@@ -960,7 +960,9 @@ def test_stream_op_aware_replay_skips_removals(spark, tmp_path):
 
 def test_stream_op_aware_requires_idempotent_removal(spark, tmp_path):
     """SubstringIndex removal is arithmetic (non-idempotent) — the
-    op-aware wrapper refuses it loudly."""
+    op-aware wrapper refuses it loudly unless the caller supplies the
+    before-image column AND event order (which make the stamped
+    arithmetic removal exact); other index types are refused."""
     import pytest
 
     from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
@@ -969,7 +971,213 @@ def test_stream_op_aware_requires_idempotent_removal(spark, tmp_path):
     )
 
     sub = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub")
-    with pytest.raises(ValueError, match="idempotent remove_docs"):
+    with pytest.raises(ValueError, match="before_col"):
         run_minhash_index_stream(
             None, sub, str(tmp_path / "p"), str(tmp_path / "c"), op_col="__op"
         )
+    with pytest.raises(ValueError, match="before_col"):
+        run_minhash_index_stream(
+            None, sub, str(tmp_path / "p"), str(tmp_path / "c"),
+            op_col="__op", before_col="before",  # still no ts_col
+        )
+    with pytest.raises(ValueError, match="MinHashIndex"):
+        run_minhash_index_stream(
+            None, object(), str(tmp_path / "p"), str(tmp_path / "c"),
+            op_col="__op",
+        )
+
+
+def _write_cdc_file(path, rows):
+    import json as _json
+
+    with open(path, "w") as fh:
+        for doc_id, text, before, op, ts in rows:
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "before": before,
+                        "__op": op,
+                        "ts": ts,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_substring_remove_docs_epoch_stamp_exactly_once(spark, warehouse):
+    """The arithmetic removal's exactly-once: with epoch_id the negative
+    append stamps removal_epoch_id, a replayed call for the same epoch
+    appends NOTHING (a second negative append would double-uncount),
+    and a regressed epoch raises."""
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        EpochRegressionError,
+        SubstringIndex,
+    )
+
+    idx = SubstringIndex.create(LakeCatalog(warehouse), "idx", "rmstamp", k=4)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    idx.add_batch(docs)
+    gone = docs.filter("doc_id = 2")
+    assert idx.remove_docs(gone, epoch_id=7) == 1
+    sums = sorted(
+        map(tuple, idx.table.to_df(spark).groupBy("_h").sum("n_docs").collect())
+    )
+    assert idx.remove_docs(gone, epoch_id=7) == 0  # replayed: skipped
+    assert sorted(
+        map(tuple, idx.table.to_df(spark).groupBy("_h").sum("n_docs").collect())
+    ) == sums
+    with pytest.raises(EpochRegressionError):
+        idx.remove_docs(gone, epoch_id=3)
+    # independent keys: the removal stamp does not block the add stamp
+    more = spark.createDataFrame(
+        [(3, "red orange yellow green blue indigo")], "doc_id long, text string"
+    )
+    assert idx.add_batch(more, epoch_id=7) is not None
+
+
+def test_stream_op_aware_cdc_into_substring_index(spark, tmp_path):
+    """CDC-aware substring feed (op_col + before_col): updates un-count
+    the before-image and re-admit the new text, deletes un-count, and a
+    doc CREATED-then-updated within one batch is NOT removed (its
+    before-image was never counted — un-counting it would corrupt
+    shared-gram totals).  Folded stored state equals an index built
+    from the final live corpus."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    A = "aa bb cc dd ee ff gg hh"
+    B = "one two three four five six seven eight"
+    C = "pp qq rr ss tt uu vv ww"
+    D = "d1 d2 d3 d4 d5 d6 d7 d8"
+    E = D  # the trap: E shares ALL grams with live doc D
+    Ftxt = "f1 f2 f3 f4 f5 f6 f7 f8"
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    idx = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub", k=4)
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_dedup_index_stream(
+            stream, idx, str(tmp_path / "pairs"), ckpt,
+            op_col="__op", ts_col="ts", before_col="before",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_cdc_file(
+        f"{indir}/e0.jsonl",
+        [(1, A, None, "c", 1), (2, B, None, "c", 2), (3, D, None, "c", 3)],
+    )
+    run_all()
+    # epoch 1: update 1 A->C, delete 2, create-then-update 4 (E -> F)
+    _write_cdc_file(
+        f"{indir}/e1.jsonl",
+        [
+            (1, C, A, "u", 4),
+            (2, None, B, "d", 5),
+            (4, E, None, "c", 6),
+            (4, Ftxt, E, "u", 7),
+        ],
+    )
+    run_all()
+
+    idx.maintain(spark, fold=True)
+    final = spark.createDataFrame(
+        [(1, C), (3, D), (4, Ftxt)], "doc_id long, text string"
+    )
+    ref = SubstringIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "sub", k=4)
+    ref.add_batch(final)
+    ref.maintain(spark, fold=True)
+    got = sorted(map(tuple, idx.table.to_df(spark).select("_h", "n_docs").collect()))
+    want = sorted(map(tuple, ref.table.to_df(spark).select("_h", "n_docs").collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_op_aware_substring_replay_preserves_counts(spark, tmp_path):
+    """Full-epoch replay (wiped commit marker) of an epoch that removed
+    AND re-added: the front-of-process guard skips both effects, so the
+    arithmetic index's per-gram sums are unchanged — a replayed
+    negative append would silently skew every later profile."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    A = "aa bb cc dd ee ff gg hh"
+    C = "pp qq rr ss tt uu vv ww"
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    idx = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub", k=4)
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_dedup_index_stream(
+            stream, idx, str(tmp_path / "pairs"), ckpt,
+            op_col="__op", ts_col="ts", before_col="before",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_cdc_file(f"{indir}/e0.jsonl", [(1, A, None, "c", 1)])
+    run_all()
+    _write_cdc_file(f"{indir}/e1.jsonl", [(1, C, A, "u", 2)])
+    run_all()
+    sums = sorted(
+        map(tuple, idx.table.to_df(spark).groupBy("_h").sum("n_docs").collect())
+    )
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_all()
+    assert sorted(
+        map(tuple, idx.table.to_df(spark).groupBy("_h").sum("n_docs").collect())
+    ) == sums
