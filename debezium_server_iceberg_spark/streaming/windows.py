@@ -599,6 +599,11 @@ def run_vector_index_stream(
     maintain_every: int | None = None,
     op_col: str | None = None,
     ts_col: str | None = None,
+    pairs_dir: str | None = None,
+    pair_threshold: float = 0.9,
+    pair_k: int = 5,
+    pair_n_probe: int = 4,
+    max_pair_batch_rows: int = 100_000,
 ):
     """Continuously-maintained ANN index: each micro-batch of embeddings
     is encoded against the FROZEN codebooks (coarse cell + PQ codes for
@@ -633,18 +638,53 @@ def run_vector_index_stream(
     ``test_stream_op_aware_replay_skips_removals`` pins for the dedup
     feeds; same contract here).
 
+    ``pairs_dir`` turns the feed into CONTINUOUS SEMANTIC DEDUP — the
+    embedding-space analog of ``run_minhash_index_stream``'s pairs
+    sink: each epoch's cosine near-dup pairs land in
+    ``pairs_dir/epoch=N`` (mode=overwrite) BEFORE the epoch-stamped
+    append, so "stamp present" ⇒ pairs durable ⇒ replays skip both
+    effects.  Pair semantics (``(doc_a, doc_b, cosine)``, ``doc_a <
+    doc_b``, deterministic — test-pinned against a numpy oracle):
+
+    - new-vs-history: each batch vector's top-``pair_k`` stored
+      neighbors at cosine ≥ ``pair_threshold``, found through the
+      index's own partition-pruned search (``pair_n_probe`` cells) —
+      history is never re-scored, per-epoch stored I/O is the probed
+      cells' files, the SemDeDup recall/cost dial;
+    - new-vs-new: ALL in-batch pairs at cosine ≥ ``pair_threshold``
+      (exact, batch-bounded GEMM driver-side — the batch is already
+      collected as the search's query matrix; ``max_pair_batch_rows``
+      guards the collect and raises pointing at the one-shot
+      ``semantic dedup`` operator for backfill-sized batches).
+
+    Requires an ``IVFIndex`` (cosine scores); ``IVFPQIndex`` search
+    returns ADC distances, not cosines — rerank-based streaming pairs
+    are a rebuild-time concern, refused loudly.
+
     Returns the started StreamingQuery."""
+    if pairs_dir is not None:
+        from ..functions.ann_index import IVFIndex
+
+        if not isinstance(index, IVFIndex):
+            raise ValueError(
+                "pairs_dir needs cosine scores (IVFIndex); IVFPQIndex "
+                "search returns ADC distances — run exact rerank offline "
+                "or use an IVFIndex for the streaming dedup feed"
+            )
 
     def process(batch_df, epoch_id):
-        batch = batch_df
-        if op_col is not None and op_col in batch.columns:
-            from ..functions.incremental import epoch_already_applied
-            from ..operators.dedup import dedup_batch
+        from ..functions.incremental import epoch_already_applied
 
-            # guard FIRST: on a replayed epoch even the (idempotent)
-            # removal must not run — see run_minhash_index_stream
+        batch = batch_df
+        if (op_col is not None and op_col in batch.columns) or pairs_dir:
+            # guard FIRST: on a replayed epoch neither the (idempotent)
+            # removal nor the pairs overwrite may run — a replayed
+            # empty-ish recompute would clobber the first attempt's
+            # durable pairs (see run_minhash_index_stream)
             if epoch_already_applied(index.table, epoch_id):
                 return
+        if op_col is not None and op_col in batch.columns:
+            from ..operators.dedup import dedup_batch
             final = dedup_batch(
                 batch, [id_col], dedup_column=ts_col, op_col=op_col
             )
@@ -662,6 +702,61 @@ def run_vector_index_stream(
                 op_col,
                 *([ts_col] if ts_col and ts_col in final.columns else []),
             )
+        if pairs_dir is not None:
+            import numpy as np
+
+            spark = batch_df.sparkSession
+            rows = batch.select(id_col, vec_col).collect()
+            if len(rows) > max_pair_batch_rows:
+                raise ValueError(
+                    f"micro-batch of {len(rows)} vectors exceeds "
+                    f"max_pair_batch_rows={max_pair_batch_rows}; the pairs "
+                    "sink is CDC-batch-sized (the batch IS the search's "
+                    "query matrix) — backfill-sized corpora go through the "
+                    "one-shot semantic-dedup operator, then seed the stream"
+                )
+            schema = "doc_a long, doc_b long, cosine double"
+            if rows:
+                ids = [int(r[id_col]) for r in rows]
+                vecs = np.array(
+                    [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+                )
+                # new-vs-history: the index's own partition-pruned search
+                # (removals above already committed, so stale/deleted
+                # rows cannot match)
+                hist = (
+                    index.search(
+                        spark, ids, k=pair_k, n_probe=pair_n_probe,
+                        query_vecs=vecs,
+                    )
+                    .filter(F.col("cosine") >= pair_threshold)
+                    .select(
+                        F.least("query_id", "neighbor_id").alias("doc_a"),
+                        F.greatest("query_id", "neighbor_id").alias("doc_b"),
+                        F.col("cosine").cast("double").alias("cosine"),
+                    )
+                )
+                # new-vs-new: exact in-batch GEMM on the already-collected
+                # matrix (bounded by max_pair_batch_rows)
+                norms = np.linalg.norm(vecs, axis=1)
+                norms[norms == 0.0] = np.nan
+                vn = vecs / norms[:, None]
+                sims = vn @ vn.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = sims[iu, ju] >= pair_threshold
+                nn_rows = [
+                    (min(ids[i], ids[j]), max(ids[i], ids[j]),
+                     round(float(sims[i, j]), 3))
+                    for i, j in zip(iu[keep], ju[keep])
+                    if ids[i] != ids[j]
+                ]
+                nn = spark.createDataFrame(nn_rows or [], schema)
+                res = hist.unionByName(nn).dropDuplicates(["doc_a", "doc_b"])
+            else:
+                res = spark.createDataFrame([], schema)
+            # pairs land BEFORE the stamped append — the dedup feeds'
+            # effect-order contract: stamp present => pairs durable
+            res.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
         index.add_batch(batch, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
         if maintain_every and (epoch_id + 1) % maintain_every == 0:
             index.maintain(batch_df.sparkSession)

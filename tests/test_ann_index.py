@@ -596,3 +596,88 @@ def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
         os.remove(crc)
     run_all()
     assert sorted(map(tuple, idx.table.to_df(spark).collect())) == state
+
+
+def test_vector_index_stream_pairs_semantic_dedup(spark, tmp_path):
+    """pairs_dir: continuous semantic dedup — each epoch's cosine
+    near-dup pairs (new-vs-history via the pruned index search +
+    new-vs-new exact in-batch) land in pairs_dir/epoch=N before the
+    stamped append; a crash-replayed epoch does not clobber them."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_vector_index_stream,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFIndex.build(LakeCatalog(str(tmp_path / "wh")), "ann", "ivf", seed, n_cells=2)
+
+    indir, ckpt, pairs = str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "pairs")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def write_vecs(name, rows):
+        with open(f"{indir}/{name}", "w") as fh:
+            for vid, vec in rows:
+                fh.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_vector_index_stream(
+            stream, idx, ckpt,
+            pairs_dir=pairs, pair_threshold=0.95, pair_n_probe=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # epoch 0: 10 is a near-dup of stored 1; 11 is new direction
+    write_vecs("e0.jsonl", [(10, [0.999, 0.01, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])])
+    run_all()
+    e0 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{pairs}/epoch=0").collect()}
+    assert e0 == {(1, 10)}
+
+    # epoch 1: 12 and 13 are near-identical (new-vs-new) AND both are
+    # near-dups of stored 11 (new-vs-history)
+    write_vecs("e1.jsonl", [(12, [0.0, 0.0, 0.9, 0.1]), (13, [0.0, 0.0, 0.9, 0.1])])
+    run_all()
+    e1 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{pairs}/epoch=1").collect()}
+    assert e1 == {(11, 12), (11, 13), (12, 13)}
+
+    state = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    # crash window: epoch 1 durable, commit marker wiped — replay must
+    # not recompute/clobber pairs nor double-append
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_all()
+    assert {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{pairs}/epoch=1").collect()} == e1
+    assert sorted(map(tuple, idx.table.to_df(spark).collect())) == state
+
+    # IVFPQ refused: ADC distances are not cosines
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.ann_index import IVFPQIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(32)
+    dim = len(emb.first()["embedding"])
+    pq = IVFPQIndex.build(
+        LakeCatalog(str(tmp_path / "wh2")), "ann", "pq", emb, dim=dim, n_cells=2, m=4, ks=8
+    )
+    with pytest.raises(ValueError, match="IVFIndex"):
+        run_vector_index_stream(None, pq, ckpt, pairs_dir=pairs)
