@@ -604,6 +604,7 @@ def run_vector_index_stream(
     pair_k: int = 5,
     pair_n_probe: int = 4,
     max_pair_batch_rows: int = 100_000,
+    cluster_index=None,
 ):
     """Continuously-maintained ANN index: each micro-batch of embeddings
     is encoded against the FROZEN codebooks (coarse cell + PQ codes for
@@ -661,7 +662,18 @@ def run_vector_index_stream(
     returns ADC distances, not cosines — rerank-based streaming pairs
     are a rebuild-time concern, refused loudly.
 
+    ``cluster_index`` (with ``pairs_dir``) chains each epoch's pairs
+    into a persistent ``ClusterIndex`` — the FULL continuous SemDeDup
+    loop (embeddings stream in, near-dup pairs stream out, cluster
+    assignments stay queryable without re-clustering history), the
+    exact shape ``run_minhash_index_stream(cluster_index=)`` gives the
+    lexical loop.  Cluster admission runs AFTER the pairs land and
+    BEFORE the vector append stamps, carrying its own epoch stamp, so
+    every crash window replays to the identical state.
+
     Returns the started StreamingQuery."""
+    if cluster_index is not None and pairs_dir is None:
+        raise ValueError("cluster_index chains the pairs sink: pass pairs_dir")
     if pairs_dir is not None:
         from ..functions.ann_index import IVFIndex
 
@@ -757,9 +769,13 @@ def run_vector_index_stream(
             # pairs land BEFORE the stamped append — the dedup feeds'
             # effect-order contract: stamp present => pairs durable
             res.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+            if cluster_index is not None:
+                cluster_index.add_batch(res, epoch_id=epoch_id)
         index.add_batch(batch, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
         if maintain_every and (epoch_id + 1) % maintain_every == 0:
             index.maintain(batch_df.sparkSession)
+            if cluster_index is not None:
+                cluster_index.maintain(batch_df.sparkSession)
 
     return (
         vec_stream.writeStream.outputMode("append")

@@ -681,3 +681,85 @@ def test_vector_index_stream_pairs_semantic_dedup(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="IVFIndex"):
         run_vector_index_stream(None, pq, ckpt, pairs_dir=pairs)
+
+
+def test_vector_stream_cluster_chain(spark, tmp_path):
+    """The full continuous SemDeDup loop: embeddings stream in, cosine
+    pairs stream out, and a chained ClusterIndex keeps queryable
+    cluster assignments — identical to clustering all emitted pairs
+    one-shot (min-id canonical)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_vector_index_stream,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFIndex.build(LakeCatalog(str(tmp_path / "wh")), "ann", "ivf", seed, n_cells=2)
+    clusters = ClusterIndex.create(LakeCatalog(str(tmp_path / "cl")), "ann", "cc")
+
+    indir, ckpt, pairs = str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "pairs")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def write_vecs(name, rows):
+        with open(f"{indir}/{name}", "w") as fh:
+            for vid, vec in rows:
+                fh.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_vector_index_stream(
+            stream, idx, ckpt,
+            pairs_dir=pairs, pair_threshold=0.95, pair_n_probe=2,
+            cluster_index=clusters,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_vecs("e0.jsonl", [(10, [0.999, 0.01, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])])
+    run_all()
+    # epoch 1 merges across epochs: 12 pairs with stored 11 AND with 13
+    write_vecs("e1.jsonl", [(12, [0.0, 0.0, 0.9, 0.1]), (13, [0.0, 0.0, 0.9, 0.1])])
+    run_all()
+
+    got = {
+        (r.doc, r.cluster_id, r.is_canonical)
+        for r in clusters.resolve(spark).collect()
+    }
+    assert got == {
+        (1, 1, True), (10, 1, False),
+        (11, 11, True), (12, 11, False), (13, 11, False),
+    }
+    # replay: wiped marker reruns the epoch; cluster state unchanged
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_all()
+    assert {
+        (r.doc, r.cluster_id, r.is_canonical)
+        for r in clusters.resolve(spark).collect()
+    } == got
+
+    # cluster_index without pairs_dir is a config error
+    import pytest
+
+    with pytest.raises(ValueError, match="pairs_dir"):
+        run_vector_index_stream(None, idx, ckpt, cluster_index=clusters)
