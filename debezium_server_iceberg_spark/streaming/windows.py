@@ -718,15 +718,16 @@ def run_vector_index_stream(
             import numpy as np
 
             spark = batch_df.sparkSession
-            rows = batch.select(id_col, vec_col).collect()
-            if len(rows) > max_pair_batch_rows:
+            n_batch = batch.count()
+            if n_batch > max_pair_batch_rows:
                 raise ValueError(
-                    f"micro-batch of {len(rows)} vectors exceeds "
+                    f"micro-batch of {n_batch} vectors exceeds "
                     f"max_pair_batch_rows={max_pair_batch_rows}; the pairs "
                     "sink is CDC-batch-sized (the batch IS the search's "
                     "query matrix) — backfill-sized corpora go through the "
                     "one-shot semantic-dedup operator, then seed the stream"
                 )
+            rows = batch.select(id_col, vec_col).collect()
             schema = "doc_a long, doc_b long, cosine double"
             if rows:
                 ids = [int(r[id_col]) for r in rows]
@@ -770,7 +771,13 @@ def run_vector_index_stream(
             # effect-order contract: stamp present => pairs durable
             res.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
             if cluster_index is not None:
-                cluster_index.add_batch(res, epoch_id=epoch_id)
+                # admit the DURABLE pairs (read-back), not the live plan —
+                # re-executing `res` inside add_batch would re-run the
+                # index search for identical rows
+                cluster_index.add_batch(
+                    spark.read.parquet(f"{pairs_dir}/epoch={epoch_id}"),
+                    epoch_id=epoch_id,
+                )
         index.add_batch(batch, id_col=id_col, vec_col=vec_col, epoch_id=epoch_id)
         if maintain_every and (epoch_id + 1) % maintain_every == 0:
             index.maintain(batch_df.sparkSession)
