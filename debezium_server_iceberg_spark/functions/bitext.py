@@ -36,7 +36,11 @@ Distributed shape, and why it scales:
 
 Float contract: cosines/margins round to 3 decimals on output, the
 repo-wide GEMM-vs-SQL tolerance (~1e-15 disagreement absorbed by 1e-3
-rounding).
+rounding) — and the ROUNDED margin also drives the threshold filter
+and the per-source argmax, because an unrounded float boundary lets
+accumulation noise decide when a corpus carries exact-duplicate
+vectors (true margin exactly 1.0: the knife-edge the replicated sf1
+slice exposed).
 """
 
 from __future__ import annotations
@@ -151,12 +155,18 @@ def bitext_margin_pairs(
             (F.col("cos") / ((F.col("avg_s") + F.col("avg_t")) / 2)).alias("_m"),
         )
     )
+    # argmax and threshold both use the ROUNDED margin: margins are
+    # float accumulations, and an unrounded boundary lets ~1e-15 sum
+    # noise decide — a corpus with exact-duplicate vectors (top pairs'
+    # true margin EXACTLY threshold) flips between engines/runs on the
+    # raw value (seen at the replicated-sf1 slice).  At 3 decimals the
+    # noise is dead and duplicate ties break deterministically by id.
     pick = Window.partitionBy("src_id").orderBy(
-        F.col("_m").desc(), F.col("tgt_id").asc()
+        F.round("_m", 3).desc(), F.col("tgt_id").asc()
     )
     return (
         margin.withColumn("_rn", F.row_number().over(pick))
-        .filter((F.col("_rn") == 1) & (F.col("_m") > threshold))
+        .filter((F.col("_rn") == 1) & (F.round("_m", 3) > threshold))
         .select(
             "src_id",
             "tgt_id",

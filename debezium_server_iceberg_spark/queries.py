@@ -3761,12 +3761,12 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE k.r <= 4
     ), best AS (
       SELECT sid, tid, cos, m, row_number() OVER (
-        PARTITION BY sid ORDER BY m DESC, tid ASC) AS rn
+        PARTITION BY sid ORDER BY round(m, 3) DESC, tid ASC) AS rn
       FROM cand
     )
     SELECT sid AS src_id, tid AS tgt_id,
            round(cos, 3) AS cosine, round(m, 3) AS margin
-    FROM best WHERE rn = 1 AND m > 1.0
+    FROM best WHERE rn = 1 AND round(m, 3) > 1.0
     """,
 )
 def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
