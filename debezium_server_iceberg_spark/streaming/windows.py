@@ -472,6 +472,13 @@ def run_minhash_index_stream(
       once (the front guard covers full-epoch replays; this covers the
       half-applied window an idempotent removal doesn't need).
 
+    Events with a NULL before-image are skipped for removal (the
+    tombstone-skip precedent: raising would poison-pill the replayed
+    batch) — conservative for the index (old counts persist until a
+    fold/rebuild), but a source without full before images (e.g.
+    Postgres without REPLICA IDENTITY FULL) under-removes; route such
+    feeds to ``MinHashIndex`` (id-keyed removal) instead.
+
     ``cluster_index`` removal stays a maintenance concern
     (``maintain(removed_docs=)`` on the operator's cadence): cluster
     state keeps no per-doc text and re-election is the explicit heavy
