@@ -1181,3 +1181,102 @@ def test_stream_op_aware_substring_replay_preserves_counts(spark, tmp_path):
     assert sorted(
         map(tuple, idx.table.to_df(spark).groupBy("_h").sum("n_docs").collect())
     ) == sums
+
+
+def test_soak_cdc_minhash_feed_random_ops(spark, tmp_path):
+    """Model-based soak for the op-aware feed: a seeded random CDC
+    history (per-doc create/update/delete chains across 4 epochs, one
+    stream restart per epoch, one crash-replay in the middle) must
+    leave the band index IDENTICAL to one built fresh from the
+    surviving corpus — band rows are a pure function of (doc, final
+    text), so any removal/replay bug shows as a row diff."""
+    import json as _json
+    import os
+    import random
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    rng = random.Random(13)
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long winter trip",
+        "completely different content with no shared shingles at all here",
+        "sphinx of black quartz judge my vow said the typesetter slowly",
+        "a stitch in time saves nine but only if the thread holds tight",
+        "to be or not to be that is the question asked every night",
+    ]
+    docs = list(range(1, 9))
+    alive: dict[int, str] = {}
+    ts = 0
+    epochs = []
+    for _ in range(4):
+        events = []
+        for d in rng.sample(docs, rng.randint(2, 6)):
+            for _ in range(rng.randint(1, 2)):
+                ts += 1
+                if d not in alive:
+                    txt = rng.choice(TEXTS)
+                    events.append((d, txt, "c", ts))
+                    alive[d] = txt
+                elif rng.random() < 0.3:
+                    events.append((d, None, "d", ts))
+                    del alive[d]
+                else:
+                    txt = rng.choice(TEXTS)
+                    events.append((d, txt, "u", ts))
+                    alive[d] = txt
+        epochs.append(events)
+
+    idx = MinHashIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "idx")
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_minhash_index_stream(
+            stream, idx, str(tmp_path / "pairs"), ckpt,
+            op_col="__op", ts_col="ts",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for i, events in enumerate(epochs):
+        with open(f"{indir}/e{i}.jsonl", "w") as fh:
+            for doc_id, text, op, t in events:
+                fh.write(_json.dumps(
+                    {"doc_id": doc_id, "text": text, "__op": op, "ts": t}
+                ) + "\n")
+        run_all()  # restart per epoch: checkpoint recovery every time
+        if i == 1:  # crash-replay epoch 1 (commit marker wiped)
+            os.remove(os.path.join(ckpt, "commits", "1"))
+            crc = os.path.join(ckpt, "commits", ".1.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            run_all()
+
+    assert alive, "seed produced an empty surviving corpus"
+    final = spark.createDataFrame(
+        sorted(alive.items()), "doc_id long, text string"
+    )
+    ref = MinHashIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "idx")
+    ref.add_batch(final)
+    got = sorted(map(tuple, idx.table.to_df(spark).collect()))
+    want = sorted(map(tuple, ref.table.to_df(spark).collect()))
+    assert got == want
+    assert len(got) > 0
