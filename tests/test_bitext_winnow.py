@@ -125,3 +125,38 @@ def test_winnowing_short_docs_absent(spark):
     )
     rows = winnowing_fingerprints(df).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_exact_duplicate_corpus_margin_knife_edge_is_deterministic(spark):
+    """A corpus of exact-duplicate vectors puts every top pair's TRUE
+    margin exactly at the 1.0 threshold — the sf1-replication shape.
+    With the threshold and argmax on the ROUNDED margin, accumulation
+    noise cannot push a 1.0-margin pair over the line: the output must
+    be EMPTY and stable across runs (an unrounded boundary returned 0
+    or 20 rows depending on ~1e-15 sum order)."""
+    rng = np.random.RandomState(11)
+    base = [rng.randn(8) for _ in range(5)]
+    rows = []
+    vid = 0
+    for copy in range(4):  # 4 exact copies of each vector on EACH side
+        for b in base:
+            rows.append((vid, b, 0)); vid += 1
+            rows.append((vid, b, 1)); vid += 1
+    df = _emb_df(spark, rows)
+    for _ in range(2):
+        got = bitext_margin_pairs(df, lang_col="lang", k=4, threshold=1.0)
+        assert got.count() == 0
+    # and a genuinely-above-threshold pair still mines in the same corpus
+    planted_s = 10_000
+    planted_t = 10_001
+    v = rng.randn(8)
+    df2 = _emb_df(
+        spark, rows + [(planted_s, v, 0), (planted_t, v * 1.0 + 1e-6, 1)]
+    )
+    mined = {
+        (r.src_id, r.tgt_id)
+        for r in bitext_margin_pairs(
+            df2, lang_col="lang", k=4, threshold=1.0
+        ).collect()
+    }
+    assert (planted_s, planted_t) in mined
