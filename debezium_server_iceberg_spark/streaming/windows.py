@@ -756,20 +756,31 @@ def run_vector_index_stream(
                         F.col("cosine").cast("double").alias("cosine"),
                     )
                 )
-                # new-vs-new: exact in-batch GEMM on the already-collected
-                # matrix (bounded by max_pair_batch_rows)
+                # new-vs-new: exact in-batch GEMM, BLOCKED — a full n x n
+                # similarity matrix is O(batch^2) doubles (80 GB at the
+                # 100k guard); row-chunks keep peak memory ~chunk x n
+                # while extraction stays output-sized (np.nonzero on the
+                # thresholded block)
                 norms = np.linalg.norm(vecs, axis=1)
                 norms[norms == 0.0] = np.nan
                 vn = vecs / norms[:, None]
-                sims = vn @ vn.T
-                iu, ju = np.triu_indices(len(ids), k=1)
-                keep = sims[iu, ju] >= pair_threshold
-                nn_rows = [
-                    (min(ids[i], ids[j]), max(ids[i], ids[j]),
-                     round(float(sims[i, j]), 3))
-                    for i, j in zip(iu[keep], ju[keep])
-                    if ids[i] != ids[j]
-                ]
+                n = len(ids)
+                chunk = max(1, min(n, 8_000_000 // max(n, 1)))
+                nn_rows = []
+                for s in range(0, n, chunk):
+                    block = vn[s : s + chunk] @ vn.T  # (chunk, n)
+                    bi, bj = np.nonzero(block >= pair_threshold)
+                    for i_, j_ in zip(bi, bj):
+                        gi = s + int(i_)
+                        gj = int(j_)
+                        if gi < gj and ids[gi] != ids[gj]:
+                            nn_rows.append(
+                                (
+                                    min(ids[gi], ids[gj]),
+                                    max(ids[gi], ids[gj]),
+                                    round(float(block[i_, j_]), 3),
+                                )
+                            )
                 nn = spark.createDataFrame(nn_rows or [], schema)
                 res = hist.unionByName(nn).dropDuplicates(["doc_a", "doc_b"])
             else:
