@@ -1280,3 +1280,106 @@ def test_soak_cdc_minhash_feed_random_ops(spark, tmp_path):
     want = sorted(map(tuple, ref.table.to_df(spark).collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_soak_cdc_substring_feed_random_ops(spark, tmp_path):
+    """Model-based soak for the ARITHMETIC index's CDC routing: a seeded
+    random history (create/update/delete chains with faithful
+    before-images, 4 epochs, restart per epoch, a crash-replay in the
+    middle) must leave the folded gram inversion IDENTICAL to one built
+    from the surviving corpus — any double-uncount, missed removal, or
+    replayed negative append shows as a count diff."""
+    import json as _json
+    import os
+    import random
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    rng = random.Random(17)
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long winter trip",
+        "completely different content with no shared shingles at all here",
+        "sphinx of black quartz judge my vow said the typesetter slowly",
+        "a stitch in time saves nine but only if the thread holds tight",
+    ]
+    docs = list(range(1, 8))
+    alive: dict[int, str] = {}
+    ts = 0
+    epochs = []
+    for _ in range(4):
+        events = []
+        for d in rng.sample(docs, rng.randint(2, 5)):
+            for _ in range(rng.randint(1, 2)):
+                ts += 1
+                if d not in alive:
+                    txt = rng.choice(TEXTS)
+                    events.append((d, txt, None, "c", ts))
+                    alive[d] = txt
+                elif rng.random() < 0.3:
+                    events.append((d, None, alive[d], "d", ts))
+                    del alive[d]
+                else:
+                    txt = rng.choice(TEXTS)
+                    events.append((d, txt, alive[d], "u", ts))
+                    alive[d] = txt
+        epochs.append(events)
+
+    idx = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub", k=4)
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_dedup_index_stream(
+            stream, idx, str(tmp_path / "pairs"), ckpt,
+            op_col="__op", ts_col="ts", before_col="before",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for i, events in enumerate(epochs):
+        with open(f"{indir}/e{i}.jsonl", "w") as fh:
+            for doc_id, text, before, op, t in events:
+                fh.write(_json.dumps(
+                    {"doc_id": doc_id, "text": text, "before": before,
+                     "__op": op, "ts": t}
+                ) + "\n")
+        run_all()
+        if i == 1:
+            os.remove(os.path.join(ckpt, "commits", "1"))
+            crc = os.path.join(ckpt, "commits", ".1.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            run_all()
+
+    assert alive, "seed produced an empty surviving corpus"
+    idx.maintain(spark, fold=True)
+    final = spark.createDataFrame(
+        sorted(alive.items()), "doc_id long, text string"
+    )
+    ref = SubstringIndex.create(LakeCatalog(str(tmp_path / "ref")), "dd", "sub", k=4)
+    ref.add_batch(final)
+    ref.maintain(spark, fold=True)
+    got = sorted(map(tuple, idx.table.to_df(spark).select("_h", "n_docs").collect()))
+    want = sorted(map(tuple, ref.table.to_df(spark).select("_h", "n_docs").collect()))
+    assert got == want
+    assert len(got) > 0
