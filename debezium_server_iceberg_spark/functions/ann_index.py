@@ -142,10 +142,15 @@ class IVFIndex:
         vec_col: str = "embedding",
         train: str = "hash",
         train_iters: int = 5,
+        admit_rows: bool = True,
     ) -> "IVFIndex":
         """``train='hash'`` uses the zero-pass deterministic codebook;
         ``train='kmeans'`` runs ``train_iters`` spherical-k-means passes
-        first (better-balanced cells, higher recall per probed cell)."""
+        first (better-balanced cells, higher recall per probed cell).
+        ``admit_rows=False`` trains the codebook on ``df`` but stores
+        NOTHING — the FAISS train-then-add shape, seeding an empty index
+        for a streaming feed (``run_vector_index_stream``) whose epochs
+        admit the rows."""
         if train == "kmeans":
             cmat = train_kmeans_codebook(
                 df, n_cells, n_iters=train_iters, id_col=id_col, vec_col=vec_col
@@ -177,7 +182,8 @@ class IVFIndex:
             },
         )
         idx = IVFIndex(table)
-        idx.add_batch(df, id_col=id_col, vec_col=vec_col)
+        if admit_rows:
+            idx.add_batch(df, id_col=id_col, vec_col=vec_col)
         return idx
 
     # ------------------------------------------------------- incremental
@@ -245,6 +251,17 @@ class IVFIndex:
         field (indexes built before removal support need a rebuild —
         ``commit_row_delta`` raises on them).  Returns the deleted key
         count."""
+        if "vec_id" not in self.table.metadata().identifier_fields:
+            # pre-removal-support index tables (built before r13 declared
+            # the delete key) would otherwise fail per-batch inside the
+            # streaming feed's foreachBatch with the generic
+            # commit_row_delta error and no hint that a rebuild fixes it
+            raise ValueError(
+                f"index table {self.table.location} does not declare "
+                "vec_id as an identifier field (built before removal "
+                "support) — rebuild the index (build() on the live "
+                "corpus) to enable remove_vectors / op-aware streaming"
+            )
         if isinstance(vec_ids, DataFrame):
             keys = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
         else:

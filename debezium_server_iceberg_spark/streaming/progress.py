@@ -30,6 +30,50 @@ class ProgressSnapshot:
         return self.total_input_rows / elapsed
 
 
+@dataclass
+class RemovalCounters:
+    """Per-epoch removal observability for the CDC index feeds
+    (``run_minhash_index_stream(counters=)``): how many docs each epoch
+    REMOVED from the index, and how many d/u events were SKIPPED for
+    removal because their before-image was null (a source without full
+    before images — e.g. Postgres without REPLICA IDENTITY FULL —
+    under-removes the arithmetic SubstringIndex; the per-row skip is
+    deliberate and documented, but the DRIFT must be operator-visible,
+    not silent).  A nonzero skip logs a warning naming the routing fix.
+
+    In-memory, at-least-once observability (a crash-window replay may
+    re-record an epoch) — alarms and dashboards, not exactly-once
+    state."""
+
+    epochs: dict[int, dict[str, int]] = field(default_factory=dict)
+
+    def record(
+        self, epoch_id: int, removed: int = 0, skipped_null_before: int = 0
+    ) -> None:
+        e = self.epochs.setdefault(
+            int(epoch_id), {"removed": 0, "skipped_null_before": 0}
+        )
+        e["removed"] += int(removed)
+        e["skipped_null_before"] += int(skipped_null_before)
+        if skipped_null_before:
+            log.warning(
+                "epoch %d: %d d/u event(s) skipped for removal (null "
+                "before-image) — the index under-removes; use REPLICA "
+                "IDENTITY FULL upstream or route the feed to MinHashIndex "
+                "(id-keyed removal needs no before image)",
+                epoch_id,
+                skipped_null_before,
+            )
+
+    @property
+    def total_removed(self) -> int:
+        return sum(e["removed"] for e in self.epochs.values())
+
+    @property
+    def total_skipped_null_before(self) -> int:
+        return sum(e["skipped_null_before"] for e in self.epochs.values())
+
+
 class ConsumerProgressListener(StreamingQueryListener):
     """Accumulates throughput stats per streaming query; logs a summary line
     every ``log_interval_s`` seconds (default 15 min, matching the

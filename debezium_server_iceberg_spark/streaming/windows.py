@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _rmtree_quiet(path: str) -> None:
+    """Best-effort cleanup of a local staging directory (underscore-
+    prefixed, so Spark readers ignore it even if cleanup is skipped)."""
+    import shutil
+
+    shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+
+
 def tumbling_counts(
     events: DataFrame,
     window_len: str = "5 minutes",
@@ -399,6 +407,7 @@ def run_minhash_index_stream(
     op_col: str | None = None,
     ts_col: str | None = None,
     before_col: str | None = None,
+    counters=None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -477,7 +486,11 @@ def run_minhash_index_stream(
     batch) — conservative for the index (old counts persist until a
     fold/rebuild), but a source without full before images (e.g.
     Postgres without REPLICA IDENTITY FULL) under-removes; route such
-    feeds to ``MinHashIndex`` (id-keyed removal) instead.
+    feeds to ``MinHashIndex`` (id-keyed removal) instead.  Pass
+    ``counters`` (a ``streaming/progress.RemovalCounters``) to make that
+    drift OBSERVABLE: per-epoch ``removed`` / ``skipped_null_before``
+    counts, with a warning logged the moment an epoch skips — in-memory
+    at-least-once observability, not exactly-once state.
 
     ``cluster_index`` removal stays a maintenance concern
     (``maintain(removed_docs=)`` on the operator's cadence): cluster
@@ -539,13 +552,28 @@ def run_minhash_index_stream(
                 from pyspark.sql import Window
 
                 w = Window.partitionBy(id_col).orderBy(F.col(ts_col).asc())
-                earliest = (
+                candidates = (
                     batch.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .filter(F.col(op_col).isin("d", "u"))
-                    .filter(F.col(before_col).isNotNull())
-                    .select(id_col, F.col(before_col).alias(text_col))
                 )
+                earliest = candidates.filter(
+                    F.col(before_col).isNotNull()
+                ).select(id_col, F.col(before_col).alias(text_col))
+                if counters is not None:
+                    # one batch-sized agg: removal vs skipped-for-null
+                    # counts per epoch — the documented under-removal
+                    # bias made operator-visible (a nonzero skip warns
+                    # with the routing fix)
+                    c = candidates.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(before_col).alias("with_before"),
+                    ).collect()[0]
+                    counters.record(
+                        epoch_id,
+                        removed=int(c["with_before"]),
+                        skipped_null_before=int(c["n"]) - int(c["with_before"]),
+                    )
                 if earliest.limit(1).count():
                     index.remove_docs(
                         earliest,
@@ -564,7 +592,11 @@ def run_minhash_index_stream(
                     .select(F.col(id_col).cast("long").alias("doc"))
                     .distinct()
                 )
-                if touched.limit(1).count():
+                n_touched = touched.count()
+                if counters is not None:
+                    # id-keyed removal needs no before image: never skips
+                    counters.record(epoch_id, removed=n_touched)
+                if n_touched:
                     index.remove_docs(batch.sparkSession, touched)
             batch = final.filter(F.col(op_col) != "d").drop(
                 op_col,
@@ -595,6 +627,129 @@ def run_minhash_index_stream(
 # add_batch(docs, text_col, id_col, epoch_id, on_result) -> DataFrame|None
 # plugs in (SubstringIndex shares the exactly-once contract)
 run_dedup_index_stream = run_minhash_index_stream
+
+
+def emit_vector_epoch_pairs(
+    index,
+    batch: DataFrame,
+    pairs_dir: str,
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_threshold: float = 0.9,
+    pair_k: int = 5,
+    pair_n_probe: int = 4,
+    max_pair_batch_rows: int = 100_000,
+) -> None:
+    """One epoch of the continuous-semantic-dedup pairs loop, shared by
+    ``run_vector_index_stream`` (its per-trigger body) and batch
+    callers (the driver gate's batch face; backfills re-running a
+    single epoch).  Writes the epoch's deduplicated cosine near-dup
+    pairs to ``pairs_dir/epoch=N`` (mode=overwrite; deterministic, so
+    replays recompute identical rows).  Semantics and scale shape are
+    documented on ``run_vector_index_stream``: new-vs-history through
+    the index's own partition-pruned search, new-vs-new through a
+    row-chunked exact GEMM whose per-chunk pairs SPILL to an
+    underscore-hidden staging sink (pair volume can be O(batch²) even
+    when the matrix is chunked — it must never accumulate driver-side),
+    both thresholded on the ROUNDED (3-decimal) cosine so the two
+    sources share one boundary, then one ``groupBy(pair).max(cosine)``
+    so a pair arriving from both sources keeps a deterministic score."""
+    import numpy as np
+
+    spark = batch.sparkSession
+    n_batch = batch.count()
+    if n_batch > max_pair_batch_rows:
+        raise ValueError(
+            f"micro-batch of {n_batch} vectors exceeds "
+            f"max_pair_batch_rows={max_pair_batch_rows}; the pairs "
+            "sink is CDC-batch-sized (the batch IS the search's "
+            "query matrix) — backfill-sized corpora go through the "
+            "one-shot semantic-dedup operator, then seed the stream"
+        )
+    rows = batch.select(id_col, vec_col).collect()
+    schema = "doc_a long, doc_b long, cosine double"
+    epoch_path = f"{pairs_dir}/epoch={epoch_id}"
+    # underscore prefix => Spark's file index (and therefore
+    # spark.read.parquet(pairs_dir)) ignores it; a crashed epoch
+    # leaves only invisible staging debris, overwritten on replay
+    staging = f"{pairs_dir}/_staging_epoch={epoch_id}"
+    if rows:
+        ids = [int(r[id_col]) for r in rows]
+        vecs = np.array(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )
+        # new-vs-history: the index's own partition-pruned search
+        # (a CDC feed's removals have already committed by now, so
+        # stale/deleted rows cannot match); search rounds cosine to 3
+        # decimals, so the threshold applies to the ROUNDED value —
+        # the in-batch path below shares that boundary
+        (
+            index.search(
+                spark, ids, k=pair_k, n_probe=pair_n_probe,
+                query_vecs=vecs,
+            )
+            .filter(F.col("cosine") >= pair_threshold)
+            .select(
+                F.least("query_id", "neighbor_id").alias("doc_a"),
+                F.greatest("query_id", "neighbor_id").alias("doc_b"),
+                F.col("cosine").cast("double").alias("cosine"),
+            )
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        # new-vs-new: exact in-batch GEMM, BLOCKED — a full n x n
+        # similarity matrix is O(batch^2) doubles (80 GB at the
+        # 100k guard); row-chunks keep peak memory ~chunk x n.
+        # Each chunk's pairs SPILL to the staging sink immediately
+        # (vectorized extraction, no Python-tuple list): a near-
+        # duplicate-heavy batch can emit O(batch^2) pairs even
+        # when the matrix itself stays chunked, so pair volume
+        # must never accumulate driver-side
+        ids_arr = np.array(ids, dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = np.nan
+        vn = vecs / norms[:, None]
+        n = len(ids)
+        chunk = max(1, min(n, 8_000_000 // max(n, 1)))
+        for s in range(0, n, chunk):
+            # threshold on the ROUNDED cosine — the same boundary
+            # as the stored-history path, so a 0.8996 pair cannot
+            # be kept from one source and dropped from the other
+            block = np.round(vn[s : s + chunk] @ vn.T, 3)
+            bi, bj = np.nonzero(block >= pair_threshold)
+            gi = bi.astype(np.int64) + s
+            gj = bj.astype(np.int64)
+            keep = (gi < gj) & (ids_arr[gi] != ids_arr[gj])
+            if not keep.any():
+                continue
+            a_ids = ids_arr[gi[keep]]
+            b_ids = ids_arr[gj[keep]]
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_a": np.minimum(a_ids, b_ids),
+                        "doc_b": np.maximum(a_ids, b_ids),
+                        "cosine": block[bi[keep], bj[keep]],
+                    }
+                ),
+                schema,
+            ).write.mode("append").parquet(staging)
+        # one deterministic pair per (doc_a, doc_b): max cosine —
+        # the same pair can arrive from BOTH sources (an id in the
+        # batch AND still stored, e.g. re-sent without op_col
+        # routing); an arbitrary keep would let a crash replay
+        # rewrite epoch=N with a different cosine
+        res = (
+            spark.read.schema(schema).parquet(staging)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+    else:
+        res = spark.createDataFrame([], schema)
+    res.write.mode("overwrite").parquet(epoch_path)
+    if rows:
+        _rmtree_quiet(staging)
 
 
 def run_vector_index_stream(
@@ -690,6 +845,17 @@ def run_vector_index_stream(
                 "search returns ADC distances — run exact rerank offline "
                 "or use an IVFIndex for the streaming dedup feed"
             )
+    if op_col is not None and "vec_id" not in index.table.metadata().identifier_fields:
+        # fail at stream SETUP, not per-batch inside foreachBatch: an
+        # op-aware feed over a pre-removal-support index table would
+        # poison-pill every micro-batch carrying a d/u event with the
+        # generic commit_row_delta error and no hint that a rebuild fixes it
+        raise ValueError(
+            f"op-aware feed needs remove_vectors: index table "
+            f"{index.table.location} does not declare vec_id as an "
+            "identifier field (built before removal support) — rebuild "
+            "the index (build() on the live corpus) first"
+        )
 
     def process(batch_df, epoch_id):
         from ..functions.incremental import epoch_already_applied
@@ -722,72 +888,21 @@ def run_vector_index_stream(
                 *([ts_col] if ts_col and ts_col in final.columns else []),
             )
         if pairs_dir is not None:
-            import numpy as np
-
             spark = batch_df.sparkSession
-            n_batch = batch.count()
-            if n_batch > max_pair_batch_rows:
-                raise ValueError(
-                    f"micro-batch of {n_batch} vectors exceeds "
-                    f"max_pair_batch_rows={max_pair_batch_rows}; the pairs "
-                    "sink is CDC-batch-sized (the batch IS the search's "
-                    "query matrix) — backfill-sized corpora go through the "
-                    "one-shot semantic-dedup operator, then seed the stream"
-                )
-            rows = batch.select(id_col, vec_col).collect()
-            schema = "doc_a long, doc_b long, cosine double"
-            if rows:
-                ids = [int(r[id_col]) for r in rows]
-                vecs = np.array(
-                    [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
-                )
-                # new-vs-history: the index's own partition-pruned search
-                # (removals above already committed, so stale/deleted
-                # rows cannot match)
-                hist = (
-                    index.search(
-                        spark, ids, k=pair_k, n_probe=pair_n_probe,
-                        query_vecs=vecs,
-                    )
-                    .filter(F.col("cosine") >= pair_threshold)
-                    .select(
-                        F.least("query_id", "neighbor_id").alias("doc_a"),
-                        F.greatest("query_id", "neighbor_id").alias("doc_b"),
-                        F.col("cosine").cast("double").alias("cosine"),
-                    )
-                )
-                # new-vs-new: exact in-batch GEMM, BLOCKED — a full n x n
-                # similarity matrix is O(batch^2) doubles (80 GB at the
-                # 100k guard); row-chunks keep peak memory ~chunk x n
-                # while extraction stays output-sized (np.nonzero on the
-                # thresholded block)
-                norms = np.linalg.norm(vecs, axis=1)
-                norms[norms == 0.0] = np.nan
-                vn = vecs / norms[:, None]
-                n = len(ids)
-                chunk = max(1, min(n, 8_000_000 // max(n, 1)))
-                nn_rows = []
-                for s in range(0, n, chunk):
-                    block = vn[s : s + chunk] @ vn.T  # (chunk, n)
-                    bi, bj = np.nonzero(block >= pair_threshold)
-                    for i_, j_ in zip(bi, bj):
-                        gi = s + int(i_)
-                        gj = int(j_)
-                        if gi < gj and ids[gi] != ids[gj]:
-                            nn_rows.append(
-                                (
-                                    min(ids[gi], ids[gj]),
-                                    max(ids[gi], ids[gj]),
-                                    round(float(block[i_, j_]), 3),
-                                )
-                            )
-                nn = spark.createDataFrame(nn_rows or [], schema)
-                res = hist.unionByName(nn).dropDuplicates(["doc_a", "doc_b"])
-            else:
-                res = spark.createDataFrame([], schema)
             # pairs land BEFORE the stamped append — the dedup feeds'
             # effect-order contract: stamp present => pairs durable
-            res.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+            emit_vector_epoch_pairs(
+                index,
+                batch,
+                pairs_dir=pairs_dir,
+                epoch_id=epoch_id,
+                id_col=id_col,
+                vec_col=vec_col,
+                pair_threshold=pair_threshold,
+                pair_k=pair_k,
+                pair_n_probe=pair_n_probe,
+                max_pair_batch_rows=max_pair_batch_rows,
+            )
             if cluster_index is not None:
                 # admit the DURABLE pairs (read-back), not the live plan —
                 # re-executing `res` inside add_batch would re-run the

@@ -598,6 +598,57 @@ def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
     assert sorted(map(tuple, idx.table.to_df(spark).collect())) == state
 
 
+def test_emit_epoch_pairs_multichunk_spill_matches_numpy(spark, tmp_path):
+    """The pairs body's chunked-GEMM spill path (chunk < n forces
+    multiple staging appends) produces exactly the numpy brute-force
+    pairs at the rounded-cosine threshold, with no staging debris
+    visible to a pairs_dir reader — pins the r14 bounded-driver-memory
+    rewrite (ADVICE: pair volume must never accumulate driver-side)."""
+    import numpy as np
+
+    from debezium_server_iceberg_spark.streaming.windows import (
+        emit_vector_epoch_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 3000, 8  # chunk = 8M // 3000 = 2666 < n => 2 chunks
+    vecs = rng.normal(size=(n, dim))
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    # empty index (train-then-add): all pairs come from the in-batch GEMM
+    idx = IVFIndex.build(
+        LakeCatalog(str(tmp_path / "wh")), "ann", "ivf", batch,
+        n_cells=4, admit_rows=False,
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    thr = 0.8
+    emit_vector_epoch_pairs(
+        idx, batch, pairs_dir=pairs_dir, epoch_id=0,
+        pair_threshold=thr, pair_n_probe=4, pair_k=64,
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = np.round(vn @ vn.T, 3)
+    want = {
+        (i, j, sims[i, j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= thr
+    }
+    assert want, "seed produced no pairs; test would be vacuous"
+    got = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == want
+    # staging cleaned up; even if it weren't, the underscore prefix
+    # hides it from the partitioned read above
+    import os
+
+    assert not any(e.startswith("_staging") for e in os.listdir(pairs_dir))
+
+
 def test_vector_index_stream_pairs_semantic_dedup(spark, tmp_path):
     """pairs_dir: continuous semantic dedup — each epoch's cosine
     near-dup pairs (new-vs-history via the pruned index search +
