@@ -748,6 +748,14 @@ class ClusterIndex:
     persistent indexes.
     """
 
+    #: guard on the ONE remaining data-dependent driver fetch
+    #: (`_merge_map` chases the merges table driver-side): merge events
+    #: are component-merge-count-sized and `maintain()` folds them, so a
+    #: healthy feed stays orders of magnitude below this — crossing it
+    #: means maintain() never ran, and the fetch must not grow unbounded
+    #: (the `small_edge_threshold` discipline, one function up)
+    merge_chain_threshold: int = 500_000
+
     def __init__(self, assign: LakeTable, merges: LakeTable) -> None:
         self.assign = assign
         self.merges = merges
@@ -834,11 +842,26 @@ class ClusterIndex:
         return idx
 
     # ------------------------------------------------------------ helpers
-    def _merge_map(self, spark) -> dict[int, int]:
+    def _merge_map(self, spark, guard: bool = True) -> dict[int, int]:
         """The merge chain since the last maintain, chased to fixed
         point driver-side.  Size contract: one entry per cluster-merge
         EVENT between maintains — planning-scale (call ``maintain`` on a
-        cadence to keep it so)."""
+        cadence to keep it so).  GUARDED: the physical row count (free
+        off file stats, no scan) must stay under
+        ``merge_chain_threshold`` — a feed that never maintains would
+        otherwise grow this fetch without bound.  ``maintain()`` itself
+        runs unguarded (it IS the recovery path the error names, and the
+        explicit heavy op by contract)."""
+        n_events = self.merges.row_count()
+        if guard and n_events > self.merge_chain_threshold:
+            raise RuntimeError(
+                f"merges table holds {n_events} merge events, over "
+                f"merge_chain_threshold={self.merge_chain_threshold}: "
+                "the driver-side merge-chain fetch is maintain-cadence-"
+                "bounded by contract — call maintain() (folds events "
+                "into assign and empties merges), or raise the "
+                "threshold if the driver can hold the chain"
+            )
         raw = {}
         for r in self.merges.to_df(spark).collect():
             old, new = int(r["old_rep"]), int(r["new_rep"])
@@ -1090,11 +1113,11 @@ class ClusterIndex:
             (F.col("doc") == F.col("rep")).alias("is_canonical"),
         )
 
-    def resolve(self, spark) -> DataFrame:
+    def resolve(self, spark, _mmap: dict[int, int] | None = None) -> DataFrame:
         """CURRENT clustering of every ever-seen doc:
         ``(doc, cluster_id, is_canonical)`` — one scan of ``assign`` with
         the (driver-chased, broadcast) merge map joined in; no shuffle."""
-        mmap = self._merge_map(spark)
+        mmap = self._merge_map(spark) if _mmap is None else _mmap
         assign = self.assign.to_df(spark)
         if mmap:
             mdf = F.broadcast(
@@ -1111,7 +1134,12 @@ class ClusterIndex:
             (F.col("doc") == F.col("rep")).alias("is_canonical"),
         )
 
-    def maintain(self, spark, removed_docs: DataFrame | list | None = None) -> int:
+    def maintain(
+        self,
+        spark,
+        removed_docs: DataFrame | list | None = None,
+        pairs_dir: str | None = None,
+    ) -> int:
         """Fold accumulated merge events into ``assign`` (full rewrite —
         the EXPLICIT heavy op; per-batch admission stays epoch-sized
         because this runs on a cadence) and empty ``merges``; then
@@ -1126,11 +1154,29 @@ class ClusterIndex:
         the min REMAINING member id, restoring the canonical=min
         invariant — so an erasure batch never forces a rebuild.  Caveat,
         inherent to union-find state (no pairs are stored): connectivity
-        that ran THROUGH a removed bridge doc is retained, not re-split;
-        a strict re-split needs a rebuild from the pair source.
+        that ran THROUGH a removed bridge doc is retained, not re-split.
         Removal is idempotent (re-removing absent docs is a no-op
-        anti-join)."""
-        mmap = self._merge_map(spark)
+        anti-join).
+
+        ``pairs_dir`` (with ``removed_docs``) upgrades removal to STRICT
+        SPLIT: the affected components — only those — are re-clustered
+        from the durable pairs log (the ``pairs_dir`` both stream feeds
+        write per epoch), minus the removed docs, so removing a bridge
+        doc genuinely disconnects what only it connected (legal hold /
+        poisoned-doc quarantine — the reference's delete semantics,
+        BaseDeltaTaskWriter.java:60-71, never leave ghost rows either).
+        Cost: one scan of the pairs log filtered to the affected
+        components' members (every join is component-sized on one side;
+        the re-cluster input is the surviving pairs of the affected
+        components only — component-sized, not corpus-sized).
+        Requires the log to be COMPLETE for the affected components:
+        connectivity admitted outside it (a ``seed()`` backfill whose
+        one-shot pairs were not logged) would over-split — seeded
+        corpora either log their backfill pairs or use the re-elect
+        path.  Pairs whose endpoint was erased in an EARLIER maintain
+        drop out via the member filter, so ghost pairs never resurrect
+        connectivity."""
+        mmap = self._merge_map(spark, guard=False)
         removed = None
         if removed_docs is not None:
             if isinstance(removed_docs, DataFrame):
@@ -1142,10 +1188,50 @@ class ClusterIndex:
                     [(int(d),) for d in removed_docs] or [], "doc long"
                 )
         if mmap or removed is not None:
-            folded = self.resolve(spark).select(
+            folded = self.resolve(spark, _mmap=mmap).select(
                 "doc", F.col("cluster_id").alias("rep")
             )
-            if removed is not None:
+            if removed is not None and pairs_dir is not None:
+                from .dedup import near_dup_clusters
+
+                folded = folded.localCheckpoint(eager=True)
+                affected = (
+                    folded.join(removed, "doc", "leftsemi")
+                    .select("rep")
+                    .distinct()
+                )
+                members = folded.join(affected, "rep", "leftsemi")
+                survivors = (
+                    members.join(removed, "doc", "left_anti")
+                    .select("doc")
+                    .localCheckpoint(eager=True)
+                )
+                pairs = spark.read.parquet(pairs_dir).select(
+                    F.col("doc_a").cast("long").alias("doc_a"),
+                    F.col("doc_b").cast("long").alias("doc_b"),
+                )
+                surviving_pairs = pairs.join(
+                    survivors.select(F.col("doc").alias("doc_a")),
+                    "doc_a",
+                    "leftsemi",
+                ).join(
+                    survivors.select(F.col("doc").alias("doc_b")),
+                    "doc_b",
+                    "leftsemi",
+                )
+                reclustered = near_dup_clusters(surviving_pairs).select(
+                    "doc", F.col("cluster_id").alias("rep")
+                )
+                singles = survivors.join(
+                    reclustered, "doc", "left_anti"
+                ).select("doc", F.col("doc").alias("rep"))
+                folded = (
+                    folded.join(affected, "rep", "left_anti")
+                    .select("doc", "rep")
+                    .unionByName(reclustered)
+                    .unionByName(singles)
+                )
+            elif removed is not None:
                 folded = folded.join(removed, "doc", "left_anti")
                 # re-elect: min remaining member per component (one
                 # partial-aggregating shuffle on rep + a same-key join)

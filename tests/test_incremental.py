@@ -823,6 +823,79 @@ def test_cluster_index_maintain_removed_docs_reelects_reps(spark, warehouse):
     }
 
 
+def test_cluster_index_strict_split_removal_via_pairs_log(spark, warehouse, tmp_path):
+    """maintain(removed_docs=, pairs_dir=) re-clusters ONLY the affected
+    components from the durable pairs log minus the removed docs, so
+    removing a bridge doc genuinely disconnects what only it connected
+    — resolution equals a one-shot clustering of the surviving pairs;
+    unaffected components keep their rows untouched."""
+    from debezium_server_iceberg_spark.functions.dedup import near_dup_clusters
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    pairs_dir = str(tmp_path / "pairs")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    epochs = [
+        [(1, 2), (2, 3)],            # 2 bridges 1 and 3
+        [(10, 11), (11, 12), (12, 13)],  # 12 bridges {10,11} and 13
+        [(50, 60)],                  # unaffected component
+    ]
+    idx = ClusterIndex.create(LakeCatalog(warehouse), "idx", "clusters")
+    for e, rows in enumerate(epochs):
+        # the stream feeds' shape: pairs land durably, admission reads back
+        mk(rows).write.mode("overwrite").parquet(f"{pairs_dir}/epoch={e}")
+        idx.add_batch(spark.read.parquet(f"{pairs_dir}/epoch={e}"), epoch_id=e)
+
+    idx.maintain(spark, removed_docs=[2, 12], pairs_dir=pairs_dir)
+    all_pairs = mk([p for rows in epochs for p in rows])
+    surviving = all_pairs.filter(
+        ~F.col("doc_a").isin(2, 12) & ~F.col("doc_b").isin(2, 12)
+    )
+    # surviving members with no surviving pairs become singletons: 1 and 3
+    # (bridge 2 erased), 13 (bridge 12 erased)
+    want = _clusters(near_dup_clusters(surviving)) | {
+        (1, 1, True), (3, 3, True), (13, 13, True),
+    }
+    assert _clusters(idx.resolve(spark)) == want
+    assert idx.merges.to_df(spark).count() == 0
+    # idempotent: re-removing absent docs changes nothing
+    idx.maintain(spark, removed_docs=[2, 12], pairs_dir=pairs_dir)
+    assert _clusters(idx.resolve(spark)) == want
+    # ghost pairs of ALREADY-erased docs never resurrect connectivity:
+    # a later strict removal touching component {1} re-clusters it from
+    # the log, and the (1,2),(2,3) pairs drop out via the member filter
+    idx.add_batch(mk([(1, 4)]), epoch_id=3)
+    mk([(1, 4)]).write.mode("overwrite").parquet(f"{pairs_dir}/epoch=3")
+    idx.maintain(spark, removed_docs=[4], pairs_dir=pairs_dir)
+    got = _clusters(idx.resolve(spark))
+    assert (1, 1, True) in got and all(d != 3 or r == 3 for d, r, _ in got)
+
+
+def test_cluster_index_merge_chain_guard(spark, warehouse):
+    """_merge_map's driver chase is guarded by the merges table's
+    physical row count (free off file stats): past merge_chain_threshold
+    resolve/add_batch raise pointing at maintain(), and maintain() — the
+    recovery path — still folds and restores service unchanged."""
+    import pytest as _pytest
+
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    idx = ClusterIndex.create(LakeCatalog(warehouse), "idx", "clusters")
+    idx.add_batch(mk([(10, 20)]), epoch_id=0)
+    idx.add_batch(mk([(30, 40)]), epoch_id=1)
+    idx.add_batch(mk([(20, 30)]), epoch_id=2)  # one pending merge event
+    idx.merge_chain_threshold = 0
+    with _pytest.raises(RuntimeError, match="merge_chain_threshold"):
+        idx.resolve(spark)
+    with _pytest.raises(RuntimeError, match="merge_chain_threshold"):
+        idx.add_batch(mk([(40, 50)]), epoch_id=3)
+    idx.maintain(spark)  # unguarded by contract: IS the recovery path
+    want = {(10, 10, True), (20, 10, False), (30, 10, False), (40, 10, False)}
+    assert _clusters(idx.resolve(spark)) == want
+    idx.add_batch(mk([(40, 50)]), epoch_id=3)
+    assert (50, 10, False) in _clusters(idx.resolve(spark))
+
+
 def _write_ops_file(path, rows):
     import json as _json
 
@@ -1043,6 +1116,69 @@ def test_substring_remove_docs_epoch_stamp_exactly_once(spark, warehouse):
         [(3, "red orange yellow green blue indigo")], "doc_id long, text string"
     )
     assert idx.add_batch(more, epoch_id=7) is not None
+
+
+def test_substring_feed_counters_surface_null_before_skips(spark, tmp_path):
+    """Observability for the documented under-removal bias: a d/u event
+    with a NULL before-image is skipped for arithmetic removal (per-row,
+    silently, by design) — RemovalCounters makes the drift visible
+    per epoch: removed vs skipped_null_before."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import SubstringIndex
+    from debezium_server_iceberg_spark.streaming.progress import RemovalCounters
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_dedup_index_stream,
+    )
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    idx = SubstringIndex.create(LakeCatalog(str(tmp_path / "wh")), "dd", "sub", k=4)
+    counters = RemovalCounters()
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_dedup_index_stream(
+            stream, idx, str(tmp_path / "pairs"), ckpt,
+            op_col="__op", ts_col="ts", before_col="before",
+            counters=counters,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    A = "aa bb cc dd ee ff gg hh"
+    B = "one two three four five six seven eight"
+    _write_cdc_file(
+        f"{indir}/e0.jsonl",
+        [(1, A, None, "c", 1), (2, B, None, "c", 2)],
+    )
+    run_all()
+    assert counters.epochs[0] == {"removed": 0, "skipped_null_before": 0}
+    # epoch 1: delete 1 WITH before-image (removed), delete 2 WITHOUT
+    # (REPLICA-IDENTITY-less source: skipped, warned, counted)
+    _write_cdc_file(
+        f"{indir}/e1.jsonl",
+        [(1, None, A, "d", 3), (2, None, None, "d", 4)],
+    )
+    run_all()
+    assert counters.epochs[1] == {"removed": 1, "skipped_null_before": 1}
+    assert counters.total_removed == 1
+    assert counters.total_skipped_null_before == 1
 
 
 def test_stream_op_aware_cdc_into_substring_index(spark, tmp_path):
