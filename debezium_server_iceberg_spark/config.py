@@ -100,6 +100,13 @@ class IcebergSinkConfig:
     publish_rest_uri: str = ""
     publish_rest_token: str = ""
     publish_rest_warehouse: str = ""
+    # JDBC-catalog publication (the reference's jdbc catalog family,
+    # testresources/CatalogJdbc.java; ``debezium.sink.iceberg.type=jdbc``):
+    # jdbc:sqlite:<path> or a bare path — stdlib sqlite3 backend against
+    # the public Iceberg JDBC catalog schema.  May be set alongside
+    # publish_rest_uri (both catalogs move forward per publish).
+    publish_jdbc_uri: str = ""
+    publish_jdbc_catalog_name: str = "default"
 
     # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
     # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;

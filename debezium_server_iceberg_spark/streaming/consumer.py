@@ -361,6 +361,8 @@ class ChangeConsumer:
             rest_token=ic.publish_rest_token or None,
             rest_warehouse=ic.publish_rest_warehouse or None,
             rest_transport=self.rest_transport,
+            jdbc_uri=ic.publish_jdbc_uri or None,
+            jdbc_catalog_name=ic.publish_jdbc_catalog_name,
         )
         table.update_properties(
             **{"publish.last-publish-snapshot-id": str(sid)}
@@ -377,6 +379,8 @@ class ChangeConsumer:
         rest_token: str | None = None,
         rest_warehouse: str | None = None,
         rest_transport=None,
+        jdbc_uri: str | None = None,
+        jdbc_catalog_name: str = "default",
     ) -> str:
         """Publish an engine-written table as a REAL Iceberg v2 table
         (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
@@ -423,6 +427,22 @@ class ChangeConsumer:
             )
             publish_to_rest_catalog(
                 client, self.config.iceberg.namespace, table_name, md_path
+            )
+        if jdbc_uri:
+            # the reference's jdbc catalog family (CatalogJdbc.java):
+            # same publication contract as REST, but the registered
+            # pointer CASes forward IN PLACE (public iceberg_tables
+            # schema) — no unregistered window at all
+            from ..lakehouse.jdbc_catalog import (
+                JdbcCatalogClient,
+                publish_to_jdbc_catalog,
+            )
+
+            publish_to_jdbc_catalog(
+                JdbcCatalogClient(jdbc_uri, catalog_name=jdbc_catalog_name),
+                self.config.iceberg.namespace,
+                table_name,
+                md_path,
             )
         return md_path
 
