@@ -2436,6 +2436,78 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "vector_stream_semantic_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 3) >= 0.45
+    """,
+)
+def vector_stream_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the CONTINUOUS semantic-dedup loop
+    (streaming/windows.run_vector_index_stream(pairs_dir=) — r13's
+    flagship): the corpus streams into an initially-EMPTY IVFIndex in
+    epochs through the feed's own per-trigger body
+    (emit_vector_epoch_pairs — the exact code the StreamingQuery runs),
+    and the union of the per-epoch pairs_dir output must equal the
+    ONE-SHOT cosine near-dup pairs over the whole corpus: every pair
+    has at least one endpoint that is new exactly once, so it is
+    emitted exactly once — either in-batch (chunked exact GEMM) or
+    new-vs-history (the index's own search, run here with n_probe =
+    n_cells and a k above the corpus' max near-dup degree so the
+    probe is exact, the oracle-checked mode).  Both sources threshold
+    on the ROUNDED (3-decimal) cosine — one boundary, the knife-edge
+    discipline from bitext margins.  The equivalence is also pinned
+    against a live StreamingQuery + numpy oracle in
+    tests/test_ann_index.py:test_vector_index_stream_pairs_semantic_dedup."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .functions.ann_index import IVFIndex
+    from .lakehouse import LakeCatalog
+    from .streaming.windows import emit_vector_epoch_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wh = _tf.mkdtemp(prefix="vecstream_idx_")
+    pairs_dir = _tf.mkdtemp(prefix="vecstream_pairs_")
+    try:
+        # train-then-add: codebook from the corpus, zero rows stored —
+        # the stream-seeding shape (admit_rows=False)
+        idx = IVFIndex.build(
+            LakeCatalog(wh), "idx", "vec", emb, n_cells=8, admit_rows=False
+        )
+        n_epochs = 4
+        for e in range(n_epochs):
+            batch = emb.filter(F.col("vec_id") % n_epochs == e)
+            emit_vector_epoch_pairs(
+                idx,
+                batch,
+                pairs_dir=pairs_dir,
+                epoch_id=e,
+                pair_threshold=0.45,
+                pair_k=256,
+                pair_n_probe=8,  # = n_cells: exact probe, no recall dial
+                max_pair_batch_rows=200_000,
+            )
+            idx.add_batch(batch, epoch_id=e)
+        # each pair lands in exactly one epoch (see docstring); the
+        # defensive max() collapses nothing on exact-probe settings
+        return (
+            spark.read.parquet(pairs_dir)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("cosine").alias("cosine"))
+            .localCheckpoint(eager=True)  # safe after the tmp dirs go
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+        _sh.rmtree(pairs_dir, ignore_errors=True)
+
+
 # =====================================================================
 # Wave 3: remaining §2 engine branches (soft delete, envelope parse,
 # schema evolution) + deeper read-path coverage
@@ -4551,17 +4623,24 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "cube_order_stats",
-    """
+# RETIRED from the driver registry in r14 (cap swap for
+# vector_stream_semantic_pairs — VERDICT r13 item 6): the §2.3
+# aggregation family keeps full driver coverage via rollup_revenue
+# (driver-r13), grouping_sets_revenue (CUBE ⊂ GROUPING SETS — the same
+# Expand-based plan), pivot_user_event_matrix, percentiles_order_value
+# and approx_distinct_parts.  The function stays: pytest pins it
+# against its DuckDB oracle (tests/test_entry.py), and SURVEY §2.9
+# records the retirement.
+_CUBE_ORDER_STATS_ORACLE = """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
+    """
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -6853,76 +6932,76 @@ def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-13 ROTATION (VERDICT r12 item 2, NOTES_r12 seed arithmetic):
+    # ROUND-14 ROTATION (VERDICT r13 item 1, seed = CORRECTNESS_r11.json):
     # the driver checks the first 50 entries.  Seed = the 49 gates whose
-    # freshest driver row is r10 (recomputed: CORRECTNESS_r10 keys minus
-    # r11 keys minus r12 keys = exactly the r10 window minus
-    # random_projection_embed, which r11 re-included) — this set contains
-    # BOTH gates r12 rewrote after their last driver confirmation
-    # (incremental_minhash_pairs / incremental_substring_profile), so the
-    # rotation doubles as driver re-confirmation of the partitioning
-    # change.  r13 added ZERO new gates (registry AT CAP, 149), so the
-    # one fill slot takes iceberg_export_roundtrip from the r11 window —
-    # the export/publication path is what r13's REST CommitTable CAS and
-    # delete-file pruning touch.  Zero overlap with the r12 window;
-    # post-r13 histogram = {r11: 49, r12: 50, r13: 50} — no gate older
-    # than two rounds.
-    # --- fill (r11 window; freshest coverage of this round's changes) ---
-    "iceberg_export_roundtrip",
-    # --- r10-stale tail: writer/export/scan fidelity ---
-    "changed_rows_scan",
-    "changed_rows_with_deletes",
-    "iceberg_export_partitioned_roundtrip",
-    "sql_read_surface",
-    "incremental_minhash_pairs",
-    "incremental_substring_profile",
-    # --- r10-stale tail: relational shapes ---
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "rollup_revenue",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "epoch_plan_sources",
-    # --- r10-stale tail: dedup family ---
-    "dedup_exact",
-    "segment_dedup_docs",
-    "dedup_canonical_clusters",
-    "simhash_near_dup",
-    "semantic_dedup_embeddings",
-    "containment_capped_near_dup",
-    "winnowing_fingerprint_docs",
-    "source_overlap_sketch",
-    "cms_heavy_hitters",
-    # --- r10-stale tail: ANN / PQ / retrieval ---
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "ann_ivf_incremental_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_eval",
-    "pq_encode_codes",
-    "pq_adc_topk",
-    "bm25_topk_docs",
-    "hybrid_rrf_retrieval",
-    "hard_negative_mining",
-    "bitext_mining_pairs",
-    # --- r10-stale tail: curation / tokenizers / graph / multimodal ---
-    "gopher_rules_filter",
-    "quality_classifier_filter",
-    "bigram_logprob_docs",
-    "dsir_importance_weights",
-    "decontaminate_docs",
-    "decontaminate_fuzzy_docs",
-    "pii_redact_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_sample",
-    "kmeans_lloyd_step",
-    "bpe_train_merges",
-    "bpe_encode_docs",
-    "bpe_vocab_after_merges",
-    "pagerank_link_graph",
-    "triangle_count_graph",
-    "image_ahash_near_dup",
-    "multimodal_image_features",
+    # freshest driver row is r11 (recomputed: r11 keys minus r12 keys
+    # minus r13 keys — exactly 49), MINUS cube_order_stats, retired this
+    # round in the cap swap (VERDICT item 6; §2.3 family coverage stays
+    # via rollup_revenue/grouping_sets_revenue/pivot/percentiles/
+    # approx_distinct — SURVEY §2.9) = 48 stale gates.  Fill slot 1 =
+    # vector_stream_semantic_pairs, the NEW gate (r13's continuous-
+    # SemDeDup loop gets its driver row immediately).  Fill slot 2 =
+    # iceberg_export_mor_roundtrip from the r12 window — the richest
+    # export gate, covering the publication path r14's JDBC catalog
+    # client plugs into.  Zero overlap with the r13 window; post-r14
+    # histogram = {r12: 49, r13: 50, r14: 50} — no gate older than two
+    # rounds.
+    # --- fills ---
+    "vector_stream_semantic_pairs",
+    "iceberg_export_mor_roundtrip",
+    # --- r11-stale: embeddings / ANN / PQ ---
+    "random_projection_embed",
+    "ann_ivfpq_index_topk",
+    "ann_ivf_index_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_near_dup",
+    # --- r11-stale: dedup / fingerprints ---
+    "minhash_near_dup",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint",
+    # --- r11-stale: TPC-H relational shapes ---
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # --- r11-stale: aggregation / window / scalar surface ---
+    "pivot_user_event_matrix",
+    "percentiles_order_value",
+    "approx_distinct_parts",
+    "window_running_revenue",
+    "window_navigation_functions",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "decorrelated_above_avg",
+    "skew_salted_join_agg",
+    "asof_join_purchases_clicks",
+    "funnel_signup_click_purchase",
+    "events_sliding_counts",
+    # --- r11-stale: text / corpus / curation ---
+    "token_stats",
+    "tfidf_top_terms",
+    "corpus_top_ngrams",
+    "collocation_lift_pairs",
+    "repetition_filter_docs",
+    "length_histogram_docs",
+    "unigram_logprob_docs",
+    "tokenizer_fertility_by_lang",
+    "reservoir_sample_per_lang",
+    "sequence_packing",
+    "cluster_balanced_sample",
+    "quality_rank_ensemble",
+    "curriculum_rank_shards",
 ]
 
 

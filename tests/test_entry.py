@@ -89,3 +89,21 @@ def test_every_gate_listed_in_survey():
     ).read()
     missing = [g for g in qmod.queries() if f"`{g}`" not in survey]
     assert missing == [], f"gates missing from SURVEY.md: {missing}"
+
+
+def test_retired_cube_gate_still_matches_its_oracle(spark):
+    """cube_order_stats left the driver registry in the r14 cap swap
+    (for vector_stream_semantic_pairs) but its coverage must not rot:
+    pin the CUBE plan against its DuckDB oracle here, the same
+    comparison the driver used to run."""
+    import duckdb
+
+    got = sorted(
+        map(tuple, qmod.cube_order_stats(spark, SF).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(qmod._CUBE_ORDER_STATS_ORACLE).fetchall()))
+    assert got == want
