@@ -2481,7 +2481,7 @@ def vector_stream_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = IVFIndex.build(
             LakeCatalog(wh), "idx", "vec", emb, n_cells=8, admit_rows=False
         )
-        n_epochs = 4
+        n_epochs = 2  # one cold epoch (all in-batch) + one against history
         for e in range(n_epochs):
             batch = emb.filter(F.col("vec_id") % n_epochs == e)
             emit_vector_epoch_pairs(

@@ -674,6 +674,7 @@ def emit_vector_epoch_pairs(
     # spark.read.parquet(pairs_dir)) ignores it; a crashed epoch
     # leaves only invisible staging debris, overwritten on replay
     staging = f"{pairs_dir}/_staging_epoch={epoch_id}"
+    spilled = False
     if rows:
         ids = [int(r[id_col]) for r in rows]
         vecs = np.array(
@@ -684,7 +685,7 @@ def emit_vector_epoch_pairs(
         # stale/deleted rows cannot match); search rounds cosine to 3
         # decimals, so the threshold applies to the ROUNDED value —
         # the in-batch path below shares that boundary
-        (
+        hist = (
             index.search(
                 spark, ids, k=pair_k, n_probe=pair_n_probe,
                 query_vecs=vecs,
@@ -695,23 +696,28 @@ def emit_vector_epoch_pairs(
                 F.greatest("query_id", "neighbor_id").alias("doc_b"),
                 F.col("cosine").cast("double").alias("cosine"),
             )
-            .write.mode("overwrite")
-            .parquet(staging)
         )
         # new-vs-new: exact in-batch GEMM, BLOCKED — a full n x n
         # similarity matrix is O(batch^2) doubles (80 GB at the
         # 100k guard); row-chunks keep peak memory ~chunk x n.
-        # Each chunk's pairs SPILL to the staging sink immediately
-        # (vectorized extraction, no Python-tuple list): a near-
-        # duplicate-heavy batch can emit O(batch^2) pairs even
-        # when the matrix itself stays chunked, so pair volume
-        # must never accumulate driver-side
+        # Pair-volume bound (the thing that must never accumulate
+        # driver-side — a near-duplicate-heavy batch emits O(batch^2)
+        # pairs even when the matrix is chunked): a SINGLE chunk's
+        # extraction is bounded by chunk x n <= 8M entries, so the
+        # one-chunk case (every CDC-sized batch) keeps its pairs
+        # in-memory and unions them with the history plan — one write,
+        # no staging round-trip; multi-chunk batches SPILL each
+        # chunk's pairs to the staging sink immediately.
         ids_arr = np.array(ids, dtype=np.int64)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0.0] = np.nan
         vn = vecs / norms[:, None]
         n = len(ids)
         chunk = max(1, min(n, 8_000_000 // max(n, 1)))
+        spilled = chunk < n
+        if spilled:
+            hist.write.mode("overwrite").parquet(staging)
+        nn_frames = []
         for s in range(0, n, chunk):
             # threshold on the ROUNDED cosine — the same boundary
             # as the stored-history path, so a 0.8996 pair cannot
@@ -725,7 +731,7 @@ def emit_vector_epoch_pairs(
                 continue
             a_ids = ids_arr[gi[keep]]
             b_ids = ids_arr[gj[keep]]
-            spark.createDataFrame(
+            chunk_df = spark.createDataFrame(
                 pd.DataFrame(
                     {
                         "doc_a": np.minimum(a_ids, b_ids),
@@ -734,21 +740,27 @@ def emit_vector_epoch_pairs(
                     }
                 ),
                 schema,
-            ).write.mode("append").parquet(staging)
+            )
+            if spilled:
+                chunk_df.write.mode("append").parquet(staging)
+            else:
+                nn_frames.append(chunk_df)
         # one deterministic pair per (doc_a, doc_b): max cosine —
         # the same pair can arrive from BOTH sources (an id in the
         # batch AND still stored, e.g. re-sent without op_col
         # routing); an arbitrary keep would let a crash replay
         # rewrite epoch=N with a different cosine
-        res = (
-            spark.read.schema(schema).parquet(staging)
-            .groupBy("doc_a", "doc_b")
-            .agg(F.max("cosine").alias("cosine"))
-        )
+        if spilled:
+            res = spark.read.schema(schema).parquet(staging)
+        else:
+            res = hist
+            for f in nn_frames:
+                res = res.unionByName(f)
+        res = res.groupBy("doc_a", "doc_b").agg(F.max("cosine").alias("cosine"))
     else:
         res = spark.createDataFrame([], schema)
     res.write.mode("overwrite").parquet(epoch_path)
-    if rows:
+    if spilled:
         _rmtree_quiet(staging)
 
 
