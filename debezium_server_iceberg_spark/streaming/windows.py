@@ -779,6 +779,7 @@ def run_vector_index_stream(
     pair_n_probe: int = 4,
     max_pair_batch_rows: int = 100_000,
     cluster_index=None,
+    counters=None,
 ):
     """Continuously-maintained ANN index: each micro-batch of embeddings
     is encoded against the FROZEN codebooks (coarse cell + PQ codes for
@@ -835,6 +836,11 @@ def run_vector_index_stream(
     Requires an ``IVFIndex`` (cosine scores); ``IVFPQIndex`` search
     returns ADC distances, not cosines — rerank-based streaming pairs
     are a rebuild-time concern, refused loudly.
+
+    ``counters`` (a ``streaming/progress.RemovalCounters``) records the
+    per-epoch removed-id count — the same observability hook as the
+    dedup feed; vector removal is id-keyed, so ``skipped_null_before``
+    stays 0 here.
 
     ``cluster_index`` (with ``pairs_dir``) chains each epoch's pairs
     into a persistent ``ClusterIndex`` — the FULL continuous SemDeDup
@@ -893,7 +899,11 @@ def run_vector_index_stream(
                 .select(F.col(id_col).cast("long").alias("vec_id"))
                 .distinct()
             )
-            if touched.limit(1).count():
+            n_touched = touched.count()
+            if counters is not None:
+                # id-keyed removal needs no before image: never skips
+                counters.record(epoch_id, removed=n_touched)
+            if n_touched:
                 index.remove_vectors(batch.sparkSession, touched)
             batch = final.filter(F.col(op_col) != "d").drop(
                 op_col,

@@ -554,12 +554,16 @@ def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
                     + "\n"
                 )
 
+    from debezium_server_iceberg_spark.streaming.progress import RemovalCounters
+
+    counters = RemovalCounters()
+
     def run_all():
         stream = spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", 1
         ).json(indir)
         q = run_vector_index_stream(
-            stream, idx, ckpt, op_col="__op", ts_col="ts"
+            stream, idx, ckpt, op_col="__op", ts_col="ts", counters=counters
         )
         try:
             q.processAllAvailable()
@@ -571,6 +575,9 @@ def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
     # epoch 1: update 10 -> E3 (old row must go), delete 11, create 12
     write_ops("e1.jsonl", [(10, E3, "u", 3), (11, E2, "d", 4), (12, E2, "c", 5)])
     run_all()
+    # observability parity with the dedup feed: epoch 1 removed the
+    # updated and deleted ids; id-keyed removal never skips
+    assert counters.epochs[1] == {"removed": 2, "skipped_null_before": 0}
 
     live = {
         r["vec_id"]
