@@ -512,6 +512,184 @@ def test_ivfpq_remove_vectors_removes_all_segments(spark, warehouse):
     assert victim not in {r.neighbor_id for r in after}
 
 
+def test_soak_cdc_vector_feed_random_ops(spark, tmp_path):
+    """Model-based soak for the FULL continuous-SemDeDup loop under CDC:
+    a seeded random embedding history (create/update/delete chains
+    across 4 epochs, one stream restart per epoch, one crash-replay in
+    the middle) through run_vector_index_stream(op_col=, pairs_dir=,
+    cluster_index=) must leave
+
+    - the stored index rows IDENTICAL to a fresh index over the
+      surviving vectors under the SAME frozen codebook (any
+      removal/replay bug shows as a row diff),
+    - every epoch's pairs_dir content equal to a numpy model
+      (new-vs-history against the live stored state at that moment +
+      exact in-batch pairs, rounded-cosine threshold, max-dedup),
+    - the chained ClusterIndex resolution equal to a one-shot
+      clustering of the union of all logged pairs."""
+    import json as _json
+    import os
+    import random
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import ClusterIndex
+    from debezium_server_iceberg_spark.functions.dedup import near_dup_clusters
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_vector_index_stream,
+    )
+
+    rng = random.Random(29)
+    base = np.eye(4)
+
+    def mkvec():
+        v = base[rng.randrange(3)] + rng.choice([0.0, 0.02, 0.05]) * base[3]
+        return [round(float(x), 3) for x in v]
+
+    docs = list(range(1, 9))
+    alive: dict[int, list] = {}
+    ts = 0
+    epochs = []
+    for _ in range(4):
+        events = []
+        for d in rng.sample(docs, rng.randint(2, 6)):
+            for _ in range(rng.randint(1, 2)):
+                ts += 1
+                if d not in alive:
+                    v = mkvec()
+                    events.append((d, v, "c", ts))
+                    alive[d] = v
+                elif rng.random() < 0.3:
+                    events.append((d, None, "d", ts))
+                    del alive[d]
+                else:
+                    v = mkvec()
+                    events.append((d, v, "u", ts))
+                    alive[d] = v
+        epochs.append(events)
+
+    THR, NCELLS = 0.9, 2
+    seed_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFIndex.build(
+        LakeCatalog(str(tmp_path / "wh")), "ann", "ivf", seed_df, n_cells=NCELLS
+    )
+    cl = ClusterIndex.create(LakeCatalog(str(tmp_path / "cl")), "dd", "cl")
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    pairs_dir = str(tmp_path / "pairs")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+    def run_all():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(indir)
+        q = run_vector_index_stream(
+            stream, idx, ckpt, op_col="__op", ts_col="ts",
+            pairs_dir=pairs_dir, pair_threshold=THR,
+            pair_k=64, pair_n_probe=NCELLS,  # exact probe: modelable
+            cluster_index=cl,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # numpy model of the stored live state (id -> vec), seeded rows first
+    def rcos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 3)
+
+    stored = {100: [1.0, 0.0, 0.0, 0.0], 101: [0.0, 1.0, 0.0, 0.0]}
+    model_pairs: dict[int, set] = {}
+    for e, events in enumerate(epochs):
+        survivors = {}
+        for d, v, op, t in sorted(events, key=lambda r: r[3]):
+            survivors[d] = (v, op)
+        touched = {d for d, _, op, _ in events if op in ("d", "u")}
+        for d in touched:
+            stored.pop(d, None)
+        batch = {d: v for d, (v, op) in survivors.items() if op != "d"}
+        ep = {}
+        for d, v in batch.items():  # new-vs-history (k=64 >> candidates)
+            for h, hv in stored.items():
+                c = rcos(v, hv)
+                if c >= THR:
+                    key = (min(d, h), max(d, h))
+                    ep[key] = max(ep.get(key, -1.0), c)
+        bd = sorted(batch)
+        for i in range(len(bd)):  # in-batch exact
+            for j in range(i + 1, len(bd)):
+                c = rcos(batch[bd[i]], batch[bd[j]])
+                if c >= THR:
+                    key = (bd[i], bd[j])
+                    ep[key] = max(ep.get(key, -1.0), c)
+        model_pairs[e] = {(a, b, c) for (a, b), c in ep.items()}
+        stored.update(batch)
+
+    for i, events in enumerate(epochs):
+        with open(f"{indir}/e{i}.jsonl", "w") as fh:
+            for vid, vec, op, t in events:
+                fh.write(_json.dumps(
+                    {"vec_id": vid, "embedding": vec, "__op": op, "ts": t}
+                ) + "\n")
+        run_all()  # restart per epoch: checkpoint recovery every time
+        if i == 1:  # crash-replay epoch 1 (commit marker wiped)
+            os.remove(os.path.join(ckpt, "commits", "1"))
+            crc = os.path.join(ckpt, "commits", ".1.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            run_all()
+
+    # per-epoch pairs ≡ model
+    for e in range(len(epochs)):
+        got = {
+            (r.doc_a, r.doc_b, r.cosine)
+            for r in spark.read.parquet(f"{pairs_dir}/epoch={e}").collect()
+        }
+        assert got == model_pairs[e], f"epoch {e}"
+    assert any(model_pairs.values()), "seed produced no pairs; vacuous"
+
+    # stored rows ≡ fresh index over survivors under the SAME codebook
+    assert alive, "seed produced an empty surviving corpus"
+    ref = IVFIndex.build(
+        LakeCatalog(str(tmp_path / "ref")), "ann", "ivf", seed_df, n_cells=NCELLS
+    )
+    ref.add_batch(spark.createDataFrame(
+        sorted(alive.items()), "vec_id long, embedding array<double>"
+    ))
+    got_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.embedding))
+        for r in idx.table.to_df(spark).collect()
+    )
+    want_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.embedding))
+        for r in ref.table.to_df(spark).collect()
+    )
+    assert got_rows == want_rows
+
+    # chained cluster index ≡ one-shot over the union of logged pairs
+    allp = spark.read.parquet(pairs_dir).select("doc_a", "doc_b")
+    want_cl = {
+        (r.doc, r.cluster_id, r.is_canonical)
+        for r in near_dup_clusters(allp).collect()
+    }
+    got_cl = {
+        (r.doc, r.cluster_id, r.is_canonical)
+        for r in cl.resolve(spark).collect()
+    }
+    assert got_cl == want_cl
+
+
 def test_vector_index_stream_op_aware_cdc(spark, tmp_path):
     """CDC-aware vector feed (op_col): an updated embedding stops
     matching under its OLD direction and matches under its NEW one, a
