@@ -707,6 +707,195 @@ class SubstringIndex:
         )
 
 
+class PairsLog:
+    """Lifecycle for the stream feeds' durable pairs log — the r14 gap
+    (the one unbounded artifact left on a long-lived feed): both
+    streaming feeds append ``pairs_dir/epoch=N`` parquet directories
+    forever, and strict-split ``ClusterIndex.maintain`` scanned the
+    ENTIRE accumulated log.  This class folds those epoch directories
+    into ONE bucket-partitioned lakehouse table of LIVE pairs — the
+    same ``identity(pbucket)`` discipline as every other persistent
+    index (``pbucket = xxhash64(doc_a) % N``) — so
+
+    - file count stays bounded: N epochs of per-trigger directories
+      collapse into the table's partition layout on every compaction
+      (the reference never leaves unbounded state either —
+      IcebergOffsetBackingStore.java:193-230 overwrites its store,
+      docs/faq.md:5-7 orders compaction);
+    - strict-split maintains prune: the affected components' members
+      map to a bucket set (planning-scale, ≤N ordinals) and the scan
+      reads ONLY those partitions' files instead of every epoch ever
+      written.
+
+    Compaction is the EXPLICIT heavy op (one distinct-union shuffle
+    over the live pair set — the ``ClusterIndex.maintain`` class), run
+    on a cadence: pass ``pairs_log=`` to the stream feeds to fold every
+    ``maintain_every`` epochs inside foreachBatch, or call
+    :meth:`compact` from an operator job.  Idempotent across a crash
+    between the table commit and the raw-directory cleanup: re-reading
+    already-folded epochs distinct-unions to the identical table, and
+    the leftover directories are removed on the next pass.  Single
+    writer per log, the shared discipline of all persistent indexes —
+    inside the feeds it runs where no epoch directory is mid-write.
+
+    Bucket pruning on ``doc_a`` alone is CORRECT for the strict-split
+    read because logged pairs connect members of one component: if a
+    pair's ``doc_b`` lands in an affected component, its ``doc_a`` is
+    in the same component (that is what the pair asserts), so scanning
+    the members' ``doc_a`` buckets misses nothing; ghost pairs whose
+    erased endpoint keeps them out of the bucket set are exactly the
+    pairs the member semijoin would drop anyway."""
+
+    def __init__(self, table: LakeTable) -> None:
+        self.table = table
+
+    @staticmethod
+    def create(
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        partition_buckets: int = 32,
+    ) -> "PairsLog":
+        from pyspark.sql import types as T
+
+        table = catalog.create_table(
+            namespace,
+            name,
+            T.StructType(
+                [
+                    T.StructField("doc_a", T.LongType()),
+                    T.StructField("doc_b", T.LongType()),
+                ]
+                + (
+                    [T.StructField(PBUCKET_COL, T.IntegerType())]
+                    if partition_buckets
+                    else []
+                )
+            ),
+            partition_spec=(
+                [PartitionField(PBUCKET_COL, "identity")]
+                if partition_buckets
+                else None
+            ),
+            properties=(
+                {PBUCKETS_PROP: str(partition_buckets)}
+                if partition_buckets
+                else None
+            ),
+        )
+        return PairsLog(table)
+
+    @staticmethod
+    def _epoch_dirs(pairs_dir: str) -> list[str]:
+        """The raw per-epoch directories present RIGHT NOW (snapshot —
+        compaction folds and deletes exactly this set, so an epoch
+        written after the listing survives untouched).  Underscore
+        entries (crashed staging debris) are invisible to Spark's file
+        index and stay ignored here too."""
+        import os
+
+        if not os.path.isdir(pairs_dir):
+            return []
+        return sorted(e for e in os.listdir(pairs_dir) if e.startswith("epoch="))
+
+    @staticmethod
+    def _read_raw(spark, pairs_dir: str, epoch_dirs: list[str]) -> DataFrame | None:
+        import os
+
+        if not epoch_dirs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(pairs_dir, e) for e in epoch_dirs]
+        ).select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        )
+
+    def compact(
+        self,
+        spark,
+        pairs_dir: str,
+        removed_docs: DataFrame | list | None = None,
+        prune_raw: bool = True,
+    ) -> int:
+        """Fold the raw epoch directories into the live-pairs table:
+        new table = distinct(table ∪ raw epochs) minus pairs touching
+        ``removed_docs`` (hygiene for docs erased by earlier maintains —
+        optional, because the strict-split member semijoin drops ghost
+        pairs regardless; passing it bounds the table by the LIVE
+        corpus).  ``prune_raw`` then deletes the folded directories, so
+        the raw log never grows past one compaction interval.  Returns
+        the number of epoch directories folded."""
+        import os
+        import shutil
+
+        epoch_dirs = self._epoch_dirs(pairs_dir)
+        merged = self.table.to_df(spark).select("doc_a", "doc_b")
+        raw = self._read_raw(spark, pairs_dir, epoch_dirs)
+        if raw is not None:
+            merged = merged.unionByName(raw)
+        merged = merged.distinct()
+        if removed_docs is not None:
+            if isinstance(removed_docs, DataFrame):
+                removed = removed_docs.select(
+                    F.col("doc").cast("long").alias("doc")
+                )
+            else:
+                removed = spark.createDataFrame(
+                    [(int(d),) for d in removed_docs] or [], "doc long"
+                )
+            merged = (
+                merged.join(
+                    removed.select(F.col("doc").alias("doc_a")),
+                    "doc_a",
+                    "left_anti",
+                )
+                .join(
+                    removed.select(F.col("doc").alias("doc_b")),
+                    "doc_b",
+                    "left_anti",
+                )
+                .select("doc_a", "doc_b")
+            )
+        n_pb = int(
+            self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
+        if n_pb:
+            merged = merged.withColumn(
+                PBUCKET_COL, pbucket_col(F.col("doc_a"), n_pb)
+            )
+        self.table.overwrite(
+            merged,
+            summary={
+                "operation_detail": "pairs_compact",
+                "folded_epochs": str(len(epoch_dirs)),
+            },
+        )
+        if prune_raw:
+            for e in epoch_dirs:
+                shutil.rmtree(os.path.join(pairs_dir, e), ignore_errors=True)
+        return len(epoch_dirs)
+
+    def pairs_for_members(self, spark, members: DataFrame) -> DataFrame:
+        """The compacted pairs relevant to ``members`` (a ``doc`` column):
+        the strict-split read path.  The members' bucket set (≤N
+        ordinals, one bounded job) prunes the scan to those partitions'
+        files; the caller still applies its own endpoint semijoins —
+        pruning only limits I/O, never widens results."""
+        n_pb = int(
+            self.table.metadata().properties.get(PBUCKETS_PROP, "0") or 0
+        )
+        pruning = None
+        if n_pb:
+            probe = members.select(
+                pbucket_col(F.col("doc"), n_pb).alias(PBUCKET_COL)
+            )
+            pruning = _pbucket_probe_values(self.table, probe)
+        return self.table.to_df(spark, partition_values=pruning).select(
+            "doc_a", "doc_b"
+        )
+
+
 class ClusterIndex:
     """Incrementally-maintained connected components: the cluster half of
     the continuous-dedup loop (near_dup_clusters is the ONE-SHOT form —

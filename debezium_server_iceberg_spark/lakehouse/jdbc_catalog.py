@@ -33,15 +33,19 @@ config shape, CatalogJdbc.java) or a bare filesystem path.  sqlite3 is
 the stdlib backend this environment provides; the SQL is deliberately
 ANSI-minimal (INSERT / UPDATE ... WHERE / DELETE / SELECT on two small
 tables) so the module ports to any DB-API driver by swapping
-``_connect``.  Every public operation opens its own connection and
-commits or rolls back before returning — cross-process safe, and the
-catalog rows are planning-scale (one per table), so per-op connections
-cost nothing.
+``_connect``.  Every public operation opens its own connection,
+commits or rolls back, and CLOSES it before returning (``_tx``) —
+cross-process safe, no handle accumulates over a long-running
+consumer's publish cadence, and the catalog rows are planning-scale
+(one per table), so per-op connections cost nothing.  In-memory sqlite
+paths are rejected up front: a per-op connection to ``:memory:`` would
+be a fresh empty database every call.
 """
 
 from __future__ import annotations
 
 import sqlite3
+from contextlib import contextmanager
 
 _TABLES_DDL = """
 CREATE TABLE IF NOT EXISTS iceberg_tables (
@@ -101,8 +105,18 @@ class JdbcCatalogClient:
                 "provides sqlite3 (jdbc:sqlite:<path>); other drivers "
                 "port by swapping _connect"
             )
+        # every public operation opens (and CLOSES) its own connection,
+        # so an in-memory database would be a fresh empty DB per call —
+        # all state silently lost.  A catalog is durable by definition.
+        if not self.path or ":memory:" in self.path:
+            raise JdbcCatalogError(
+                f"in-memory/empty sqlite path in {uri!r}: the catalog "
+                "client opens one connection per operation, so ':memory:' "
+                "would lose every row between calls — point the uri at a "
+                "file (jdbc:sqlite:/path/to/catalog.db)"
+            )
         self.catalog_name = catalog_name
-        with self._connect() as conn:  # create the public schema once
+        with self._tx() as conn:  # create the public schema once
             conn.execute(_TABLES_DDL)
             conn.execute(_NS_PROPS_DDL)
 
@@ -114,11 +128,24 @@ class JdbcCatalogClient:
         conn.isolation_level = "IMMEDIATE"
         return conn
 
+    @contextmanager
+    def _tx(self):
+        """One transaction = one connection: commit/rollback via the
+        connection's own context manager, then CLOSE it — per-op
+        connections must not accumulate over a long-running consumer's
+        publish cadence."""
+        conn = self._connect()
+        try:
+            with conn:
+                yield conn
+        finally:
+            conn.close()
+
     # ---------------------------------------------------------- namespaces
     def create_namespace(self, namespace: str, exist_ok: bool = True) -> None:
         """Namespaces materialize as a property row (``exists=true``) —
         the JDBC catalog's own convention for empty namespaces."""
-        with self._connect() as conn:
+        with self._tx() as conn:
             if self._ns_exists(conn, namespace):
                 if exist_ok:
                     return
@@ -131,7 +158,7 @@ class JdbcCatalogClient:
             )
 
     def namespace_exists(self, namespace: str) -> bool:
-        with self._connect() as conn:
+        with self._tx() as conn:
             return self._ns_exists(conn, namespace)
 
     def _ns_exists(self, conn: sqlite3.Connection, namespace: str) -> bool:
@@ -158,7 +185,7 @@ class JdbcCatalogClient:
         from its current pointer) — updated in place, no unregistered
         window, the same continuous-resolvability contract the REST
         client's CommitTable path gives."""
-        with self._connect() as conn:
+        with self._tx() as conn:
             if not self._ns_exists(conn, namespace):
                 raise NoSuchNamespaceError(f"namespace {namespace} not found")
             cur = conn.execute(
@@ -167,16 +194,28 @@ class JdbcCatalogClient:
                 (self.catalog_name, namespace, name),
             ).fetchone()
             if cur is None:
-                conn.execute(
-                    "INSERT INTO iceberg_tables (catalog_name, "
+                # INSERT OR IGNORE + rowcount, not plain INSERT: two
+                # concurrent FIRST publishers can both observe cur is
+                # None (sqlite's implicit transaction only upgrades to
+                # the write lock at the first write statement), and the
+                # loser must surface through the module's own conflict
+                # contract, not a raw IntegrityError
+                n = conn.execute(
+                    "INSERT OR IGNORE INTO iceberg_tables (catalog_name, "
                     "table_namespace, table_name, metadata_location, "
                     "previous_metadata_location) VALUES (?, ?, ?, ?, NULL)",
                     (self.catalog_name, namespace, name, metadata_location),
-                )
-                return {"metadata-location": metadata_location}
+                ).rowcount
+                if n == 1:
+                    return {"metadata-location": metadata_location}
             if not overwrite:
                 raise AlreadyExistsError(f"table {namespace}.{name} exists")
-        return self.commit_table(namespace, name, metadata_location, cur[0])
+        # lost-first-insert race (cur is None, rowcount 0): CAS from the
+        # winner's pointer, loaded fresh inside commit_table
+        return self.commit_table(
+            namespace, name, metadata_location,
+            cur[0] if cur is not None else None,
+        )
 
     def commit_table(
         self,
@@ -195,7 +234,7 @@ class JdbcCatalogClient:
             expected_metadata_location = self.load_table(namespace, name)[
                 "metadata-location"
             ]
-        with self._connect() as conn:
+        with self._tx() as conn:
             n = conn.execute(
                 "UPDATE iceberg_tables SET metadata_location = ?, "
                 "previous_metadata_location = ? WHERE catalog_name = ? AND "
@@ -219,7 +258,7 @@ class JdbcCatalogClient:
         return {"metadata-location": new_metadata_location}
 
     def load_table(self, namespace: str, name: str) -> dict:
-        with self._connect() as conn:
+        with self._tx() as conn:
             row = conn.execute(
                 "SELECT metadata_location, previous_metadata_location "
                 "FROM iceberg_tables WHERE catalog_name = ? AND "
@@ -241,7 +280,7 @@ class JdbcCatalogClient:
             return False
 
     def drop_table(self, namespace: str, name: str) -> None:
-        with self._connect() as conn:
+        with self._tx() as conn:
             n = conn.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
                 "table_namespace = ? AND table_name = ?",
@@ -251,7 +290,7 @@ class JdbcCatalogClient:
             raise NoSuchTableError(f"table {namespace}.{name} not found")
 
     def list_tables(self, namespace: str) -> list[str]:
-        with self._connect() as conn:
+        with self._tx() as conn:
             rows = conn.execute(
                 "SELECT table_name FROM iceberg_tables WHERE "
                 "catalog_name = ? AND table_namespace = ? ORDER BY table_name",

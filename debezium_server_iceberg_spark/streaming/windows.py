@@ -569,17 +569,20 @@ def run_minhash_index_stream(
                         F.count(F.lit(1)).alias("n"),
                         F.count(before_col).alias("with_before"),
                     ).collect()[0]
-                    counters.record(
-                        epoch_id,
-                        removed=int(c["with_before"]),
-                        skipped_null_before=int(c["n"]) - int(c["with_before"]),
-                    )
                 if earliest.limit(1).count():
                     index.remove_docs(
                         earliest,
                         text_col=text_col,
                         id_col=id_col,
                         epoch_id=epoch_id,
+                    )
+                if counters is not None:
+                    # record AFTER the removal commit: a failed removal
+                    # raises above and must not count as removed
+                    counters.record(
+                        epoch_id,
+                        removed=int(c["with_before"]),
+                        skipped_null_before=int(c["n"]) - int(c["with_before"]),
                     )
             else:
                 # remove by ANY d/u event in the RAW batch (not the
@@ -592,12 +595,19 @@ def run_minhash_index_stream(
                     .select(F.col(id_col).cast("long").alias("doc"))
                     .distinct()
                 )
-                n_touched = touched.count()
-                if counters is not None:
-                    # id-keyed removal needs no before image: never skips
-                    counters.record(epoch_id, removed=n_touched)
+                # full distinct count only when someone reads it; the
+                # plain path keeps the cheaper existence probe
+                n_touched = (
+                    touched.count()
+                    if counters is not None
+                    else touched.limit(1).count()
+                )
                 if n_touched:
                     index.remove_docs(batch.sparkSession, touched)
+                if counters is not None:
+                    # id-keyed removal needs no before image: never
+                    # skips; recorded AFTER the removal commit
+                    counters.record(epoch_id, removed=n_touched)
             batch = final.filter(F.col(op_col) != "d").drop(
                 op_col,
                 *([ts_col] if ts_col and ts_col in final.columns else []),
@@ -640,6 +650,7 @@ def emit_vector_epoch_pairs(
     pair_k: int = 5,
     pair_n_probe: int = 4,
     max_pair_batch_rows: int = 100_000,
+    max_pair_batch_cells: int = 256_000_000,
 ) -> None:
     """One epoch of the continuous-semantic-dedup pairs loop, shared by
     ``run_vector_index_stream`` (its per-trigger body) and batch
@@ -667,6 +678,25 @@ def emit_vector_epoch_pairs(
             "query matrix) — backfill-sized corpora go through the "
             "one-shot semantic-dedup operator, then seed the stream"
         )
+    if n_batch:
+        # BYTE-aware guard, not just rows: the collect below pulls
+        # rows x dim float64 cells onto the driver, and a row bound
+        # alone lets a wide-embedding batch (100k x 4096 = ~3.3 GB)
+        # through — probe one row's dimension (a one-row job) and
+        # bound total cells before collecting anything
+        dim = int(
+            batch.select(F.size(F.col(vec_col)).alias("d")).first()["d"] or 0
+        )
+        if n_batch * dim > max_pair_batch_cells:
+            raise ValueError(
+                f"micro-batch of {n_batch} x dim-{dim} vectors = "
+                f"{n_batch * dim} cells exceeds max_pair_batch_cells="
+                f"{max_pair_batch_cells} (~{max_pair_batch_cells * 8 // 2**20}"
+                " MiB of float64 on the driver); the pairs sink is "
+                "CDC-batch-sized — backfill-sized corpora go through "
+                "the one-shot semantic-dedup operator, then seed the "
+                "stream"
+            )
     rows = batch.select(id_col, vec_col).collect()
     schema = "doc_a long, doc_b long, cosine double"
     epoch_path = f"{pairs_dir}/epoch={epoch_id}"
@@ -778,6 +808,7 @@ def run_vector_index_stream(
     pair_k: int = 5,
     pair_n_probe: int = 4,
     max_pair_batch_rows: int = 100_000,
+    max_pair_batch_cells: int = 256_000_000,
     cluster_index=None,
     counters=None,
 ):
@@ -899,12 +930,20 @@ def run_vector_index_stream(
                 .select(F.col(id_col).cast("long").alias("vec_id"))
                 .distinct()
             )
-            n_touched = touched.count()
-            if counters is not None:
-                # id-keyed removal needs no before image: never skips
-                counters.record(epoch_id, removed=n_touched)
+            # full distinct count only when someone reads it; the plain
+            # path keeps the cheaper existence probe
+            n_touched = (
+                touched.count()
+                if counters is not None
+                else touched.limit(1).count()
+            )
             if n_touched:
                 index.remove_vectors(batch.sparkSession, touched)
+            if counters is not None:
+                # id-keyed removal needs no before image: never skips;
+                # recorded AFTER the removal commit (a failed removal
+                # raises above and must not count as removed)
+                counters.record(epoch_id, removed=n_touched)
             batch = final.filter(F.col(op_col) != "d").drop(
                 op_col,
                 *([ts_col] if ts_col and ts_col in final.columns else []),
@@ -924,6 +963,7 @@ def run_vector_index_stream(
                 pair_k=pair_k,
                 pair_n_probe=pair_n_probe,
                 max_pair_batch_rows=max_pair_batch_rows,
+                max_pair_batch_cells=max_pair_batch_cells,
             )
             if cluster_index is not None:
                 # admit the DURABLE pairs (read-back), not the live plan —

@@ -235,3 +235,118 @@ def test_consumer_publish_cadence_continuous_jdbc_catalog(spark, warehouse, tmp_
     assert locations[0] != locations[1]  # the catalog moved with the table
     got = read_table_by_name(spark, client, "debeziumevents", tbl)
     assert got.count() == 2
+
+
+def test_memory_uri_rejected(tmp_path):
+    """Per-op connections make ':memory:' a fresh empty database every
+    call — all catalog state silently lost.  Rejected up front, same
+    loudness as the unsupported-driver check."""
+    for uri in ("jdbc:sqlite::memory:", ":memory:", ""):
+        with pytest.raises(JdbcCatalogError, match="memory|empty"):
+            JdbcCatalogClient(uri)
+
+
+class _RaceOnFirstSelect(JdbcCatalogClient):
+    """Deterministic replay of the first-publish race: the SELECT inside
+    register_table observes no row (as if it ran before the concurrent
+    winner's INSERT committed), but by INSERT time the winner's row is
+    there — the exact interleaving sqlite's late write-lock upgrade
+    allows."""
+
+    def __init__(self, uri, winner_location):
+        self._winner_location = winner_location
+        self._raced = False
+        super().__init__(uri)
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _tx(self):
+        outer = self
+
+        with super()._tx() as conn:
+            class _Proxy:
+                def execute(self, sql, params=()):
+                    if (
+                        "SELECT metadata_location FROM iceberg_tables" in sql
+                        and not outer._raced
+                    ):
+                        outer._raced = True
+
+                        class _Cur:
+                            @staticmethod
+                            def fetchone():
+                                return None
+
+                        # simulate the winner committing AFTER our read —
+                        # on its OWN connection (a real concurrent writer),
+                        # so the loser's rollback cannot undo it
+                        winner = sqlite3.connect(outer.path)
+                        with winner:
+                            winner.execute(
+                                "INSERT OR IGNORE INTO iceberg_tables "
+                                "(catalog_name, table_namespace, table_name,"
+                                " metadata_location, "
+                                "previous_metadata_location)"
+                                " VALUES (?, ?, ?, ?, NULL)",
+                                (outer.catalog_name, params[1], params[2],
+                                 outer._winner_location),
+                            )
+                        winner.close()
+                        return _Cur()
+                    return conn.execute(sql, params)
+
+            yield _Proxy()
+
+
+def test_first_publish_race_surfaces_conflict_contract(tmp_path):
+    """Two concurrent FIRST publishers: the loser's INSERT must surface
+    through the module's documented conflict contract (AlreadyExists /
+    CAS from the winner's pointer), never a raw sqlite3.IntegrityError."""
+    uri = f"jdbc:sqlite:{tmp_path / 'race.db'}"
+    loser = _RaceOnFirstSelect(uri, winner_location="/wh/winner.metadata.json")
+    loser.create_namespace("ns")
+    with pytest.raises(AlreadyExistsError):
+        loser.register_table("ns", "t", "/wh/loser.metadata.json")
+    # winner's pointer intact
+    assert (
+        loser.load_table("ns", "t")["metadata-location"]
+        == "/wh/winner.metadata.json"
+    )
+    # overwrite=True on the same race: the loser CASes forward from the
+    # winner's pointer instead of erroring
+    loser2 = _RaceOnFirstSelect(uri, winner_location="/wh/other.metadata.json")
+    loser2.create_namespace("ns2")
+    out = loser2.register_table(
+        "ns2", "t2", "/wh/loser2.metadata.json", overwrite=True
+    )
+    assert out["metadata-location"] == "/wh/loser2.metadata.json"
+    got = loser2.load_table("ns2", "t2")
+    assert got["metadata-location"] == "/wh/loser2.metadata.json"
+    assert got["previous-metadata-location"] == "/wh/other.metadata.json"
+
+
+def test_connections_closed_per_operation(tmp_path):
+    """_tx closes its connection even when the body raises — a
+    long-running publish cadence must not leak handles."""
+    c = _client(tmp_path)
+    c.create_namespace("ns")
+    held = []
+    orig = JdbcCatalogClient._connect
+
+    def tracking(self):
+        conn = orig(self)
+        held.append(conn)
+        return conn
+
+    JdbcCatalogClient._connect = tracking
+    try:
+        c.register_table("ns", "t", "/wh/v1.metadata.json")
+        with pytest.raises(AlreadyExistsError):
+            c.register_table("ns", "t", "/wh/v2.metadata.json")
+    finally:
+        JdbcCatalogClient._connect = orig
+    assert held, "tracking hook never fired"
+    for conn in held:
+        with pytest.raises(sqlite3.ProgrammingError):
+            conn.execute("SELECT 1")  # closed connection
