@@ -1328,6 +1328,7 @@ class ClusterIndex:
         spark,
         removed_docs: DataFrame | list | None = None,
         pairs_dir: str | None = None,
+        pairs_log: "PairsLog | None" = None,
     ) -> int:
         """Fold accumulated merge events into ``assign`` (full rewrite —
         the EXPLICIT heavy op; per-batch admission stays epoch-sized
@@ -1364,7 +1365,17 @@ class ClusterIndex:
         corpora either log their backfill pairs or use the re-elect
         path.  Pairs whose endpoint was erased in an EARLIER maintain
         drop out via the member filter, so ghost pairs never resurrect
-        connectivity."""
+        connectivity.
+
+        ``pairs_log`` (a :class:`PairsLog`, alone or alongside
+        ``pairs_dir``) is the COMPACTED form of the same log — the r15
+        lifecycle fix: instead of scanning every epoch directory ever
+        written, the split reads the bucket-partitioned live-pairs
+        table PRUNED to the affected members' bucket set, plus (when
+        ``pairs_dir`` is also given) whatever raw epoch directories
+        compaction hasn't folded yet.  Identical semantics, bounded
+        I/O; same completeness requirement on the union of both
+        sources."""
         mmap = self._merge_map(spark, guard=False)
         removed = None
         if removed_docs is not None:
@@ -1380,7 +1391,9 @@ class ClusterIndex:
             folded = self.resolve(spark, _mmap=mmap).select(
                 "doc", F.col("cluster_id").alias("rep")
             )
-            if removed is not None and pairs_dir is not None:
+            if removed is not None and (
+                pairs_dir is not None or pairs_log is not None
+            ):
                 from .dedup import near_dup_clusters
 
                 folded = folded.localCheckpoint(eager=True)
@@ -1395,10 +1408,33 @@ class ClusterIndex:
                     .select("doc")
                     .localCheckpoint(eager=True)
                 )
-                pairs = spark.read.parquet(pairs_dir).select(
-                    F.col("doc_a").cast("long").alias("doc_a"),
-                    F.col("doc_b").cast("long").alias("doc_b"),
-                )
+                sources = []
+                if pairs_log is not None:
+                    # compacted live-pairs table, scan PRUNED to the
+                    # affected members' bucket set (planning-scale)
+                    sources.append(
+                        pairs_log.pairs_for_members(
+                            spark, members.select("doc")
+                        )
+                    )
+                if pairs_dir is not None:
+                    # raw epoch directories (everything when no
+                    # pairs_log; only the not-yet-folded tail when
+                    # compaction runs on a cadence).  Listed explicitly:
+                    # a fully-compacted dir has no epoch subdirs left
+                    # and a bare read would fail schema inference.
+                    raw = PairsLog._read_raw(
+                        spark, pairs_dir, PairsLog._epoch_dirs(pairs_dir)
+                    )
+                    if raw is not None:
+                        sources.append(raw)
+                if not sources:
+                    sources.append(
+                        spark.createDataFrame([], "doc_a long, doc_b long")
+                    )
+                pairs = sources[0]
+                for extra in sources[1:]:
+                    pairs = pairs.unionByName(extra)
                 surviving_pairs = pairs.join(
                     survivors.select(F.col("doc").alias("doc_a")),
                     "doc_a",

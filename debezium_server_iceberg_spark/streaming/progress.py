@@ -77,12 +77,40 @@ class RemovalCounters:
 class ConsumerProgressListener(StreamingQueryListener):
     """Accumulates throughput stats per streaming query; logs a summary line
     every ``log_interval_s`` seconds (default 15 min, matching the
-    reference's cadence)."""
+    reference's cadence).
 
-    def __init__(self, log_interval_s: int = 900) -> None:
+    ``removal_counters`` folds the CDC index feeds' under-removal
+    observability into the same periodic surface (r15 — previously the
+    operator had to hold and poll the ``RemovalCounters`` instance
+    themselves): pass the counters object (or ``{name: counters}`` for
+    several feeds) and every summary line carries the cumulative
+    removed / skipped_null_before totals, so the documented
+    under-removal drift shows up where the throughput stats already go
+    instead of dying silently with the process."""
+
+    def __init__(
+        self,
+        log_interval_s: int = 900,
+        removal_counters: "RemovalCounters | dict[str, RemovalCounters] | None" = None,
+    ) -> None:
         self.snapshots: dict[str, ProgressSnapshot] = {}
         self.log_interval_s = log_interval_s
+        self.removal_counters = removal_counters
         self._last_log = 0.0
+
+    def _removal_summary(self) -> str:
+        """One '; removals ...' clause from the attached counters (empty
+        string when none attached)."""
+        c = self.removal_counters
+        if c is None:
+            return ""
+        named = c.items() if isinstance(c, dict) else [("feed", c)]
+        parts = [
+            f"{name}: removed={ctr.total_removed} "
+            f"skipped_null_before={ctr.total_skipped_null_before}"
+            for name, ctr in named
+        ]
+        return "; removals " + ", ".join(parts)
 
     def onQueryStarted(self, event) -> None:
         self.snapshots[str(event.id)] = ProgressSnapshot()
@@ -100,11 +128,12 @@ class ConsumerProgressListener(StreamingQueryListener):
         if now - self._last_log >= self.log_interval_s:
             self._last_log = now
             log.info(
-                "stream %s: %d rows in %d batches (%.1f rows/s)",
+                "stream %s: %d rows in %d batches (%.1f rows/s)%s",
                 p.id,
                 snap.total_input_rows,
                 snap.batches,
                 snap.rows_per_sec,
+                self._removal_summary(),
             )
 
     def onQueryTerminated(self, event) -> None:

