@@ -107,6 +107,16 @@ class IcebergSinkConfig:
     # publish_rest_uri (both catalogs move forward per publish).
     publish_jdbc_uri: str = ""
     publish_jdbc_catalog_name: str = "default"
+    # 'cadence' (default): publish every publish_every_commits commits —
+    # the catalog lags HEAD by at most N commits.  'per_commit': the
+    # catalog row IS the commit point — every LakeTable commit exports
+    # the candidate state and CASes the catalog pointer BEFORE the local
+    # atomic point; a catalog conflict fails the engine commit
+    # (lakehouse/catalog_commit.py — the reference's tables live in the
+    # catalog, IcebergChangeConsumer.java:100-102).  Requires
+    # publish_dest and exactly one catalog uri (jdbc preferred: its CAS
+    # updates the row in place).
+    publish_mode: str = "cadence"
 
     # OpenLineage emission (W16, IcebergTableOperator.java:242-285):
     # post-commit dataset metadata to a JSONL file and/or HTTP endpoint;
@@ -175,4 +185,20 @@ class EngineConfig:
                 "publish_every_commits requires publish_dest (the export root "
                 "the cadence writes Iceberg metadata under)"
             )
+        if self.iceberg.publish_mode not in ("cadence", "per_commit"):
+            raise ValueError(
+                f"publish_mode must be 'cadence' or 'per_commit', got "
+                f"{self.iceberg.publish_mode!r}"
+            )
+        if self.iceberg.publish_mode == "per_commit":
+            if not self.iceberg.publish_dest:
+                raise ValueError(
+                    "publish_mode=per_commit requires publish_dest (the "
+                    "export root each commit's Iceberg metadata lands under)"
+                )
+            if not (self.iceberg.publish_jdbc_uri or self.iceberg.publish_rest_uri):
+                raise ValueError(
+                    "publish_mode=per_commit requires a catalog to own the "
+                    "commit point: set publish_jdbc_uri or publish_rest_uri"
+                )
         return self

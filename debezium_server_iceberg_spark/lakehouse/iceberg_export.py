@@ -439,7 +439,10 @@ def _export_partition_field(pf, src: dict, field_id: int):
 
 
 def export_iceberg_table(
-    table: LakeTable, dest: str, degrade_partitions: bool = False
+    table: LakeTable,
+    dest: str,
+    degrade_partitions: bool = False,
+    metadata=None,
 ) -> str:
     """Publish ``table``'s current snapshot as an Iceberg v2 table rooted at
     ``dest`` (metadata-only: data file paths point at the engine's parquet
@@ -467,9 +470,13 @@ def export_iceberg_table(
     spec the converter refuses (e.g. truncate on a decimal): such tables
     export unpartitioned, contents exact, with the true engine layout
     recorded in the ``engine.partition-spec`` table property."""
-    meta = table.metadata()
-    deletes = table.current_deletes()
-    files = table.current_files()
+    # ``metadata`` lets the per-commit catalog hook export a CANDIDATE
+    # table state whose version-hint has not been swung yet (the commit
+    # point is then the catalog CAS, not the hint replace) — the
+    # candidate's manifest file is already on disk when the hook runs
+    meta = metadata if metadata is not None else table.metadata()
+    deletes = table._manifest_deletes(meta)
+    files = table._manifest_files(meta)
     schema_json, last_col = spark_schema_to_iceberg(
         meta.schema, meta.identifier_fields
     )

@@ -206,6 +206,14 @@ class LakeTable:
         self.location = location
         self.meta_dir = os.path.join(location, "metadata")
         self.data_dir = os.path.join(location, "data")
+        #: optional publication gate called INSIDE every commit, between
+        #: writing the candidate metadata file and swinging the
+        #: version-hint (the local atomic point): ``hook(table,
+        #: candidate_meta, new_version)``.  If it raises, the candidate
+        #: file is removed and the commit does NOT advance — this is how
+        #: ``publish_mode=per_commit`` makes an external catalog row the
+        #: authoritative commit point (lakehouse/catalog_commit.py).
+        self.commit_hook = None
 
     # ------------------------------------------------------------- create
 
@@ -333,6 +341,21 @@ class LakeTable:
             raise CommitConflict(f"version {new_version} already committed") from e
         with os.fdopen(fd, "w") as fh:
             json.dump(d, fh)
+        if self.commit_hook is not None:
+            # publication gate (publish_mode=per_commit): export the
+            # CANDIDATE state and CAS the external catalog pointer
+            # BEFORE the local atomic point.  A conflict (another
+            # writer owns the catalog row) propagates and the commit
+            # does not advance — the candidate file is removed so the
+            # version slot stays free for a later legitimate commit.
+            try:
+                self.commit_hook(self, meta, new_version)
+            except Exception:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                raise
         tmp = os.path.join(self.meta_dir, f".hint.{uuidlib.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             fh.write(str(new_version))

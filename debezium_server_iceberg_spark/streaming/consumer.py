@@ -79,6 +79,12 @@ class ChangeConsumer:
         # injectable REST transport for the publication cadence (tests
         # replay recorded fixtures; production None = stdlib urllib)
         self.rest_transport = None
+        # publish_mode=per_commit state: one CatalogCommitHook per table
+        # (keeps its last-published pointer across micro-batches, so
+        # foreign catalog moves between our commits fail the CAS), plus
+        # the shared catalog client, built lazily
+        self._commit_hooks: dict = {}
+        self._publish_client = None
 
     # ------------------------------------------------------------ batch path
 
@@ -209,6 +215,12 @@ class ChangeConsumer:
                 "format-version": str(ic.format_version),
             },
         )
+        if ic.publish_mode == "per_commit":
+            # catalog-as-commit-point: every commit on this table
+            # exports + CASes the catalog pointer before its local
+            # atomic point (lakehouse/catalog_commit.py) — the
+            # reference's model, where the table lives IN the catalog
+            table.commit_hook = self._per_commit_hook(table_name)
 
         if self._epoch_already_applied(table, epoch_id):
             return 0
@@ -273,6 +285,44 @@ class ChangeConsumer:
         # it) — no extra action, and no -1 sentinel leaking into lineage
         # or the offsets mirror
         return n_rows
+
+    def _per_commit_hook(self, table_name: str):
+        """The per-table CatalogCommitHook (publish_mode=per_commit),
+        created once and re-attached on every micro-batch so its
+        last-published pointer survives across batches."""
+        import os
+
+        from ..lakehouse.catalog_commit import CatalogCommitHook
+
+        hook = self._commit_hooks.get(table_name)
+        if hook is not None:
+            return hook
+        ic = self.config.iceberg
+        if self._publish_client is None:
+            if ic.publish_jdbc_uri:
+                from ..lakehouse.jdbc_catalog import JdbcCatalogClient
+
+                self._publish_client = JdbcCatalogClient(
+                    ic.publish_jdbc_uri,
+                    catalog_name=ic.publish_jdbc_catalog_name,
+                )
+            else:
+                from ..lakehouse.rest_catalog import RestCatalogClient
+
+                self._publish_client = RestCatalogClient(
+                    ic.publish_rest_uri,
+                    token=ic.publish_rest_token or None,
+                    warehouse=ic.publish_rest_warehouse or None,
+                    transport=self.rest_transport,
+                )
+        hook = CatalogCommitHook(
+            self._publish_client,
+            ic.namespace,
+            table_name,
+            os.path.join(ic.publish_dest, table_name),
+        )
+        self._commit_hooks[table_name] = hook
+        return hook
 
     def _maybe_publish_branch(self, table) -> None:
         """Auto-publish after a successful branch-staged batch (the
@@ -343,6 +393,8 @@ class ChangeConsumer:
         import os
 
         ic = self.config.iceberg
+        if ic.publish_mode == "per_commit":
+            return  # the commit hook already published this very commit
         n = ic.publish_every_commits
         if not n or not ic.publish_dest:
             return
