@@ -2014,9 +2014,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@_register(
-    "ngram_jaccard_pairs",
-    f"""
+# RETIRED from the driver registry in r15 (cap swap for
+# cluster_strict_split_pairs — VERDICT r14 item 6): the n-gram Jaccard
+# family keeps full driver coverage via minhash_near_dup (bands +
+# Jaccard verification over the same shingle machinery) and
+# containment_near_dup (the asymmetric variant with the PPJoin prefix
+# filter); exact-set verification on LSH-pruned candidates is precisely
+# what those gates verify.  The function stays: pytest pins it against
+# its DuckDB oracle (tests/test_entry.py::
+# test_retired_ngram_jaccard_gate_still_matches_its_oracle) and SURVEY
+# §2.9 records the retirement.
+_NGRAM_JACCARD_PAIRS_ORACLE = f"""
     WITH tk AS (
       SELECT doc_id AS doc, {_TOKENS_SQL} AS t FROM documents
     ), shingles AS (
@@ -2049,8 +2057,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i JOIN sizes za ON za.doc = i.doc_a
                  JOIN sizes zb ON zb.doc = i.doc_b
     WHERE CAST(i.both AS DOUBLE) / (za.n + zb.n - i.both) >= 0.4
-    """,
-)
+    """
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on LSH-pruned candidates: MinHash bands generate
     the candidate pairs (scales), then the true Jaccard is computed from the
@@ -2501,6 +2510,101 @@ def vector_stream_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(pairs_dir)
             .groupBy("doc_a", "doc_b")
             .agg(F.max("cosine").alias("cosine"))
+            .localCheckpoint(eager=True)  # safe after the tmp dirs go
+        )
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+        _sh.rmtree(pairs_dir, ignore_errors=True)
+
+
+@_register(
+    "cluster_strict_split_pairs",
+    """
+    WITH eligible AS (
+      SELECT doc_id, lang FROM documents
+      WHERE lang IN (SELECT lang FROM documents
+                     GROUP BY lang HAVING count(*) >= 2)
+    ), ordered AS (
+      SELECT doc_id, lang,
+             lag(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_id
+      FROM eligible
+    ), surv AS (
+      SELECT doc_id, lang,
+             CASE WHEN prev_id IS NULL OR prev_id % 17 = 3
+                  THEN 1 ELSE 0 END AS brk
+      FROM ordered
+      WHERE doc_id % 17 <> 3
+    ), grp AS (
+      SELECT doc_id, lang,
+             sum(brk) OVER (PARTITION BY lang ORDER BY doc_id) AS g
+      FROM surv
+    )
+    SELECT doc_id AS doc,
+           min(doc_id) OVER (PARTITION BY lang, g) AS cluster_id
+    FROM grp
+    """,
+)
+def cluster_strict_split_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-split removal through the durable pairs log — r14's
+    flagship semantic promoted to an oracle gate (r15 cap swap for the
+    retired ngram_jaccard_pairs): per-lang doc chains (consecutive
+    doc_ids linked — lag window) stream into a persistent
+    ``ClusterIndex`` in three epochs writing the pairs log, the log is
+    COMPACTED into the bucket-partitioned live-pairs table
+    (``PairsLog`` — the r15 lifecycle), then every doc with
+    ``doc_id % 17 == 3`` is erased with
+    ``maintain(removed_docs=, pairs_log=)``: removing a mid-chain doc
+    must genuinely disconnect its neighbors (each chain splits into
+    maximal surviving runs, canonical = min run member).  The oracle
+    states the same semantics closed-form: chain components after node
+    removal are consecutive-survivor runs, a window-function
+    computation DuckDB replays exactly — one-shot clustering of the
+    surviving pairs, no recursion needed for chain graphs.
+
+    The reference's delete contract never leaves ghost state either
+    (BaseDeltaTaskWriter.java:60-71); at 100 TB the split stays
+    component-sized: the compacted log is scanned bucket-PRUNED to the
+    affected members' bucket set, never the raw epoch history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from .functions.incremental import ClusterIndex, PairsLog
+    from .lakehouse import LakeCatalog
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "lang")
+        .withColumn("prev_id", F.lag("doc_id").over(w))
+        .filter(F.col("prev_id").isNotNull())
+        .select(
+            F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    wh = _tf.mkdtemp(prefix="strictsplit_wh_")
+    pairs_dir = _tf.mkdtemp(prefix="strictsplit_pairs_")
+    try:
+        cat = LakeCatalog(wh)
+        idx = ClusterIndex.create(cat, "gate", "cl")
+        log = PairsLog.create(cat, "gate", "plog")
+        for e in range(3):
+            # the stream feeds' shape: pairs land durably per epoch,
+            # admission reads the durable copy back
+            batch = edges.filter(F.col("doc_b") % 3 == e)
+            batch.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={e}")
+            idx.add_batch(
+                spark.read.parquet(f"{pairs_dir}/epoch={e}"), epoch_id=e
+            )
+        log.compact(spark, pairs_dir)  # raw dirs fold; scan prunes by bucket
+        removed = docs.filter(F.col("doc_id") % 17 == 3).select(
+            F.col("doc_id").alias("doc")
+        )
+        idx.maintain(spark, removed_docs=removed, pairs_log=log)
+        return (
+            idx.resolve(spark)
+            .select("doc", "cluster_id")
             .localCheckpoint(eager=True)  # safe after the tmp dirs go
         )
     finally:
@@ -6932,76 +7036,83 @@ def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-14 ROTATION (VERDICT r13 item 1, seed = CORRECTNESS_r11.json):
-    # the driver checks the first 50 entries.  Seed = the 49 gates whose
-    # freshest driver row is r11 (recomputed: r11 keys minus r12 keys
-    # minus r13 keys — exactly 49), MINUS cube_order_stats, retired this
-    # round in the cap swap (VERDICT item 6; §2.3 family coverage stays
-    # via rollup_revenue/grouping_sets_revenue/pivot/percentiles/
-    # approx_distinct — SURVEY §2.9) = 48 stale gates.  Fill slot 1 =
-    # vector_stream_semantic_pairs, the NEW gate (r13's continuous-
-    # SemDeDup loop gets its driver row immediately).  Fill slot 2 =
-    # iceberg_export_mor_roundtrip from the r12 window — the richest
-    # export gate, covering the publication path r14's JDBC catalog
-    # client plugs into.  Zero overlap with the r13 window; post-r14
-    # histogram = {r12: 49, r13: 50, r14: 50} — no gate older than two
-    # rounds.
-    # --- fills ---
-    "vector_stream_semantic_pairs",
-    "iceberg_export_mor_roundtrip",
-    # --- r11-stale: embeddings / ANN / PQ ---
-    "random_projection_embed",
-    "ann_ivfpq_index_topk",
-    "ann_ivf_index_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_near_dup",
-    # --- r11-stale: dedup / fingerprints ---
-    "minhash_near_dup",
-    "simhash",
-    "ngram_jaccard_pairs",
-    "doc_fingerprint",
-    # --- r11-stale: TPC-H relational shapes ---
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # --- r11-stale: aggregation / window / scalar surface ---
-    "pivot_user_event_matrix",
-    "percentiles_order_value",
-    "approx_distinct_parts",
-    "window_running_revenue",
-    "window_navigation_functions",
-    "string_functions_showcase",
-    "date_functions_showcase",
-    "decorrelated_above_avg",
-    "skew_salted_join_agg",
-    "asof_join_purchases_clicks",
-    "funnel_signup_click_purchase",
-    "events_sliding_counts",
-    # --- r11-stale: text / corpus / curation ---
-    "token_stats",
-    "tfidf_top_terms",
-    "corpus_top_ngrams",
-    "collocation_lift_pairs",
-    "repetition_filter_docs",
-    "length_histogram_docs",
-    "unigram_logprob_docs",
-    "tokenizer_fertility_by_lang",
-    "reservoir_sample_per_lang",
-    "sequence_packing",
-    "cluster_balanced_sample",
-    "quality_rank_ensemble",
-    "curriculum_rank_shards",
+    # ROUND-15 ROTATION (VERDICT r14 item 1, seed = CORRECTNESS_r12.json):
+    # the driver checks the first ~50 entries.  Seed = the 49 gates whose
+    # freshest driver row is r12 (recomputed: r12 keys minus r13 keys
+    # minus r14 keys — exactly 49).  Slot 1 = cluster_strict_split_pairs,
+    # the NEW gate from this round's cap swap (VERDICT item 6 — r14's
+    # strict-split semantic gets its driver row immediately;
+    # ngram_jaccard_pairs retired, its family stays driver-covered via
+    # minhash_near_dup + containment_near_dup and pytest-pinned).  Slot
+    # 51 = incremental_minhash_pairs (VERDICT item 1's named fill): the
+    # two orders collide at the ~50-entry budget — the 49 stale gates
+    # are mandatory for the no-gate-older-than-two-rounds bar and the
+    # new gate has no row at all, while incremental_minhash_pairs is
+    # r13-fresh (within the bar) — so it rides last and lands only if
+    # the driver budget stretches; it is first in line for r16 either
+    # way.  Zero overlap with the r14 window; expected post-r15
+    # histogram ≈ {r13: 49, r14: 49, r15: 50} (ngram retired from r14's
+    # 50).
+    # --- fill: the new gate ---
+    "cluster_strict_split_pairs",
+    # --- r12-stale: CDC semantics ---
+    "cdc_envelope_roundtrip",
+    "cdc_struct_roundtrip",
+    "cdc_upsert_orders",
+    "cdc_soft_delete_orders",
+    "cdc_dedup_last_wins",
+    "cdc_dedup_op_priority",
+    "cdc_route_by_destination",
+    "cdc_schema_evolution",
+    # --- r12-stale: writer fidelity / lakehouse read paths ---
+    "iceberg_export_dv_roundtrip",
+    "iceberg_export_lineage_roundtrip",
+    "row_lineage_upsert",
+    "wap_branch_publish",
+    "incremental_append_scan",
+    "pruned_point_lookup",
+    # --- r12-stale: TPC-H relational shapes ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_or_of_ands",
+    "q22_idle_balances",
+    # --- r12-stale: joins / set-ops / windows / scalar surface ---
+    "anti_customers_without_orders",
+    "asof_last_click_before_purchase",
+    "interval_join_attribution",
+    "range_join_order_overlaps",
+    "sessionize_events",
+    "setops_customer_status",
+    "topk_orders_per_priority",
+    "window_rank_functions",
+    "grouping_sets_revenue",
+    "events_hourly_rollup",
+    "json_props_extract",
+    "variant_props_extract",
+    # --- r12-stale: dedup / decontamination ---
+    "exact_substring_dedup",
+    "containment_near_dup",
+    "decontaminate_bloom_docs",
+    "source_overlap_matrix",
+    # --- r12-stale: text analysis / shaping / curation ---
+    "lang_id",
+    "quality_score",
+    "quality_top_p_docs",
+    "token_count_bpe",
+    "doc_chunking",
+    "mixture_sample_sources",
+    "pipeline_end_to_end",
+    # --- r12-stale: multimodal ---
+    "image_ahash_clusters",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "key_frame_selection",
+    # --- budget-permitting fill (r13-fresh, heaviest rewritten path) ---
+    "incremental_minhash_pairs",
 ]
 
 

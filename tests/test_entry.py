@@ -107,3 +107,21 @@ def test_retired_cube_gate_still_matches_its_oracle(spark):
     )
     want = sorted(map(tuple, con.execute(qmod._CUBE_ORDER_STATS_ORACLE).fetchall()))
     assert got == want
+
+
+def test_retired_ngram_jaccard_gate_still_matches_its_oracle(spark):
+    """ngram_jaccard_pairs left the driver registry in the r15 cap swap
+    (for cluster_strict_split_pairs) but its coverage must not rot: pin
+    the LSH-pruned exact-Jaccard pipeline against its DuckDB oracle
+    here, the same comparison the driver used to run."""
+    import duckdb
+
+    got = sorted(map(tuple, qmod.ngram_jaccard_pairs(spark, SF).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(qmod._NGRAM_JACCARD_PAIRS_ORACLE).fetchall())
+    )
+    assert got == want and len(want) > 0
