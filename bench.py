@@ -85,6 +85,14 @@ def bench_ingest(spark, sf_dir: str, upsert: bool) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # load average captured BEFORE the session spins up: the field
+    # flags EXTERNAL contention (the thing that makes timings
+    # non-comparable across rounds); bench's own load would otherwise
+    # dominate a run-end sample
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
     from debezium_server_iceberg_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -128,9 +136,14 @@ def main() -> None:
     # then the slowest-10 recap, then sf and the total.  Key order
     # survives json.dumps, so a truncated tail still reads
     # ..."slowest_10":{...},"sf":0.1,"value":N}.
+    # start-of-run load average (1/5/15 min): timings from a contended
+    # box are not comparable across rounds (the r14 verdict's first A/B
+    # was distorted by post-test-suite load) — a recorded load field
+    # makes every bench artifact self-describing
     payload = {
         "metric": "total_sec",
         "unit": "sec",
+        "loadavg": loadavg_start,
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "slowest_10": slowest,
         "sf": _sf_from_dir(sf_dir),

@@ -2549,7 +2549,7 @@ def cluster_strict_split_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship semantic promoted to an oracle gate (r15 cap swap for the
     retired ngram_jaccard_pairs): per-lang doc chains (consecutive
     doc_ids linked — lag window) stream into a persistent
-    ``ClusterIndex`` in three epochs writing the pairs log, the log is
+    ``ClusterIndex`` in two epochs writing the pairs log, the log is
     COMPACTED into the bucket-partitioned live-pairs table
     (``PairsLog`` — the r15 lifecycle), then every doc with
     ``doc_id % 17 == 3`` is erased with
@@ -2575,6 +2575,8 @@ def cluster_strict_split_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
+    # one lag-window pass, materialized once: each epoch filter below
+    # would otherwise re-run the scan + window shuffle
     edges = (
         docs.select("doc_id", "lang")
         .withColumn("prev_id", F.lag("doc_id").over(w))
@@ -2582,17 +2584,21 @@ def cluster_strict_split_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
+        .localCheckpoint(eager=True)
     )
     wh = _tf.mkdtemp(prefix="strictsplit_wh_")
     pairs_dir = _tf.mkdtemp(prefix="strictsplit_pairs_")
     try:
         cat = LakeCatalog(wh)
-        idx = ClusterIndex.create(cat, "gate", "cl")
-        log = PairsLog.create(cat, "gate", "plog")
-        for e in range(3):
+        # 8 buckets: the gate's corpora are bench-scale — fewer
+        # partition files per commit, identical pruning semantics
+        idx = ClusterIndex.create(cat, "gate", "cl", partition_buckets=8)
+        log = PairsLog.create(cat, "gate", "plog", partition_buckets=8)
+        for e in range(2):
             # the stream feeds' shape: pairs land durably per epoch,
-            # admission reads the durable copy back
-            batch = edges.filter(F.col("doc_b") % 3 == e)
+            # admission reads the durable copy back; epoch 0 is the
+            # cold admission, epoch 1 merges against stored history
+            batch = edges.filter(F.col("doc_b") % 2 == e)
             batch.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={e}")
             idx.add_batch(
                 spark.read.parquet(f"{pairs_dir}/epoch={e}"), epoch_id=e
