@@ -264,12 +264,34 @@ def near_dup_clusters(
                 # union by min so the root IS the cluster id
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
-        label_rows = [(d, find(d)) for d in set(us.tolist()) | set(vs.tolist())]
+        import numpy as np
+        import pandas as pd
+
+        # labels go back Arrow-batched too: a list-of-tuples
+        # createDataFrame serializes row-at-a-time on the driver and at
+        # ~500k labels THAT becomes the bottleneck (single-core minutes)
+        # while every executor idles — measured at sf1, where the
+        # pickle path turned a seconds-sized union-find into the
+        # slowest stage of the whole bench
+        touched = np.unique(np.concatenate([us, vs])) if len(us) else us
+        labels_np = np.fromiter(
+            (find(int(d)) for d in touched), dtype="int64", count=len(touched)
+        )
         spark = pairs.sparkSession
         id_type = edges.schema["u"].dataType.simpleString()
-        out = spark.createDataFrame(
-            label_rows, f"doc {id_type}, label {id_type}"
-        )
+        if len(touched):
+            dtype = "int32" if id_type in ("int", "integer") else "int64"
+            out = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc": touched.astype(dtype),
+                        "label": labels_np.astype(dtype),
+                    }
+                ),
+                f"doc {id_type}, label {id_type}",
+            )
+        else:
+            out = spark.createDataFrame([], f"doc {id_type}, label {id_type}")
         edges.unpersist()
         return out.select(
             "doc",

@@ -1121,26 +1121,44 @@ class ClusterIndex:
                 dpairs.unpersist()
         # Arrow fetch -> two int64 numpy columns (~16 B/edge on the
         # driver, not hundreds of bytes per pyspark Row)
+        import numpy as np
+        import pandas as pd
+
         pdf = dpairs.toPandas()
         dpairs.unpersist()
-        edges = list(
-            zip(pdf["doc_a"].astype("int64").tolist(), pdf["doc_b"].astype("int64").tolist())
+        ua = pdf["doc_a"].to_numpy(dtype="int64")
+        ub = pdf["doc_b"].to_numpy(dtype="int64")
+        touched_np = (
+            np.unique(np.concatenate([ua, ub])) if len(ua) else ua
         )
-        touched = sorted({d for e in edges for d in e})
+        touched = touched_np.tolist()
         n_pb = int(
             self.assign.metadata().properties.get(PBUCKETS_PROP, "0") or 0
         )
-        tdf = spark.createDataFrame([(d,) for d in touched] or [], "doc long")
+        # every driver<->JVM hop below rides Arrow (pandas in,
+        # toPandas out): the row-at-a-time pickle path costs
+        # single-core MINUTES per hop at ~500k rows while the
+        # executors idle — measured at sf1
+        tdf = (
+            spark.createDataFrame(pd.DataFrame({"doc": touched_np}))
+            if touched
+            else spark.createDataFrame([], "doc long")
+        )
         if n_pb:
             tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
         part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
-        existing = {
-            int(r["doc"]): int(r["rep"])
-            for r in self.assign.to_df(spark, partition_values=part_vals)
+        epdf = (
+            self.assign.to_df(spark, partition_values=part_vals)
             .join(F.broadcast(tdf.select("doc")), "doc", "leftsemi")
             .select("doc", "rep")
-            .collect()
-        }
+            .toPandas()
+        )
+        existing = dict(
+            zip(
+                epdf["doc"].to_numpy(dtype="int64").tolist(),
+                epdf["rep"].to_numpy(dtype="int64").tolist(),
+            )
+        )
         mmap = self._merge_map(spark)
 
         parent: dict[int, int] = {}
@@ -1163,7 +1181,7 @@ class ClusterIndex:
         cur_rep = {d: mmap.get(r, r) for d, r in existing.items()}
         for d, r in cur_rep.items():
             union(d, r)
-        for a, b in edges:
+        for a, b in zip(ua.tolist(), ub.tolist()):
             union(a, b)
 
         new_assign = [
@@ -1183,8 +1201,26 @@ class ClusterIndex:
             self.merges.append(
                 spark.createDataFrame(merge_events, "old_rep long, new_rep long")
             )
-        assign_df = spark.createDataFrame(
-            new_assign or [], "doc long, rep long"
+        assign_df = (
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc": np.fromiter(
+                            (d for d, _ in new_assign),
+                            dtype="int64",
+                            count=len(new_assign),
+                        ),
+                        "rep": np.fromiter(
+                            (r for _, r in new_assign),
+                            dtype="int64",
+                            count=len(new_assign),
+                        ),
+                    }
+                ),
+                "doc long, rep long",
+            )
+            if new_assign
+            else spark.createDataFrame([], "doc long, rep long")
         )
         if n_pb:
             assign_df = assign_df.withColumn(
@@ -1194,9 +1230,22 @@ class ClusterIndex:
             assign_df,
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
-        out = [(d, find(d), d == find(d)) for d in touched]
+        if not touched:
+            return spark.createDataFrame(
+                [], "doc long, cluster_id long, is_canonical boolean"
+            )
+        roots = np.fromiter(
+            (find(d) for d in touched), dtype="int64", count=len(touched)
+        )
         return spark.createDataFrame(
-            out or [], "doc long, cluster_id long, is_canonical boolean"
+            pd.DataFrame(
+                {
+                    "doc": touched_np,
+                    "cluster_id": roots,
+                    "is_canonical": touched_np == roots,
+                }
+            ),
+            "doc long, cluster_id long, is_canonical boolean",
         )
 
     def _add_batch_distributed(
