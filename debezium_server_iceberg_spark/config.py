@@ -107,6 +107,14 @@ class IcebergSinkConfig:
     # publish_rest_uri (both catalogs move forward per publish).
     publish_jdbc_uri: str = ""
     publish_jdbc_catalog_name: str = "default"
+    # Nessie-catalog publication (the reference's third catalog family,
+    # testresources/CatalogNessie.java; ``catalog-impl=...NessieCatalog``):
+    # the public REST API v2 root (http://host:19120/api/v2).  The table
+    # becomes an ICEBERG_TABLE content committed on the branch
+    # (publish_nessie_branch; empty = the server's default branch).
+    # May be set alongside the other two uris.
+    publish_nessie_uri: str = ""
+    publish_nessie_branch: str = ""
     # 'cadence' (default): publish every publish_every_commits commits —
     # the catalog lags HEAD by at most N commits.  'per_commit': the
     # catalog row IS the commit point — every LakeTable commit exports
@@ -196,9 +204,14 @@ class EngineConfig:
                     "publish_mode=per_commit requires publish_dest (the "
                     "export root each commit's Iceberg metadata lands under)"
                 )
-            if not (self.iceberg.publish_jdbc_uri or self.iceberg.publish_rest_uri):
+            if not (
+                self.iceberg.publish_jdbc_uri
+                or self.iceberg.publish_rest_uri
+                or self.iceberg.publish_nessie_uri
+            ):
                 raise ValueError(
                     "publish_mode=per_commit requires a catalog to own the "
-                    "commit point: set publish_jdbc_uri or publish_rest_uri"
+                    "commit point: set publish_jdbc_uri, publish_rest_uri "
+                    "or publish_nessie_uri"
                 )
         return self

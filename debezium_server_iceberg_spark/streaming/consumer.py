@@ -76,9 +76,11 @@ class ChangeConsumer:
                 file_path=ic.openlineage_file,
                 url=ic.openlineage_url,
             )
-        # injectable REST transport for the publication cadence (tests
-        # replay recorded fixtures; production None = stdlib urllib)
+        # injectable catalog transports for the publication cadence
+        # (tests replay recorded fixtures; production None = stdlib
+        # urllib)
         self.rest_transport = None
+        self.nessie_transport = None
         # publish_mode=per_commit state: one CatalogCommitHook per table
         # (keeps its last-published pointer across micro-batches, so
         # foreign catalog moves between our commits fail the CAS), plus
@@ -306,6 +308,14 @@ class ChangeConsumer:
                     ic.publish_jdbc_uri,
                     catalog_name=ic.publish_jdbc_catalog_name,
                 )
+            elif ic.publish_nessie_uri:
+                from ..lakehouse.nessie_catalog import NessieCatalogClient
+
+                self._publish_client = NessieCatalogClient(
+                    ic.publish_nessie_uri,
+                    branch=ic.publish_nessie_branch or None,
+                    transport=self.nessie_transport,
+                )
             else:
                 from ..lakehouse.rest_catalog import RestCatalogClient
 
@@ -415,6 +425,9 @@ class ChangeConsumer:
             rest_transport=self.rest_transport,
             jdbc_uri=ic.publish_jdbc_uri or None,
             jdbc_catalog_name=ic.publish_jdbc_catalog_name,
+            nessie_uri=ic.publish_nessie_uri or None,
+            nessie_branch=ic.publish_nessie_branch or None,
+            nessie_transport=self.nessie_transport,
         )
         table.update_properties(
             **{"publish.last-publish-snapshot-id": str(sid)}
@@ -433,6 +446,9 @@ class ChangeConsumer:
         rest_transport=None,
         jdbc_uri: str | None = None,
         jdbc_catalog_name: str = "default",
+        nessie_uri: str | None = None,
+        nessie_branch: str | None = None,
+        nessie_transport=None,
     ) -> str:
         """Publish an engine-written table as a REAL Iceberg v2 table
         (metadata.json + Avro manifests, lakehouse/iceberg_export.py) any
@@ -492,6 +508,25 @@ class ChangeConsumer:
 
             publish_to_jdbc_catalog(
                 JdbcCatalogClient(jdbc_uri, catalog_name=jdbc_catalog_name),
+                self.config.iceberg.namespace,
+                table_name,
+                md_path,
+            )
+        if nessie_uri:
+            # the reference's third catalog family (CatalogNessie.java):
+            # the table becomes an ICEBERG_TABLE content committed on
+            # the branch — key-scoped conflicts, no unregistered window
+            from ..lakehouse.nessie_catalog import (
+                NessieCatalogClient,
+                publish_to_nessie_catalog,
+            )
+
+            publish_to_nessie_catalog(
+                NessieCatalogClient(
+                    nessie_uri,
+                    branch=nessie_branch,
+                    transport=nessie_transport,
+                ),
                 self.config.iceberg.namespace,
                 table_name,
                 md_path,
