@@ -349,34 +349,75 @@ class IVFIndex:
         if not files:
             return empty
         qn = _l2_normalize(qmat)
-        probe_rows = [
-            (int(qid), int(cell), [float(x) for x in qv])
-            for i, ((qid, _), qv) in enumerate(zip(qpairs, qn))
-            for cell in per_query[i]
-        ]
-        probes = spark.createDataFrame(
-            probe_rows, schema="qid long, cell int, qvec array<double>"
-        )
+        # per-cell query blocks, driver-held and shipped in the function
+        # closure (the probe relation is planning-scale: |Q| * n_probe):
+        # a candidate is scored ONLY against the queries probing its cell
+        # — the same per-query n_probe semantics the former broadcast
+        # equi-join enforced in-plan, now enforced by the cell lookup.
+        cell_q: dict[int, list[int]] = {}
+        for i, cells in per_query.items():
+            for c in cells:
+                cell_q.setdefault(int(c), []).append(i)
+        qid_arr = np.array([int(qid) for qid, _ in qpairs], dtype=np.int64)
+        cell_blocks = {
+            c: (qid_arr[idxs], qn[idxs]) for c, idxs in cell_q.items()
+        }
+        k_local = int(k)
+
+        # Arrow-batched scoring (one GEMM per (batch, cell) block) in
+        # place of the per-pair interpreted zip_with/aggregate fold: the
+        # higher-order-function path evaluated ~dim lambda steps per
+        # (candidate x query) pair — the dominant cost of an exact probe
+        # (n_probe = n_cells), measured 6x+ on the streaming-pairs gate.
+        # cosine keeps the exact formula shape: dot(raw, qn) / ||raw||;
+        # zero-norm candidates drop, as the former nullif-null filter did.
+        # Per-batch partial top-k bounds the shuffle into the final
+        # window at k rows per (query, batch) — at scale the reduce side
+        # ranks shortlists, never the full scored relation.
+        def _score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for c, grp in pdf.groupby("cell"):
+                    blk = cell_blocks.get(int(c))
+                    if blk is None:
+                        continue
+                    qids_c, qmat_c = blk
+                    raw = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in grp["embedding"]]
+                    )
+                    vids = grp["vec_id"].to_numpy(dtype=np.int64)
+                    norms = np.linalg.norm(raw, axis=1)
+                    ok = norms > 0.0
+                    if not ok.any():
+                        continue
+                    raw, vids, norms = raw[ok], vids[ok], norms[ok]
+                    cos = (raw @ qmat_c.T) / norms[:, None]
+                    for j in range(cos.shape[1]):
+                        col, ids = cos[:, j], vids
+                        m = ids != qids_c[j]
+                        col, ids = col[m], ids[m]
+                        if not len(col):
+                            continue
+                        order = np.lexsort((ids, -col))[:k_local]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "qid": np.full(
+                                        len(order), qids_c[j], dtype=np.int64
+                                    ),
+                                    "vec_id": ids[order],
+                                    "cos": col[order],
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
         cand = self.table.scan_files(spark, files)
-        vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        dot = F.aggregate(
-            F.zip_with(vec, F.col("qvec"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        norm = F.sqrt(
-            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        # equi-join on cell: a candidate is scored ONLY against queries
-        # probing its cell (per-query n_probe enforced in-plan).
-        # nullif guards zero-norm embeddings: 0/0 would be NaN, which Spark
-        # orders ABOVE every real cosine in the descending rank window —
-        # null instead, and the filter drops the degenerate vector.
-        scored = (
-            cand.join(F.broadcast(probes), "cell")
-            .filter(F.col("vec_id") != F.col("qid"))
-            .select("qid", "vec_id", (dot / F.nullif(norm, F.lit(0.0))).alias("cos"))
-            .filter(F.col("cos").isNotNull())
+        scored = cand.select("vec_id", "cell", "embedding").mapInPandas(
+            _score, schema="qid long, vec_id long, cos double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         return (

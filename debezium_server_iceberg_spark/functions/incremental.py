@@ -144,7 +144,7 @@ def pbucket_col(col, n_buckets: int) -> F.Column:
 
 
 def _pbucket_probe_values(
-    table: LakeTable, batch_df: DataFrame
+    table: LakeTable, batch_df: DataFrame, buckets: set | None = None
 ) -> dict[str, set] | None:
     """The probe side's bucket set, as a ``to_df(partition_values=)``
     pruning dict — or None when pruning can't help (unpartitioned table,
@@ -152,8 +152,10 @@ def _pbucket_probe_values(
     the ``pbucket`` column (the index row builders add it).
 
     Cost: one bounded job over the (cached) batch frame collecting at
-    most N bucket ordinals — planning-scale regardless of batch size.
-    Correct because the bucket is a pure function of the join key: every
+    most N bucket ordinals — planning-scale regardless of batch size
+    (callers that already ran an aggregate over the batch pass the
+    bucket set through ``buckets`` and skip even that job).  Correct
+    because the bucket is a pure function of the join key: every
     stored row that can equi-join a batch key lives in that key's
     bucket, so files outside the batch's bucket set cannot contribute
     matches."""
@@ -166,9 +168,10 @@ def _pbucket_probe_values(
     if not pfs:
         return None
     n = int(meta.properties.get(PBUCKETS_PROP, "0") or 0)
-    buckets = {
-        r[0] for r in batch_df.select(PBUCKET_COL).distinct().collect()
-    }
+    if buckets is None:
+        buckets = {
+            r[0] for r in batch_df.select(PBUCKET_COL).distinct().collect()
+        }
     if n and len(buckets) >= n:
         return None  # backfill-shaped batch: every bucket probed anyway
     return {pfs[0].name: buckets}
@@ -334,33 +337,24 @@ class MinHashIndex:
         # limit — AQE can still convert at runtime from the real size.
         from ..lakehouse.table import _BROADCAST_BYTES, _est_row_width
 
-        n_new = new.count()  # materializes the cache both joins reuse
-        # prune the stored-side scan to the batch's bucket set (bounded
-        # driver-side collect over the cached band rows); the equi-join on
-        # band_val keeps exactness — pruning only drops files that cannot
-        # hold a matching band_val
-        part_vals = (
-            _pbucket_probe_values(self.table, new) if self._pbuckets() else None
-        )
-        old = self.table.to_df(spark, partition_values=part_vals).select(
-            "band", "band_val", F.col("doc").alias("doc_o"),
-            *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
-        )
-        probe = (
-            F.broadcast(a)
-            if n_new * _est_row_width(new.schema) <= _BROADCAST_BYTES
-            else a
-        )
-        cross = (
-            probe.join(old, ["band", "band_val"])
-            .filter(F.col("doc_n") != F.col("doc_o"))
-            .select(
-                F.least("doc_n", "doc_o").alias("doc_a"),
-                F.greatest("doc_n", "doc_o").alias("doc_b"),
-                *[F.col(f"a{s}") for s in range(self.num_hashes)],
-                *[F.col(f"b{s}") for s in range(self.num_hashes)],
+        # manifest check, driver-side, free: the cold first batch of every
+        # feed has no stored side — no probe-values job, no history join
+        has_history = bool(self.table.current_files())
+        if has_history and self._pbuckets():
+            # ONE aggregate job yields the count (cache materialization +
+            # broadcast sizing) AND the batch's bucket set (stored-side
+            # file pruning) — previously two separate jobs over the cache
+            agg = new.groupBy().agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_set(PBUCKET_COL).alias("_b"),
+            ).first()
+            n_new = int(agg["_n"])
+            part_vals = _pbucket_probe_values(
+                self.table, new, buckets=set(agg["_b"])
             )
-        )
+        else:
+            n_new = new.count()  # materializes the cache the joins reuse
+            part_vals = None
         b = new.select(
             "band", "band_val", F.col("doc").alias("doc_o"),
             *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
@@ -375,10 +369,35 @@ class MinHashIndex:
                 *[F.col(f"b{s}") for s in range(self.num_hashes)],
             )
         )
+        combined = within
+        if has_history:
+            # prune the stored-side scan to the batch's bucket set; the
+            # equi-join on band_val keeps exactness — pruning only drops
+            # files that cannot hold a matching band_val
+            old = self.table.to_df(spark, partition_values=part_vals).select(
+                "band", "band_val", F.col("doc").alias("doc_o"),
+                *[F.col(m).alias(f"b{s}") for s, m in enumerate(mcols)],
+            )
+            probe = (
+                F.broadcast(a)
+                if n_new * _est_row_width(new.schema) <= _BROADCAST_BYTES
+                else a
+            )
+            cross = (
+                probe.join(old, ["band", "band_val"])
+                .filter(F.col("doc_n") != F.col("doc_o"))
+                .select(
+                    F.least("doc_n", "doc_o").alias("doc_a"),
+                    F.greatest("doc_n", "doc_o").alias("doc_b"),
+                    *[F.col(f"a{s}") for s in range(self.num_hashes)],
+                    *[F.col(f"b{s}") for s in range(self.num_hashes)],
+                )
+            )
+            combined = cross.unionByName(within)
         # verified pairs materialize BEFORE the append (and before the
         # cache is released) — the checkpoint also makes the returned
         # DataFrame independent of this batch's cached/staged state
-        pairs = self._verified(cross.unionByName(within)).localCheckpoint(eager=True)
+        pairs = self._verified(combined).localCheckpoint(eager=True)
         if on_result is not None:
             # sink effect first: once the epoch stamp commits, the results
             # are already durable (see docstring's crash matrix)
@@ -559,33 +578,53 @@ class SubstringIndex:
                 PBUCKET_COL, pbucket_col(F.col("_h"), n_pb)
             )
         batch_counts = batch_counts.cache()
-        n_batch = batch_counts.count()  # materializes both reuses
-        probe_side = batch_counts.select("_h", "_nb")
-        probe = (
-            F.broadcast(probe_side)
-            if n_batch * _est_row_width(batch_counts.schema) <= _BROADCAST_BYTES
-            else probe_side
-        )
-        # stored-side scan pruned to the batch's gram-bucket set (bounded
-        # collect over the cached counts); exactness rides the inner join
-        part_vals = (
-            _pbucket_probe_values(self.table, batch_counts) if n_pb else None
-        )
-        stored = (
-            probe.join(
-                self.table.to_df(spark, partition_values=part_vals).select(
-                    "_h", "n_docs"
-                ),
-                "_h",
+        # manifest check, driver-side, free: the cold first batch of every
+        # feed probes an EMPTY inversion — the stored join contributes
+        # nothing, so the shared predicate collapses to the in-batch count
+        has_history = bool(self.table.current_files())
+        if has_history and n_pb:
+            # ONE aggregate job: count (cache materialization + broadcast
+            # sizing) AND the batch's gram-bucket set for file pruning —
+            # previously two separate jobs over the cache
+            agg = batch_counts.groupBy().agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_set(PBUCKET_COL).alias("_b"),
+            ).first()
+            n_batch = int(agg["_n"])
+            part_vals = _pbucket_probe_values(
+                self.table, batch_counts, buckets=set(agg["_b"])
             )
-            .groupBy("_h")
-            .agg(F.sum("n_docs").alias("_ns"))
-        )
-        shared = (
-            batch_counts.join(stored, "_h", "left")
-            .filter(F.coalesce(F.col("_ns"), F.lit(0)) + F.col("_nb") >= 2)
-            .select("_h", F.lit(1).alias("_hit"))
-        )
+        else:
+            n_batch = batch_counts.count()  # materializes both reuses
+            part_vals = None
+        if has_history:
+            probe_side = batch_counts.select("_h", "_nb")
+            probe = (
+                F.broadcast(probe_side)
+                if n_batch * _est_row_width(batch_counts.schema) <= _BROADCAST_BYTES
+                else probe_side
+            )
+            # stored-side scan pruned to the batch's gram-bucket set;
+            # exactness rides the inner join
+            stored = (
+                probe.join(
+                    self.table.to_df(spark, partition_values=part_vals).select(
+                        "_h", "n_docs"
+                    ),
+                    "_h",
+                )
+                .groupBy("_h")
+                .agg(F.sum("n_docs").alias("_ns"))
+            )
+            shared = (
+                batch_counts.join(stored, "_h", "left")
+                .filter(F.coalesce(F.col("_ns"), F.lit(0)) + F.col("_nb") >= 2)
+                .select("_h", F.lit(1).alias("_hit"))
+            )
+        else:
+            shared = batch_counts.filter(F.col("_nb") >= 2).select(
+                "_h", F.lit(1).alias("_hit")
+            )
         joined = grams.join(shared, "_h", "left")
         n_grams = F.count(F.lit(1))
         n_shared = F.count("_hit")  # non-null only
@@ -1042,6 +1081,11 @@ class ClusterIndex:
         runs unguarded (it IS the recovery path the error names, and the
         explicit heavy op by contract)."""
         n_events = self.merges.row_count()
+        if n_events == 0:
+            # row_count reads file stats driver-side — an empty merges
+            # table (every epoch until the first cluster merge, and every
+            # epoch right after a maintain) skips the collect job entirely
+            return {}
         if guard and n_events > self.merge_chain_threshold:
             raise RuntimeError(
                 f"merges table holds {n_events} merge events, over "
@@ -1139,26 +1183,29 @@ class ClusterIndex:
         # toPandas out): the row-at-a-time pickle path costs
         # single-core MINUTES per hop at ~500k rows while the
         # executors idle — measured at sf1
-        tdf = (
-            spark.createDataFrame(pd.DataFrame({"doc": touched_np}))
-            if touched
-            else spark.createDataFrame([], "doc long")
-        )
-        if n_pb:
-            tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
-        part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
-        epdf = (
-            self.assign.to_df(spark, partition_values=part_vals)
-            .join(F.broadcast(tdf.select("doc")), "doc", "leftsemi")
-            .select("doc", "rep")
-            .toPandas()
-        )
-        existing = dict(
-            zip(
-                epdf["doc"].to_numpy(dtype="int64").tolist(),
-                epdf["rep"].to_numpy(dtype="int64").tolist(),
+        existing: dict[int, int] = {}
+        if touched and self.assign.current_files():
+            # the membership probe runs only against a NON-empty assign
+            # table (manifest check, driver-side, free): the cold first
+            # epoch of every feed otherwise pays a probe-values job + a
+            # join job to learn what the manifest already says — nothing
+            # is stored yet
+            tdf = spark.createDataFrame(pd.DataFrame({"doc": touched_np}))
+            if n_pb:
+                tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
+            part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
+            epdf = (
+                self.assign.to_df(spark, partition_values=part_vals)
+                .join(F.broadcast(tdf.select("doc")), "doc", "leftsemi")
+                .select("doc", "rep")
+                .toPandas()
             )
-        )
+            existing = dict(
+                zip(
+                    epdf["doc"].to_numpy(dtype="int64").tolist(),
+                    epdf["rep"].to_numpy(dtype="int64").tolist(),
+                )
+            )
         mmap = self._merge_map(spark)
 
         parent: dict[int, int] = {}
@@ -1521,8 +1568,14 @@ class ClusterIndex:
                     PBUCKET_COL, pbucket_col(F.col("doc"), n_pb)
                 )
             self.assign.overwrite(folded)
-            self.merges.overwrite(
-                spark.createDataFrame([], "old_rep long, new_rep long")
-            )
-        self.assign.compact(spark, min_input_files=8, max_input_files=256)
+            # metadata-only truncate: an overwrite(empty_df) staged a full
+            # Spark write job just to commit zero rows
+            self.merges.truncate()
+        else:
+            # bin-pack per-epoch appends only when assign was NOT just
+            # rewritten: the overwrite above already produced one file per
+            # touched bucket (the identity-partition floor) — compacting
+            # right after it re-read and re-wrote the whole table for an
+            # identical layout
+            self.assign.compact(spark, min_input_files=8, max_input_files=256)
         return len(mmap)

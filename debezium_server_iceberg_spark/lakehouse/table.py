@@ -773,6 +773,14 @@ class LakeTable:
             self._abort_staged(add)
             raise
 
+    def truncate(self, summary: dict | None = None) -> None:
+        """Overwrite commit with ZERO data files: clears the table without
+        running a Spark job at all (an ``overwrite(empty_df)`` stages a
+        full write job just to produce nothing).  Metadata-only — one
+        manifest + one metadata version, same observable state as
+        overwriting with an empty frame."""
+        self._commit_snapshot("overwrite", [], set(), summary)
+
     def commit_delta(
         self,
         add_df: DataFrame,

@@ -695,7 +695,14 @@ def emit_vector_epoch_pairs(
     import numpy as np
 
     spark = batch.sparkSession
-    n_batch = batch.count()
+    # ONE aggregate job yields the row count AND the dimension probe
+    # (previously a count job + a one-row first() job per epoch); both
+    # guards still run BEFORE anything is collected to the driver
+    _g = batch.groupBy().agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first(F.size(F.col(vec_col))).alias("_d"),
+    ).first()
+    n_batch = int(_g["_n"])
     if n_batch > max_pair_batch_rows:
         raise ValueError(
             f"micro-batch of {n_batch} vectors exceeds "
@@ -708,11 +715,8 @@ def emit_vector_epoch_pairs(
         # BYTE-aware guard, not just rows: the collect below pulls
         # rows x dim float64 cells onto the driver, and a row bound
         # alone lets a wide-embedding batch (100k x 4096 = ~3.3 GB)
-        # through — probe one row's dimension (a one-row job) and
-        # bound total cells before collecting anything
-        dim = int(
-            batch.select(F.size(F.col(vec_col)).alias("d")).first()["d"] or 0
-        )
+        # through — bound total cells before collecting anything
+        dim = int(_g["_d"] or 0)
         if n_batch * dim > max_pair_batch_cells:
             raise ValueError(
                 f"micro-batch of {n_batch} x dim-{dim} vectors = "
@@ -723,7 +727,10 @@ def emit_vector_epoch_pairs(
                 "the one-shot semantic-dedup operator, then seed the "
                 "stream"
             )
-    rows = batch.select(id_col, vec_col).collect()
+    # Arrow fetch (toPandas), not a pickled-row collect: the batch
+    # matrix is the per-epoch driver payload and Arrow moves it
+    # columnar — same values, same guards, fewer serialization cycles
+    bpdf = batch.select(id_col, vec_col).toPandas()
     schema = "doc_a long, doc_b long, cosine double"
     epoch_path = f"{pairs_dir}/epoch={epoch_id}"
     # underscore prefix => Spark's file index (and therefore
@@ -731,10 +738,10 @@ def emit_vector_epoch_pairs(
     # leaves only invisible staging debris, overwritten on replay
     staging = f"{pairs_dir}/_staging_epoch={epoch_id}"
     spilled = False
-    if rows:
-        ids = [int(r[id_col]) for r in rows]
+    if len(bpdf):
+        ids = [int(v) for v in bpdf[id_col]]
         vecs = np.array(
-            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+            [np.asarray(v, dtype=np.float64) for v in bpdf[vec_col]]
         )
         # new-vs-history: the index's own partition-pruned search
         # (a CDC feed's removals have already committed by now, so
