@@ -69,9 +69,10 @@ def containment_pairs(
     freq = shingles.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     if max_shingle_freq is not None:
         # drop stop-shingles from the universe itself: sizes, prefixes,
-        # candidates, and verification all see the same filtered sets
+        # candidates, and verification all see the same filtered sets —
+        # the inner freq join below applies the filter to every relation
+        # (they all derive from ``ranked``)
         freq = freq.filter(F.col("freq") <= max_shingle_freq)
-        shingles = shingles.join(freq.select("tok"), "tok", "left_semi")
     # EVERY relation in this operator is corpus-sized (shingles explode the
     # text, freq/sizes are one row per distinct shingle/doc, cand is the
     # candidate pair set) — none may EVER be a static broadcast build side.
@@ -79,12 +80,19 @@ def containment_pairs(
     # size, which lies by the fanout factor: at sf1 that underestimate
     # chose broadcast and OOM'd the driver; at 100 TB it would kill any
     # executor. The merge hints pin shuffled sort-merge joins — the plan
-    # whose memory is bounded at every scale.
+    # whose memory is bounded at every scale (a checkpointed relation's
+    # unknown stats default past every broadcast threshold, same effect).
     shingles = shingles.hint("merge")
     freq = freq.hint("merge")
     # rarest-first rank + set size in one window shuffle (both keyed by doc)
     w_rank = Window.partitionBy("doc").orderBy("freq", "tok")
     w_all = Window.partitionBy("doc")
+    # materialize ONCE: the interpreted gram construction (regexp split +
+    # per-position concat_ws slice + explode) is the operator's dominant
+    # per-row cost, and the downstream joins reuse the shingle relation
+    # four times (candidate probe, both verify sides, sizes). Without the
+    # checkpoint Spark replays the explode lineage for every reuse — five
+    # full tokenization passes over the corpus instead of one.
     ranked = (
         shingles.join(freq, "tok")
         .select(
@@ -93,27 +101,35 @@ def containment_pairs(
             F.row_number().over(w_rank).alias("rn"),
             F.count(F.lit(1)).over(w_all).alias("size"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh = ranked.select("doc", "tok").hint("merge")
     # m = ceil(tau*size) via integer arithmetic; prefix = size - m + 1
     m = F.expr(f"({tau_num} * size + {tau_den} - 1) div {tau_den}")
     prefix = ranked.filter(F.col("rn") <= F.col("size") - m + 1)
     cand = (
         prefix.select(F.col("doc").alias("doc_a"), "tok")
-        .join(shingles.select(F.col("doc").alias("doc_b"), "tok"), "tok")
+        .join(sh.select(F.col("doc").alias("doc_b"), "tok"), "tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
         .hint("merge")
     )
-    s_a = shingles.select(F.col("doc").alias("doc_a"), "tok")
-    s_b = shingles.select(F.col("doc").alias("doc_b"), "tok")
+    s_a = sh.select(F.col("doc").alias("doc_a"), "tok")
+    s_b = sh.select(F.col("doc").alias("doc_b"), "tok")
     inter = (
         cand.join(s_a, "doc_a")
         .join(s_b, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("size_a")).hint("merge")
+    # one row per doc already lives in ranked at rn == 1 (every doc with a
+    # non-empty shingle set has a rank-1 row) — no extra groupBy shuffle
+    sizes = (
+        ranked.filter(F.col("rn") == 1)
+        .select("doc", F.col("size").alias("size_a"))
+        .hint("merge")
+    )
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
         .filter(tau_den * F.col("inter_size") >= tau_num * F.col("size_a"))

@@ -52,6 +52,11 @@ def source_overlap(
         # static broadcast build side — Catalyst's estimate for the
         # exploded scan is the parquet file size, off by the gram fanout
         .hint("merge")
+        # materialize ONCE: every consumer (sizes, both pair-join sides /
+        # the sketch hash pass) otherwise replays the interpreted gram
+        # explode AND the distinct shuffle — 3 full corpus passes in the
+        # exact path, more in the sketch path
+        .localCheckpoint(eager=True)
     )
     sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
     if sketch_k is not None:
@@ -136,10 +141,15 @@ def _sketch_overlap(grams: DataFrame, sizes: DataFrame, k: int) -> DataFrame:
         .select("doc", "h")
     )
     w = Window.partitionBy("doc").orderBy("h")
+    # k rows per source after the window — planning-small; materialize so
+    # the five downstream consumers (theta, both join sides, both
+    # below-theta passes) reuse the sketch instead of replaying the
+    # hash + threshold + window lineage each time
     kept = (
         surv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("doc", "h")
+        .localCheckpoint(eager=True)
     )
     theta = (
         kept.groupBy("doc")

@@ -397,26 +397,75 @@ def ivf_topk(
     )
 
     q_rows = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
+    # per-cell query blocks, driver-held and shipped in the scoring
+    # closure (planning-scale: |Q| * n_probe rows) — the same per-query
+    # n_probe semantics the former broadcast cell equi-join enforced
+    # in-plan, now enforced by the cell lookup
+    cell_q: dict[int, list[int]] = {}
+    qids_l, qvecs = [], []
+    for i, r in enumerate(q_rows):
         qv = np.asarray(r[vec_col], dtype=np.float64)
         qv = qv / (np.linalg.norm(qv) or 1.0)
-        order = np.argsort(-(cmat @ qv))[:n_probe]
-        for cell in order:
-            probe_rows.append((int(r[id_col]), int(cell), [float(x) for x in qv]))
-    spark = df.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, schema="qid long, cell int, qvec array<double>"
-    )
+        qids_l.append(int(r[id_col]))
+        qvecs.append(qv)
+        for cell in np.argsort(-(cmat @ qv))[:n_probe]:
+            cell_q.setdefault(int(cell), []).append(i)
+    qid_arr = np.array(qids_l, dtype=np.int64)
+    qmat = np.array(qvecs) if qvecs else np.empty((0, cmat.shape[1]))
+    cell_blocks = {
+        c: (qid_arr[idxs], qmat[idxs]) for c, idxs in cell_q.items()
+    }
+    k_local = int(k)
 
-    joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("cid") != F.col("qid"))
-    # nullif: a zero-norm candidate would score NaN, which sorts above every
-    # real cosine in the descending window — null it out and drop it
-    cos = _dot(
-        F.transform(F.col("cvec"), lambda x: x.cast("double")), F.col("qvec")
-    ) / F.nullif(_norm(F.transform(F.col("cvec"), lambda x: x.cast("double"))), F.lit(0.0))
-    scored = joined.select("qid", "cid", cos.alias("cos")).filter(
-        F.col("cos").isNotNull()
+    # Arrow-batched scoring (one GEMM per (batch, cell) block) instead of
+    # the per-pair interpreted zip_with/aggregate fold the probe join
+    # evaluated — ~dim lambda steps per (candidate x query) pair.  cosine
+    # keeps the exact formula shape dot(raw, qn) / ||raw||; zero-norm
+    # candidates drop as the former nullif-null filter did.  The
+    # per-batch partial top-k (ordered by (-cos, cid), mirroring the
+    # final window's tie-break) bounds the shuffle into the ranking
+    # window at k rows per (query, batch).
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for c, grp in pdf.groupby("cell"):
+                blk = cell_blocks.get(int(c))
+                if blk is None:
+                    continue
+                qids_c, qmat_c = blk
+                raw = _vec_matrix(grp["cvec"])
+                cids = grp["cid"].to_numpy(dtype=np.int64)
+                norms = np.linalg.norm(raw, axis=1)
+                ok = norms > 0.0
+                if not ok.any():
+                    continue
+                raw, cids, norms = raw[ok], cids[ok], norms[ok]
+                cos = (raw @ qmat_c.T) / norms[:, None]
+                for j in range(cos.shape[1]):
+                    col, ids = cos[:, j], cids
+                    m = ids != qids_c[j]
+                    col, ids = col[m], ids[m]
+                    if not len(col):
+                        continue
+                    order = np.lexsort((ids, -col))[:k_local]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.full(
+                                    len(order), qids_c[j], dtype=np.int64
+                                ),
+                                "cid": ids[order],
+                                "cos": col[order],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = assigned.select("cid", "cell", "cvec").mapInPandas(
+        score, schema="qid long, cid long, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (

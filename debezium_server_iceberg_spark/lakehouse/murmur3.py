@@ -25,6 +25,7 @@ block-index sequence.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 _M32 = 0xFFFFFFFF
@@ -150,25 +151,66 @@ def _to_signed32(h: Column) -> Column:
     return F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)).otherwise(h)
 
 
+def _mm3_long_np(vals):
+    """Vectorized spec murmur3 of int64 values' 8-byte LE form: two u32
+    blocks in wrapping uint32 arithmetic — bit-identical to
+    :func:`murmur3_long` (pinned by tests against the spec vectors)."""
+    import numpy as np
+
+    u32 = np.uint32
+    with np.errstate(over="ignore"):
+        v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+        h = np.zeros(v.shape, dtype=u32)
+        for blk in (
+            (v & np.uint64(_M32)).astype(u32),
+            (v >> np.uint64(32)).astype(u32),
+        ):
+            k = blk * u32(_C1)
+            k = (k << u32(15)) | (k >> u32(17))
+            k = k * u32(_C2)
+            h ^= k
+            h = (h << u32(13)) | (h >> u32(19))
+            h = h * u32(5) + u32(_M5)
+        h ^= u32(8)
+        h ^= h >> u32(16)
+        h *= u32(_F1)
+        h ^= h >> u32(13)
+        h *= u32(_F2)
+        h ^= h >> u32(16)
+    return h.astype(np.int32).astype(np.int64)
+
+
+_MM3_LONG_UDF = None
+
+
 def mm3_long_col(col: Column) -> Column:
-    """Murmur3 x86 32 (seed 0) of a long's 8-byte LE form — exactly two
-    4-byte blocks (low word, high word), folded with ``aggregate`` so
-    every multiply-referenced value is a cheap lambda variable.  (The
-    fully-unrolled closed form is a ~2500-node tree whose whole-stage
-    codegen took ~30 s to COMPILE per query — the interpreted fold
-    evaluates a few dozen arithmetic ops per row and plans instantly.)
-    Returns the signed 32-bit hash as a long column."""
-    v = col.cast("long")
-    blocks = F.array(
-        v.bitwiseAND(F.lit(_M32)),
-        F.shiftright(v, 32).bitwiseAND(F.lit(_M32)),
-    )
-    return F.aggregate(
-        blocks,
-        F.lit(0).cast("long"),
-        lambda h, k: _mix_h1(h, _mix_k1(k)),
-        lambda h: _to_signed32(_fmix(h, F.lit(8))),
-    )
+    """Murmur3 x86 32 (seed 0) of a long's 8-byte LE form, as a
+    vectorized Arrow pandas UDF over :func:`_mm3_long_np`.
+
+    Why not a JVM expression: the fully-unrolled closed form duplicates
+    subtrees multiplicatively (a ~2500-node tree whose whole-stage
+    codegen took ~30 s to COMPILE per query), and the let-bound
+    ``aggregate`` fold is interpreted — measured ~18 µs/row, 2.7 s of a
+    150k-row bucket-partitioned append (the dominant cost of the write).
+    The numpy path is ~50 ns/row of wrapping uint32 arithmetic; only one
+    long column crosses the Arrow boundary each way.  Null in, null out,
+    like the expression it replaces.  Returns the signed 32-bit hash as
+    a long column."""
+    global _MM3_LONG_UDF
+    if _MM3_LONG_UDF is None:
+
+        @F.pandas_udf("long")
+        def _udf(s: pd.Series) -> pd.Series:
+            mask = s.isna()
+            vals = s.fillna(0).astype("int64").to_numpy()
+            out = pd.Series(_mm3_long_np(vals), dtype="int64")
+            if mask.any():
+                out = out.astype("object")
+                out[mask.to_numpy()] = None
+            return out
+
+        _MM3_LONG_UDF = _udf
+    return _MM3_LONG_UDF(col.cast("long"))
 
 
 def mm3_hex_col(hex_expr: Column) -> Column:

@@ -106,6 +106,26 @@ def _val4(col):
     return col.cast("decimal(18,4)")
 
 
+def _multisets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Distributed multiset equality in ONE shuffle: tag each side ±1,
+    union, hash-aggregate per distinct row, and check every per-row sum
+    is zero (count_a == count_b for every distinct tuple — the same
+    duplicate-sensitive contract as the former two-sided ``exceptAll``
+    symmetric difference, which scanned both inputs twice and ran two
+    replicate-rows aggregations).  Map-side partial aggregation shrinks
+    the exchange to distinct-row granularity."""
+    cols = a.columns
+    tagged = a.withColumn("_s", F.lit(1)).unionByName(
+        b.select(*cols).withColumn("_s", F.lit(-1))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_s").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .isEmpty()
+    )
+
+
 # =====================================================================
 # CDC / engine-semantics queries (operators A1/A2, W4, P1/P2)
 # =====================================================================
@@ -1300,17 +1320,17 @@ def iceberg_export_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         dest = _os.path.join(wh, "published")
         export_iceberg_table(t, dest)
         out = read_iceberg_table(spark, dest, lineage=True)
-        # distributed symmetric-difference emptiness check: pins chain
-        # lineage row-for-row equal to the engine's native lineage without
-        # materializing either side on the driver (multiset semantics —
-        # exceptAll catches duplicated rows a dict compare would mask)
+        # distributed multiset-equality check: pins chain lineage
+        # row-for-row equal to the engine's native lineage without
+        # materializing either side on the driver (duplicate-sensitive,
+        # like the symmetric exceptAll it replaces, at one shuffle)
         cols = ["o_orderkey", ROW_ID_COL, LAST_SEQ_COL]
         chain_l, native_l = out.select(*cols), t.to_df(
             spark, lineage=True
         ).select(*cols)
-        assert chain_l.exceptAll(native_l).union(
-            native_l.exceptAll(chain_l)
-        ).isEmpty(), "chain lineage diverges from engine lineage"
+        assert _multisets_equal(
+            chain_l, native_l
+        ), "chain lineage diverges from engine lineage"
         updated = (F.col(LAST_SEQ_COL) == 2).alias("updated")
         fresh = F.col(ROW_ID_COL) >= n_before
         return (
@@ -1405,9 +1425,9 @@ def iceberg_export_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = read_iceberg_table(spark, dest)
         native = t.to_df(spark)
-        assert out.exceptAll(native).union(
-            native.exceptAll(out)
-        ).isEmpty(), "chain read diverges from engine read under DVs"
+        assert _multisets_equal(
+            out, native
+        ), "chain read diverges from engine read under DVs"
         return (
             out.groupBy("o_orderstatus")
             .agg(
