@@ -570,6 +570,7 @@ class LakeTable:
             pcols.append(pf.name)
         key_cols = [c for c in meta.identifier_fields if c in out.columns]
         cached = None
+        single_file = False
         if preserve_layout:
             # caller (clustered rewrite) already shaped partitioning + order
             pass
@@ -580,17 +581,34 @@ class LakeTable:
             # each file then covers a narrow key range, so the MERGE
             # planner's min/max bounds pruning actually eliminates files
             # (the WRITE ORDERED BY effect, JsonSchemaConverter.java:262-280).
-            # repartitionByRange samples its input — cache so the upstream
-            # plan (often a merge's anti-join) isn't computed twice.
-            cached = out.persist()
-            out = cached
-            n_parts = target_partitions or _auto_write_partitions(
-                out, meta, materialize=True
-            )
-            if n_parts:
-                out = out.repartitionByRange(n_parts, *key_cols)
+            n_parts = target_partitions or _auto_write_partitions(out, meta)
+            if n_parts == 1:
+                # CDC-sized keyed commit (plan estimate fits ONE target
+                # file): round-robin into a single partition + in-partition
+                # key sort — one pass.  The former persist+count (cache
+                # fill for a true size) and the range shuffle's sampling
+                # pass were two whole jobs buying nothing a single ranged
+                # file needs.  A selective-filter UNDERestimate cannot
+                # silently collapse a big write: the staged footer stats
+                # are checked below and an oversize single file is re-split
+                # by a real range shuffle over the (cheap, columnar)
+                # staged copy.
+                out = out.repartition(1)
+                single_file = True
             else:
-                out = out.repartitionByRange(*key_cols)
+                # repartitionByRange samples its input — cache so the
+                # upstream plan (often a merge's anti-join) isn't computed
+                # twice; materialize so a collapse-zone estimate is checked
+                # against the true cached size.
+                cached = out.persist()
+                out = cached
+                n_parts = target_partitions or _auto_write_partitions(
+                    out, meta, materialize=True
+                )
+                if n_parts:
+                    out = out.repartitionByRange(n_parts, *key_cols)
+                else:
+                    out = out.repartitionByRange(*key_cols)
         elif target_partitions:
             out = out.repartition(target_partitions)
         sort_cols = [] if preserve_layout else (meta.sort_order or key_cols)
@@ -622,7 +640,12 @@ class LakeTable:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(staging)
             _uniquify_staged(staging)
-            return self._collect_stats(df.sparkSession, staging, meta)
+            files = self._collect_stats(df.sparkSession, staging, meta)
+            if single_file:
+                files = self._resplit_oversize_staged(
+                    df.sparkSession, staging, files, meta, key_cols
+                )
+            return files
         except Exception:
             # abort: a failed stage leaves no orphan files behind (W12,
             # writer.abort() — IcebergTableOperator.java:229-237)
@@ -727,6 +750,45 @@ class LakeTable:
                 nbytes = 0
             files.append(DataFile(path, row["_rows"], partition, bounds, nbytes))
         return files
+
+    def _resplit_oversize_staged(
+        self,
+        spark: SparkSession,
+        staging: str,
+        files: list[DataFile],
+        meta: TableMetadata,
+        key_cols: list[str],
+    ) -> list[DataFile]:
+        """Safety net for the single-file keyed fast path: when the plan
+        estimate UNDERshot and the one staged file materially exceeds the
+        target file size, re-range it into properly sized files.  The
+        re-split reads the already-staged columnar copy (cheap), never the
+        upstream plan; in the common CDC-sized case the footer check costs
+        nothing and no job runs."""
+        target = int(
+            meta.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+        )
+        total = sum(f.bytes for f in files)
+        if total <= 2 * target or not files:
+            return files
+        n2 = max(2, -(-total // target))
+        restage = os.path.join(self.data_dir, uuidlib.uuid4().hex)
+        try:
+            # the staged file already holds exactly the output columns
+            # (incl. any preserve_lineage columns) — re-range as-is
+            (
+                spark.read.parquet(staging)
+                .repartitionByRange(n2, *key_cols)
+                .sortWithinPartitions(*key_cols)
+                .write.mode("error")
+                .parquet(restage)
+            )
+            _uniquify_staged(restage)
+        except Exception:
+            shutil.rmtree(restage, ignore_errors=True)
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+        return self._collect_stats(spark, restage, meta)
 
     def _abort_staged(
         self, add: list[DataFile], deletes: list[DeleteFile] | None = None

@@ -762,3 +762,49 @@ def test_minhash_remove_docs_pruned_probe_skips_delete_file(spark, warehouse):
     assert dels  # remove_docs really committed a delete file
     names = sorted(_os.path.basename(f.path) for f in b1_only)
     assert all(not _delete_touches_scan(d, b1_only, names) for d in dels)
+
+
+def test_keyed_single_file_fast_path_and_oversize_resplit(spark, warehouse, monkeypatch):
+    """The keyed-append fast path writes ONE key-sorted file when the plan
+    estimate fits a single target file, and the footer-stats safety net
+    re-splits an oversize single file into properly ranged files — so a
+    selective-filter underestimate can never collapse a big write."""
+    import debezium_server_iceberg_spark.lakehouse.table as tmod
+
+    cat = LakeCatalog(warehouse)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    rows = [(i, f"v{i:05d}") for i in range(5000)]
+    df = spark.createDataFrame(rows, schema)
+
+    # normal CDC-sized commit -> exactly one file, bounds = full key range
+    t1 = cat.create_table("ns", "fast1", schema, identifier_fields=["id"])
+    t1.append(df)
+    files = t1.current_files()
+    assert len(files) == 1
+    assert files[0].bounds["id"] == [0, 4999]
+    assert t1.to_df(spark).count() == 5000
+
+    # force the underestimate: sizing says 1 file, but the target file
+    # size is tiny -> the staged single file exceeds 2x target and the
+    # resplit must kick in, producing ranged (disjoint-bounds) files
+    monkeypatch.setattr(tmod, "_auto_write_partitions", lambda *a, **kw: 1)
+    t2 = cat.create_table(
+        "ns",
+        "fast2",
+        schema,
+        identifier_fields=["id"],
+        properties={"write.target-file-size-bytes": "4096"},
+    )
+    t2.append(df)
+    files = sorted(t2.current_files(), key=lambda f: f.bounds["id"][0])
+    assert len(files) >= 2
+    # ranged: consecutive files' key bounds do not overlap
+    for a, b in zip(files, files[1:]):
+        assert a.bounds["id"][1] < b.bounds["id"][0]
+    assert t2.to_df(spark).count() == 5000
+    assert sum(f.rows for f in files) == 5000
