@@ -105,10 +105,70 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_train_driver(
+    spark: SparkSession, words_pdf, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side merge loop over a COLLECTED word-type frequency table
+    (the adaptive small path — same two-path pattern as
+    ``incremental.ClusterIndex``).  Byte-identical to the distributed
+    loop: the argmax tie-break (count DESC, left ASC, right ASC) compares
+    ASCII-only tokens (``tokens_col`` lowercases and splits on
+    ``[^a-z0-9]+``), where Python string order == Spark's UTF8 binary
+    order, and the left-to-right greedy scan IS the window-parity rule
+    (keep the 1st, 3rd, ... candidate of each run).  O(types × avg_len)
+    per merge — planning-scale for a vocabulary-bounded table."""
+    import pandas as pd
+
+    wlist = words_pdf["w"].tolist()
+    cnts = [int(c) for c in words_pdf["cnt"].tolist()]
+    symtab = [list(w) for w in wlist]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in zip(symtab, cnts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b), tot = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, int(tot)))
+        ab = a + b
+        for k, syms in enumerate(symtab):
+            i, n, out = 0, len(syms), []
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if len(out) != n:
+                symtab[k] = out
+    merges_df = spark.createDataFrame(
+        merges, schema="step int, left_sym string, right_sym string, pair_count bigint"
+    )
+    sym_pdf = pd.DataFrame(
+        {
+            "w": [w for w, syms in zip(wlist, symtab) for _ in syms],
+            "cnt": [c for c, syms in zip(cnts, symtab) for _ in syms],
+            "pos": [i for syms in symtab for i in range(len(syms))],
+            "sym": [s for syms in symtab for s in syms],
+        }
+    )
+    symbols_df = spark.createDataFrame(
+        sym_pdf, schema="w string, cnt bigint, pos int, sym string"
+    )
+    return merges_df, symbols_df
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    driver_vocab_threshold: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
@@ -125,9 +185,32 @@ def bpe_train(
 
     Each argmax is a 1-row collect (planning scale); the symbol table is
     checkpointed per iteration so the iterative plan stays bounded.
-    """
+
+    ADAPTIVE: the merge loop runs over the word-TYPE frequency table,
+    which is vocabulary-bounded regardless of corpus bytes — when it has
+    at most ``driver_vocab_threshold`` types (one count over the cached
+    aggregate), the whole loop runs driver-side on ONE Arrow fetch
+    (``_bpe_train_driver``): n_merges × 3 Spark jobs collapse to 2.
+    Web-scale vocabularies (1e7-1e8 types) exceed the threshold and take
+    the distributed loop below, unchanged."""
     spark: SparkSession = docs.sparkSession
-    syms = _word_symbols(docs, text_col).localCheckpoint(eager=True)
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    try:
+        if words.count() <= driver_vocab_threshold:
+            return _bpe_train_driver(spark, words.toPandas(), n_merges)
+        chars = F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        )
+        syms = words.select(
+            "w", "cnt", F.posexplode(chars).alias("pos", "sym")
+        ).localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (

@@ -82,33 +82,48 @@ def bm25_topk(
     (related-document retrieval, fusion gates), where the source doc
     trivially ranking first is noise.
     """
-    toks = docs.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
-    ).select(F.col(id_col), F.col("_tk"), F.size("_tk").alias("_dl"))
-
-    # one scalar row: corpus size + total token count
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_t")
-    )
-
-    # distinct (query, term) pairs; tiny by construction -> broadcast
+    # distinct (query, term) pairs; workload-sized by contract -> the
+    # same budget as the broadcasts below.  The term SET is fetched
+    # driver-side so the queried-term filter can run as a codegen'd
+    # InSet inside the ONE corpus tokenize pass (no join needed there).
     qterms = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.explode(query_terms_col).alias("_term"),
     ).distinct()
-    terms = qterms.select("_term").distinct()
+    term_list = [r["_term"] for r in qterms.select("_term").distinct().collect()]
 
-    # posting lists ONLY for queried terms: the broadcast semi-filter
-    # runs inside the explode projection, so the groupBy shuffles
-    # (doc, term, dl) rows for matching terms only.  Materialized ONCE
-    # (localCheckpoint, memory-and-disk): both the df-count branch and
-    # the scoring branch consume it, and without the checkpoint Catalyst
-    # plans the corpus explode TWICE (no static exchange reuse across
-    # the two branches) — at 100 TB that is two full corpus scans to
-    # save a spill of a term-filtered, already-aggregated relation
+    # ONE corpus tokenize pass (formerly two: a stats aggregation and the
+    # postings explode each re-ran the regexp tokenizer over every doc).
+    # Materialize a NARROW per-doc projection — (id, dl, tokens∩terms) —
+    # and derive both stats and postings from it: ~tens of bytes per doc
+    # vs re-scanning raw text, the same "decide on a lightweight proxy"
+    # trade the postings checkpoint already made.
+    matched = (
+        F.filter(F.col("_tk"), lambda t: t.isin(*term_list))
+        if term_list
+        else F.array().cast("array<string>")
+    )
+    perdoc = (
+        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.size("_tk").alias("_dl"),
+            matched.alias("_mt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # one scalar row: corpus size + total token count
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_t")
+    )
+
+    # posting lists ONLY for queried terms, exploded from the pre-filtered
+    # token arrays — the groupBy shuffles matching (doc, term, dl) rows
+    # only.  Still materialized once: both the dfreq branch and the
+    # scoring branch consume it.
     postings = (
-        toks.select(F.col(id_col), F.col("_dl"), F.explode("_tk").alias("_term"))
-        .join(F.broadcast(terms), "_term")
+        perdoc.select(F.col(id_col), F.col("_dl"), F.explode("_mt").alias("_term"))
         .groupBy(id_col, "_term")
         .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
         .localCheckpoint(eager=False)

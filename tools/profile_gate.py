@@ -79,6 +79,7 @@ def main() -> None:
     for name in args.names:
         fn = qs[name]
         sc = spark.sparkContext
+        fn(spark, args.sf).count()  # warm: codegen + footers
         sc.setJobGroup(name, name)
         tracker = sc.statusTracker()
         jobs_before = set(tracker.getJobIdsForGroup(name))
