@@ -240,13 +240,17 @@ def near_dup_clusters(
         .distinct()
         .cache()
     )
-    n_edges = edges.count()  # materializes the cache either path uses
-    # edges is the SYMMETRIZED list (2 rows per undirected pair) — compare
-    # against 2x so the documented threshold counts undirected edges
-    if n_edges <= 2 * small_edge_threshold:
-        # Arrow fetch -> two int64 numpy columns: ~16 B/edge on the driver
-        # instead of hundreds of bytes per pyspark Row (ADVICE r6)
-        pdf = edges.filter(F.col("u") < F.col("v")).toPandas()
+    # ONE bounded Arrow fetch decides the path AND delivers the small
+    # path's edge list (formerly a count job + a separate toPandas job):
+    # at most threshold+1 undirected edges come back (~16 B/edge, the
+    # same driver budget as before); an overflowing fetch routes to the
+    # distributed rounds, whose first job materializes the cache.
+    pdf = (
+        edges.filter(F.col("u") < F.col("v"))
+        .limit(small_edge_threshold + 1)
+        .toPandas()
+    )
+    if len(pdf) <= small_edge_threshold:
         us, vs = pdf["u"].to_numpy(), pdf["v"].to_numpy()
         parent: dict = {}
 

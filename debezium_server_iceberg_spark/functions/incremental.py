@@ -352,8 +352,14 @@ class MinHashIndex:
             part_vals = _pbucket_probe_values(
                 self.table, new, buckets=set(agg["_b"])
             )
-        else:
+        elif has_history:
             n_new = new.count()  # materializes the cache the joins reuse
+            part_vals = None
+        else:
+            # cold first batch: n_new is never read (no broadcast decision
+            # to make) and the pairs checkpoint below fills the cache —
+            # the count was a whole job buying nothing
+            n_new = 0
             part_vals = None
         b = new.select(
             "band", "band_val", F.col("doc").alias("doc_o"),
@@ -594,8 +600,14 @@ class SubstringIndex:
             part_vals = _pbucket_probe_values(
                 self.table, batch_counts, buckets=set(agg["_b"])
             )
-        else:
+        elif has_history:
             n_batch = batch_counts.count()  # materializes both reuses
+            part_vals = None
+        else:
+            # cold first batch: n_batch is never read (no probe side to
+            # size) and the profile checkpoint below fills both caches —
+            # the count was a whole job buying nothing
+            n_batch = 0
             part_vals = None
         if has_history:
             probe_side = batch_counts.select("_h", "_nb")
@@ -1157,18 +1169,20 @@ class ClusterIndex:
             .distinct()
             .cache()
         )
-        n_edges = dpairs.count()  # materializes the cache either path uses
-        if n_edges > small_edge_threshold:
+        # ONE bounded Arrow fetch decides the path AND delivers the small
+        # path's edge list (formerly a count job + a separate toPandas):
+        # at most threshold+1 rows reach the driver (~16 B/edge); an
+        # overflowing fetch routes to the distributed path, whose first
+        # job materializes the cache.
+        import numpy as np
+        import pandas as pd
+
+        pdf = dpairs.limit(small_edge_threshold + 1).toPandas()
+        if len(pdf) > small_edge_threshold:
             try:
                 return self._add_batch_distributed(spark, dpairs, epoch_id)
             finally:
                 dpairs.unpersist()
-        # Arrow fetch -> two int64 numpy columns (~16 B/edge on the
-        # driver, not hundreds of bytes per pyspark Row)
-        import numpy as np
-        import pandas as pd
-
-        pdf = dpairs.toPandas()
         dpairs.unpersist()
         ua = pdf["doc_a"].to_numpy(dtype="int64")
         ub = pdf["doc_b"].to_numpy(dtype="int64")
