@@ -100,26 +100,59 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector to (id, _s, code): nearest codebook entry per
     subspace under the exact fold-order distance, ties to the lower
-    code id.  One narrow shuffle (the min_by partial aggregate over
-    (id, s)); the m*ks codebook broadcasts."""
-    cb = codebooks if codebooks is not None else pq_codebooks(
-        df, dim, m, ks, id_col, vec_col
-    )
-    sub = _subspaces(
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
-        dim,
-        m,
-        "_v",
-        "_sv",
-    )
-    scored = sub.join(F.broadcast(cb), "_s").select(
-        F.col(id_col),
-        "_s",
-        F.col("code_id"),
-        _fold_d2(F.col("_sv"), F.col("_cent")).alias("_d2"),
-    )
-    return scored.groupBy(id_col, "_s").agg(
-        F.min_by("code_id", F.struct("_d2", "code_id")).alias("code")
+    code id.
+
+    ONE Arrow pass: the (m*ks, planning-scale) codebook is fetched
+    driver-side and shipped in the ``mapInPandas`` closure; each batch
+    scores all m subspaces with ``seq_fold_d2_batch`` — the numpy
+    replica of the sequential ``_fold_d2`` left fold, bit-identical
+    argmins (the contract ``IVFPQIndex.add_batch`` already relies on).
+    The former shape — subspace explode joined to the broadcast
+    codebook with an interpreted per-(vector × entry) fold, then a
+    min_by shuffle — paid corpus × ks interpreted lambda chains and a
+    corpus-sized aggregation for the same result."""
+    import numpy as np
+    import pandas as pd
+
+    dsub = dim // m
+    if codebooks is not None:
+        rows = codebooks.collect()
+        code_ids = sorted({r["code_id"] for r in rows})
+        pos = {cid: j for j, cid in enumerate(code_ids)}
+        cb = np.zeros((m, len(code_ids), dsub), dtype=np.float64)
+        for r in rows:
+            cb[r["_s"], pos[r["code_id"]]] = np.asarray(r["_cent"], dtype=np.float64)
+    else:
+        cb, code_ids = collect_pq_codebooks(df, dim, m, ks, id_col, vec_col)
+    code_arr = np.asarray(code_ids, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out_id, out_s, out_code = [], [], []
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                # argmin first-occurrence == ties to the lower code id
+                # (code_arr is ascending)
+                codes = code_arr[np.argmin(seq_fold_d2_batch(sub, cb[s]), axis=1)]
+                out_id.extend(ids)
+                out_s.extend([s] * len(ids))
+                out_code.extend(codes)
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "_s": pd.array(out_s, dtype="int32"),
+                    "code": out_code,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, _s int, code long"
     )
 
 

@@ -329,7 +329,14 @@ def decontaminate_bloom(
     scope; this is the standard corpus-release pattern (bloom prefilter +
     exact verify)."""
     K = 4
-    bench_grams = word_gram_hashes(benchmark, n, text_col, None).distinct()
+    # materialized once: both the sparse bloom build (collect below) and
+    # the verifying broadcast join consume it — without the checkpoint the
+    # benchmark gram explode+distinct runs twice
+    bench_grams = (
+        word_gram_hashes(benchmark, n, text_col, None)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # fixed 4M-bit filter (a 512 KiB literal): ≥8 bits/gram up to 500k
     # benchmark grams ≈ ≤2.4% false positives with 4 probes, all removed
     # by the verifying join — sizing needs no extra counting action, and

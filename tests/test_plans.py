@@ -372,7 +372,11 @@ def test_corpus_operators_never_static_broadcast(spark, fns):
     plan = _plan(fns["containment_near_dup"](spark, SF))
     assert "BroadcastExchange" not in plan  # nothing bounded exists here
     plan = _plan(fns["source_overlap_matrix"](spark, SF))
-    assert plan.count("BroadcastExchange") == 2  # the two size dims only
+    # three bounded per-source dims (intersection counts + the two size
+    # attachments) since the r15 single-materialization rewrite; the
+    # checkpointed gram relation itself has unknown stats and can never
+    # be a static build side
+    assert plan.count("BroadcastExchange") == 3
     plan = _plan(fns["quality_top_p_docs"](spark, SF))
     assert plan.count("BroadcastExchange") == 1  # selected score groups
 
@@ -403,7 +407,11 @@ def test_source_overlap_sketch_never_joins_raw_shingles(spark, fns):
     bounded per-source dims (sizes x3 uses, thetas x2)."""
     plan = _plan(fns["source_overlap_sketch"](spark, SF))
     assert "SortMergeJoin [tok" not in plan  # no raw-shingle pair join
-    assert "Window" in plan  # the per-source k-min
+    # the per-source k-min window runs inside the eager checkpoint of the
+    # k-rows-per-source sample (r15 single-materialization rewrite) — the
+    # final plan reads the checkpointed k-row relation, so no Window and
+    # no raw-shingle relation can appear here at all
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin [h#" in plan or "SortMergeJoin [h " in plan
 
@@ -467,13 +475,15 @@ def test_ann_filtered_predicate_below_arrow_stage(spark, fns):
 
 
 def test_pq_encode_broadcasts_codebook_only(spark, fns):
-    """PQ encode: ONE broadcast (the m*ks codebook); the argmin is a
-    min_by partial aggregate (map-side combinable SortAggregate pair),
-    never a per-(vector, subspace) window sort of the corpus."""
+    """PQ encode: one Arrow pass — the (m*ks, planning-scale) codebook
+    rides the mapInPandas closure, so the plan carries NO join, NO
+    broadcast and NO shuffle at all; argmins happen in the numpy GEMM
+    (sequential-fold contract, ties to the lower code id)."""
     plan = _plan(fns["pq_encode_codes"](spark, SF))
-    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
     assert "Window" not in plan
-    assert plan.count("SortAggregate") == 2  # partial + final min_by
+    assert "Exchange" not in plan  # encode is map-only
 
 
 def test_pq_adc_scan_is_codes_join_lut(spark, fns):
@@ -483,7 +493,11 @@ def test_pq_adc_scan_is_codes_join_lut(spark, fns):
     plan = _plan(fns["pq_adc_topk"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastExchange") == 3  # 2x codebook + LUT
+    # codes now come from the encode mapInPandas (codebook in-closure),
+    # so the remaining broadcasts are the LUT chain: codebook (for the
+    # query LUT build) + the LUT itself
+    assert plan.count("BroadcastExchange") == 2
+    assert plan.count("MapInPandas") == 1  # the encode pass
     assert plan.count("Window") >= 2
 
 
@@ -520,7 +534,10 @@ def test_ivfpq_single_corpus_join_rest_broadcast(spark, fns):
     plan = _plan(fns["ann_ivfpq_topk"](spark, SF))
     assert plan.count("SortMergeJoin") == 1  # the pinned codes-cells id join
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastExchange") == 4  # 2x codebook + probes + LUT
+    # codebook-for-encode now rides the mapInPandas closure: remaining
+    # broadcasts are codebook (LUT build) + probes + LUT
+    assert plan.count("BroadcastExchange") == 3
+    assert plan.count("MapInPandas") == 2  # cell assign + encode
 
 
 def test_bpe_vocab_two_phase_topn(spark, fns):
@@ -564,7 +581,10 @@ def test_bpe_encode_vocab_join_over_checkpointed_symbols(spark, fns):
     per-word window over the corpus (windows live in training only,
     behind the checkpoint)."""
     plan = _plan(fns["bpe_encode_docs"](spark, SF))
-    assert "Scan ExistingRDD" in plan  # checkpointed post-training symbols
+    # post-training symbols arrive either as the distributed loop's
+    # checkpoint (ExistingRDD) or the driver path's local relation —
+    # both are vocabulary-bounded, never a corpus re-scan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
