@@ -454,18 +454,26 @@ def bigram_logprob_score(
     sum-order noise), the same float contract as the unigram scorer.
 
     Scale: the bigram stream is built in-array inside the scan stage
-    (no window shuffle for adjacency); the bigram count table is
-    bounded by distinct corpus bigrams and the context table by the
-    vocabulary — both partial-agg aggregations; the scoring pass joins
-    the stream on the bigram key then the context key (AQE picks
-    broadcast when the tables are small, SMJ when not — neither is
-    pinned because both genuinely scale with corpus text diversity);
-    one final per-doc aggregation.  Docs with < 2 tokens have no
-    bigrams and are absent — a bigram LM cannot score them.
+    (no window shuffle for adjacency) and materialized ONCE
+    (tokenization and the interpreted in-array gram transform each run
+    a single corpus pass; without the checkpoints every consumer
+    replayed them — 4 tokenize passes and 3 gram passes for one
+    score); the bigram count table is bounded by distinct corpus
+    bigrams, and the context table folds out of it (``ctx(w1)`` is the
+    sum of ``c12`` over the bigrams starting with ``w1`` — a
+    bounded-table re-aggregation, never a second corpus-sized pass);
+    the scoring pass joins the stream on the bigram key then the
+    context key (AQE picks broadcast when the tables are small, SMJ
+    when not — neither is pinned because both genuinely scale with
+    corpus text diversity); one final per-doc aggregation.  Docs with
+    < 2 tokens have no bigrams and are absent — a bigram LM cannot
+    score them.
     """
-    toks = df.select(
+    # one tokenize pass: vocab AND the gram stream read this relation
+    toks0 = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
-    ).filter(F.size("_tk") >= 2)
+    ).localCheckpoint(eager=True)
+    toks = toks0.filter(F.size("_tk") >= 2)
     grams = toks.select(
         F.col(id_col),
         F.explode(
@@ -477,15 +485,17 @@ def bigram_logprob_score(
                 ),
             )
         ).alias("_g"),
-    ).select(F.col(id_col), F.col("_g.w1").alias("w1"), F.col("_g.pair").alias("pair"))
-    pair_counts = grams.groupBy("pair").agg(F.count(F.lit(1)).alias("_c12"))
-    ctx_counts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    ).select(
+        F.col(id_col), F.col("_g.w1").alias("w1"), F.col("_g.pair").alias("pair")
+    ).localCheckpoint(eager=False)  # one interpreted gram pass, two consumers
+    pair_counts = grams.groupBy("w1", "pair").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
-        df.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+        toks0.select(F.explode("_tk").alias("_t"))
         .agg(F.count_distinct("_t").alias("_v"))
     )
     scored = (
-        grams.join(pair_counts, "pair")
+        grams.join(pair_counts.select("pair", "_c12"), "pair")
         .join(ctx_counts, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
