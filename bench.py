@@ -169,6 +169,27 @@ def main() -> None:
     except OSError:
         pass
     print(line)
+    # Tail-truncation armor (VERDICT r15 item 2): the driver keeps only
+    # ~2 KB of stdout, and the full line above has outgrown that twice
+    # (r10, r14 — both rounds lost their PERF comparison because the
+    # line was cut mid-`queries`).  A SECOND, tiny JSON line printed
+    # LAST is always inside any sane tail window, so a truncated
+    # artifact still yields a parseable headline record (total + the
+    # slowest-10 recap).  Addition-only: the full line above and the
+    # file artifact are unchanged.
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "unit": "sec",
+                "loadavg": loadavg_start,
+                "slowest_10": slowest,
+                "sf": payload["sf"],
+                "value": total,
+            },
+            separators=(",", ":"),
+        )
+    )
 
 
 if __name__ == "__main__":

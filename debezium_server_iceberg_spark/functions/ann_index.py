@@ -363,6 +363,11 @@ class IVFIndex:
             c: (qid_arr[idxs], qn[idxs]) for c, idxs in cell_q.items()
         }
         k_local = int(k)
+        dim = int(qn.shape[1])
+        # executor-side broadcast: the query blocks (|Q|*n_probe*dim
+        # doubles) deserialize once per executor instead of riding the
+        # mapInPandas closure serialized into EVERY task (guide §4.5)
+        bc_blocks = spark.sparkContext.broadcast(cell_blocks)
 
         # Arrow-batched scoring (one GEMM per (batch, cell) block) in
         # place of the per-pair interpreted zip_with/aggregate fold: the
@@ -375,19 +380,32 @@ class IVFIndex:
         # window at k rows per (query, batch) — at scale the reduce side
         # ranks shortlists, never the full scored relation.
         def _score(batches):
+            blocks = bc_blocks.value  # one deserialize per executor
             for pdf in batches:
                 if not len(pdf):
                     continue
                 outs = []
                 for c, grp in pdf.groupby("cell"):
-                    blk = cell_blocks.get(int(c))
+                    blk = blocks.get(int(c))
                     if blk is None:
                         continue
                     qids_c, qmat_c = blk
+                    # drop null/odd-length embeddings BEFORE stacking
+                    # (matching the former plan's nullif/isNotNull drop
+                    # semantics; a ragged np.array would raise and fail
+                    # the task)
+                    keep = [
+                        i
+                        for i, v in enumerate(grp["embedding"])
+                        if v is not None and len(v) == dim
+                    ]
+                    if not keep:
+                        continue
+                    sub = grp.iloc[keep]
                     raw = np.array(
-                        [np.asarray(v, dtype=np.float64) for v in grp["embedding"]]
+                        [np.asarray(v, dtype=np.float64) for v in sub["embedding"]]
                     )
-                    vids = grp["vec_id"].to_numpy(dtype=np.int64)
+                    vids = sub["vec_id"].to_numpy(dtype=np.int64)
                     norms = np.linalg.norm(raw, axis=1)
                     ok = norms > 0.0
                     if not ok.any():

@@ -120,8 +120,27 @@ def pq_encode(
         code_ids = sorted({r["code_id"] for r in rows})
         pos = {cid: j for j, cid in enumerate(code_ids)}
         cb = np.zeros((m, len(code_ids), dsub), dtype=np.float64)
+        seen_cells = set()
         for r in rows:
             cb[r["_s"], pos[r["code_id"]]] = np.asarray(r["_cent"], dtype=np.float64)
+            seen_cells.add((int(r["_s"]), int(r["code_id"])))
+        # every code_id must appear in ALL m subspaces: a missing
+        # (subspace, code) row would otherwise leave a phantom all-zeros
+        # centroid competing in the argmin (the former broadcast-join
+        # shape scored only entries actually present per subspace)
+        missing = [
+            (s, cid)
+            for s in range(m)
+            for cid in code_ids
+            if (s, cid) not in seen_cells
+        ]
+        if missing:
+            raise ValueError(
+                "pq_encode: caller-supplied codebooks are incomplete — "
+                f"{len(missing)} (subspace, code_id) entries missing, "
+                f"first: {missing[:3]}; every code_id must appear in all "
+                f"{m} subspaces"
+            )
     else:
         cb, code_ids = collect_pq_codebooks(df, dim, m, ks, id_col, vec_col)
     code_arr = np.asarray(code_ids, dtype=np.int64)

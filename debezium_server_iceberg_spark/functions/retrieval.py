@@ -38,6 +38,9 @@ from .text import tokens_col
 # 1.2/0.75 defaults).  The scoring contract below is derived by clearing
 # denominators so every intermediate is an integer — see bm25_topk.
 _SCALE = 1_000_000
+# max distinct query terms inlined as an InSet literal in the tokenize
+# pass; larger workloads take the broadcast semi-join (plan-size safety)
+_TERM_INSET_MAX = 10_000
 
 
 def bm25_topk(
@@ -90,19 +93,37 @@ def bm25_topk(
         F.col(query_id_col).alias("_qid"),
         F.explode(query_terms_col).alias("_term"),
     ).distinct()
-    term_list = [r["_term"] for r in qterms.select("_term").distinct().collect()]
+    # Small term sets inline as a codegen'd InSet inside the one tokenize
+    # pass; a LARGE workload (tens of thousands of distinct terms) would
+    # build a huge literal expression tree and per-row set into the plan —
+    # above the threshold, fall back to the broadcast semi-join, which is
+    # robust to term-set size.  The bounded limit() keeps the driver fetch
+    # threshold-sized either way.
+    term_rows = (
+        qterms.select("_term")
+        .distinct()
+        .limit(_TERM_INSET_MAX + 1)
+        .collect()
+    )
+    inline_terms = len(term_rows) <= _TERM_INSET_MAX
 
     # ONE corpus tokenize pass (formerly two: a stats aggregation and the
     # postings explode each re-ran the regexp tokenizer over every doc).
     # Materialize a NARROW per-doc projection — (id, dl, tokens∩terms) —
     # and derive both stats and postings from it: ~tens of bytes per doc
     # vs re-scanning raw text, the same "decide on a lightweight proxy"
-    # trade the postings checkpoint already made.
-    matched = (
-        F.filter(F.col("_tk"), lambda t: t.isin(*term_list))
-        if term_list
-        else F.array().cast("array<string>")
-    )
+    # trade the postings checkpoint already made.  (On the semi-join
+    # fallback the checkpoint carries the full token array instead of
+    # the matched subset — the price of not inlining the term set.)
+    if inline_terms:
+        term_list = [r["_term"] for r in term_rows]
+        matched = (
+            F.filter(F.col("_tk"), lambda t: t.isin(*term_list))
+            if term_list
+            else F.array().cast("array<string>")
+        )
+    else:
+        matched = F.col("_tk")
     perdoc = (
         docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
         .select(
@@ -122,9 +143,17 @@ def bm25_topk(
     # token arrays — the groupBy shuffles matching (doc, term, dl) rows
     # only.  Still materialized once: both the dfreq branch and the
     # scoring branch consume it.
+    exploded = perdoc.select(
+        F.col(id_col), F.col("_dl"), F.explode("_mt").alias("_term")
+    )
+    if not inline_terms:
+        # queried-term filter as a broadcast semi-join (term set too big
+        # to inline); the broadcast is workload-sized by contract
+        exploded = exploded.join(
+            F.broadcast(qterms.select("_term").distinct()), "_term", "leftsemi"
+        )
     postings = (
-        perdoc.select(F.col(id_col), F.col("_dl"), F.explode("_mt").alias("_term"))
-        .groupBy(id_col, "_term")
+        exploded.groupBy(id_col, "_term")
         .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
         .localCheckpoint(eager=False)
     )

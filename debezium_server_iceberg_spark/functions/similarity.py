@@ -382,10 +382,22 @@ def ivf_topk(
         np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
     )
 
+    dim = int(cmat.shape[1])
+
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # drop null/odd-length vectors before stacking — the former
+            # plan's null semantics dropped them; a ragged np.array raises
+            keep = [
+                i
+                for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
             vecs = _l2_normalize(_vec_matrix(pdf[vec_col]))
             cells = np.argmax(vecs @ cmat.T, axis=1)
             yield pd.DataFrame(
@@ -416,6 +428,10 @@ def ivf_topk(
         c: (qid_arr[idxs], qmat[idxs]) for c, idxs in cell_q.items()
     }
     k_local = int(k)
+    # executor-side broadcast (guide §4.5): the per-cell query blocks
+    # deserialize once per executor instead of shipping serialized in
+    # every task's closure
+    bc_blocks = df.sparkSession.sparkContext.broadcast(cell_blocks)
 
     # Arrow-batched scoring (one GEMM per (batch, cell) block) instead of
     # the per-pair interpreted zip_with/aggregate fold the probe join
@@ -426,15 +442,24 @@ def ivf_topk(
     # final window's tie-break) bounds the shuffle into the ranking
     # window at k rows per (query, batch).
     def score(batches):
+        blocks = bc_blocks.value  # one deserialize per executor
         for pdf in batches:
             if not len(pdf):
                 continue
             outs = []
             for c, grp in pdf.groupby("cell"):
-                blk = cell_blocks.get(int(c))
+                blk = blocks.get(int(c))
                 if blk is None:
                     continue
                 qids_c, qmat_c = blk
+                keep = [
+                    i
+                    for i, v in enumerate(grp["cvec"])
+                    if v is not None and len(v) == dim
+                ]
+                if not keep:
+                    continue
+                grp = grp.iloc[keep]
                 raw = _vec_matrix(grp["cvec"])
                 cids = grp["cid"].to_numpy(dtype=np.int64)
                 norms = np.linalg.norm(raw, axis=1)

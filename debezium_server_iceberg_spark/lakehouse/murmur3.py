@@ -201,16 +201,30 @@ def mm3_long_col(col: Column) -> Column:
 
         @F.pandas_udf("long")
         def _udf(s: pd.Series) -> pd.Series:
-            mask = s.isna()
-            vals = s.fillna(0).astype("int64").to_numpy()
-            out = pd.Series(_mm3_long_np(vals), dtype="int64")
-            if mask.any():
-                out = out.astype("object")
-                out[mask.to_numpy()] = None
-            return out
+            # Nulls never reach this UDF (the caller coalesces them away
+            # and restores null-out with an outer when/otherwise): an
+            # Arrow batch containing ANY null arrives as float64, and
+            # float64 silently rounds |v| > 2^53 before hashing — a wrong
+            # hash becomes a wrong partition stamp that file pruning then
+            # TRUSTS (silently missed matches).  Fail loudly if a non-
+            # integer dtype ever shows up rather than mis-hash.
+            if s.dtype != "int64":
+                if s.isna().any():
+                    raise ValueError(
+                        "mm3_long_col UDF received nulls (dtype "
+                        f"{s.dtype}); the null-stripping wrapper was "
+                        "bypassed — hashes of |v| > 2^53 would be wrong"
+                    )
+                s = s.astype("int64")
+            return pd.Series(_mm3_long_np(s.to_numpy()), dtype="int64")
 
         _MM3_LONG_UDF = _udf
-    return _MM3_LONG_UDF(col.cast("long"))
+    longs = col.cast("long")
+    # null in, null out — enforced OUTSIDE the UDF so its input series is
+    # never nullable (stays int64 across the Arrow boundary; see above)
+    return F.when(longs.isNull(), F.lit(None).cast("long")).otherwise(
+        _MM3_LONG_UDF(F.coalesce(longs, F.lit(0)))
+    )
 
 
 def mm3_hex_col(hex_expr: Column) -> Column:

@@ -99,6 +99,34 @@ def test_zero_norm_vectors_excluded_from_topk(spark, warehouse):
     assert all(not np.isnan(r.cosine) for r in got)
 
 
+def test_null_stored_embeddings_dropped_not_crashing(spark, warehouse):
+    """A NULL embedding row in the stored table must drop out of search
+    results (the pre-GEMM plan's nullif/isNotNull semantics), not produce
+    a ragged np.array that fails the task (ADVICE r15)."""
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVFIndex.build(LakeCatalog(warehouse), "ann", "nul", emb, n_cells=2)
+    nulls = spark.createDataFrame(
+        [(98, 0, None), (97, 1, [1.0])],  # null vec + wrong-length vec
+        "vec_id long, cell int, embedding array<float>",
+    )
+    idx.table.append(nulls)  # poison rows land in the stored table
+    got = idx.search(spark, [0], k=5, n_probe=2).collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id not in (97, 98) for r in got)
+
+
+def test_ivf_topk_null_vectors_dropped(spark):
+    from debezium_server_iceberg_spark.functions.similarity import ivf_topk
+
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(12)]
+    rows += [(98, None), (97, [1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_topk(emb, [0], k=5, n_cells=2, n_probe=2).collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id not in (97, 98) for r in got)
+
+
 def test_kmeans_codebook_beats_hash_recall(spark, warehouse):
     """Trained spherical-k-means codebook must reach at least the hash
     codebook's recall@k at the same n_probe (deterministic: both trainers

@@ -50,6 +50,31 @@ def test_long_expression_matches_python(spark):  # noqa: F811
     assert all(got[v] == murmur3_long(v) for v in vals)
 
 
+def test_long_expression_nulls_with_beyond_2p53_values(spark):  # noqa: F811
+    # An Arrow batch containing ANY null used to reach the pandas UDF as
+    # float64, silently rounding |v| > 2^53 before hashing — a wrong hash
+    # becomes a wrong bucket partition stamp that file pruning then
+    # trusts.  The wrapper now strips nulls BEFORE the UDF (input stays
+    # int64) and restores null-out outside it.
+    vals = [
+        2**53 + 1,           # first long float64 cannot represent
+        -(2**53) - 1,
+        2**63 - 1,
+        -(2**63),
+        2**53 + 12345,
+        34,
+        None,
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select(
+        "v", mm3_long_col(F.col("v")).alias("h")).collect()}
+    assert got[None] is None
+    for v in vals:
+        if v is not None:
+            assert got[v] == murmur3_long(v), f"wrong hash for {v}"
+
+
 def test_utf8_expression_matches_python(spark):  # noqa: F811
     rng = random.Random(11)
     vals = ["", "a", "ab", "abc", "abcd", "iceberg", "héllo wörld",

@@ -33,6 +33,27 @@ def test_bm25_hand_computed_scores(spark):
     assert got == {(100, 1): (1, 723287), (100, 2): (0, 600000)}
 
 
+def test_bm25_large_term_set_semijoin_fallback_matches_inline(spark, monkeypatch):
+    # above _TERM_INSET_MAX the queried-term filter switches from an
+    # inlined InSet literal to a broadcast semi-join; results must be
+    # identical
+    from debezium_server_iceberg_spark.functions import retrieval
+
+    docs = _docs(spark, [(0, "a b"), (1, "a a b"), (2, "c d e")])
+    queries = spark.createDataFrame(
+        [(100, ["a", "b"]), (101, ["c", "e", "zzz"])],
+        "query_id long, terms array<string>",
+    )
+    inline = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=5).collect()
+    )
+    monkeypatch.setattr(retrieval, "_TERM_INSET_MAX", 2)
+    fallback = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=5).collect()
+    )
+    assert fallback == inline
+
+
 def test_bm25_rare_term_outweighs_common(spark):
     """A doc matching only the rare query term must outrank a doc
     matching only the ubiquitous one (idfR monotone in df)."""

@@ -122,6 +122,37 @@ def test_pq_encode_assigns_seeds_to_themselves(spark):
     assert all(r["code"] == 0 for r in codes if r["vec_id"] == 0)
 
 
+def test_pq_encode_rejects_incomplete_external_codebooks(spark):
+    # a caller-supplied codebook missing a (subspace, code_id) row used to
+    # leave a phantom all-zeros centroid competing in the argmin; it must
+    # raise instead
+    import pytest
+
+    from debezium_server_iceberg_spark.functions.pq import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks(emb, dim=64, m=8, ks=4)
+    # complete external codebooks: identical codes to the internal path
+    ext = {
+        (r["vec_id"], r["_s"]): r["code"]
+        for r in pq_encode(emb, dim=64, m=8, ks=4, codebooks=cbs).collect()
+    }
+    internal = {
+        (r["vec_id"], r["_s"]): r["code"]
+        for r in pq_encode(emb, dim=64, m=8, ks=4).collect()
+    }
+    assert ext == internal
+    # drop one (subspace, code) row -> loud failure, not a phantom centroid
+    from pyspark.sql import functions as F
+
+    holey = cbs.filter(~((F.col("_s") == 3) & (F.col("code_id") == 2)))
+    with pytest.raises(ValueError, match="incomplete"):
+        pq_encode(emb, dim=64, m=8, ks=4, codebooks=holey)
+
+
 def test_pq_adc_orders_scores_and_excludes_self(spark):
     from debezium_server_iceberg_spark.functions.pq import pq_adc_topk
 

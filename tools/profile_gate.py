@@ -57,9 +57,23 @@ def main() -> None:
     from pyspark.sql import DataFrame
     from pyspark.sql.readwriter import DataFrameWriter
 
-    for m in ("collect", "count", "toPandas", "first", "head",
-              "localCheckpoint", "persist", "isEmpty"):
-        _wrap(DataFrame, m)
+    # Spark 4: pyspark.sql.DataFrame is the compat facade; the instances
+    # gates actually hold are pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES these methods — wrapping only the facade recorded
+    # none of the collect/toPandas/checkpoint actions (r15's profiles
+    # under-attributed everything but the writer calls).  Wrap both.
+    targets = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        targets.append(_ClassicDF)
+    except ImportError:
+        pass
+    for cls in targets:
+        for m in ("collect", "count", "toPandas", "first", "head",
+                  "localCheckpoint", "persist", "isEmpty"):
+            if m in cls.__dict__:  # wrap only real overrides, once each
+                _wrap(cls, m)
     for m in ("save", "parquet", "csv", "json"):
         _wrap(DataFrameWriter, m, f"write.{m}")
 
