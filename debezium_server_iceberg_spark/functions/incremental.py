@@ -143,6 +143,44 @@ def pbucket_col(col, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _xxhash64_long_np(vals, seed: int = 42):
+    """Vectorized replica of Spark's ``xxhash64`` over a LONG column
+    (XXH64 of the 8-byte value, Spark's default seed 42) — so a caller
+    holding the key values DRIVER-side can derive their pbucket set
+    without launching a Spark job.  Wrapping uint64 arithmetic; pinned
+    bit-identical to ``F.xxhash64`` in tests/test_incremental.py."""
+    import numpy as np
+
+    u64 = np.uint64
+    P1 = u64(0x9E3779B185EBCA87)
+    P2 = u64(0xC2B2AE3D27D4EB4F)
+    P3 = u64(0x165667B19E3779F9)
+    P4 = u64(0x85EBCA77C2B2AE63)
+    P5 = u64(0x27D4EB2F165667C5)
+    with np.errstate(over="ignore"):
+        v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+        k = v * P2
+        k = (k << u64(31)) | (k >> u64(33))
+        k = k * P1
+        h = (u64(seed) + P5 + u64(8)) ^ k
+        h = ((h << u64(27)) | (h >> u64(37))) * P1 + P4
+        h ^= h >> u64(33)
+        h *= P2
+        h ^= h >> u64(29)
+        h *= P3
+        h ^= h >> u64(32)
+    return h.view(np.int64)
+
+
+def _pbucket_values_np(doc_ids, n_buckets: int) -> set:
+    """Driver-side ``pbucket_col`` over a held long array: the bucket set
+    of these keys, no Spark job (pmod == non-negative mod for n > 0)."""
+    import numpy as np
+
+    h = _xxhash64_long_np(doc_ids)
+    return {int(b) for b in np.unique(np.mod(h, np.int64(n_buckets)))}
+
+
 def _pbucket_probe_values(
     table: LakeTable, batch_df: DataFrame, buckets: set | None = None
 ) -> dict[str, set] | None:
@@ -400,6 +438,29 @@ class MinHashIndex:
                 )
             )
             combined = cross.unionByName(within)
+        if epoch_id is None and on_result is None and has_history:
+            # no epoch stamp and no sink hook -> the pairs checkpoint and
+            # the append staging are INDEPENDENT jobs over the same
+            # materialized cache (the pairs plan pinned the pre-append
+            # file list when `old` was built; lakehouse reads are
+            # snapshot-isolated) — overlap them so the per-job driver
+            # fixed cost doesn't serialize (guide §2.6).  The exactly-
+            # once feeds (epoch_id/on_result set) keep the strict order:
+            # results durable BEFORE the epoch stamp commits.  Cold first
+            # batches (no history) stay sequential: their cache is NOT
+            # yet materialized (the probe agg never ran), and two
+            # concurrent consumers would compute the band rows twice.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_pairs = pool.submit(
+                    lambda: self._verified(combined).localCheckpoint(eager=True)
+                )
+                fut_append = pool.submit(self.table.append, new)
+                pairs = fut_pairs.result()
+                fut_append.result()
+            new.unpersist()
+            return pairs
         # verified pairs materialize BEFORE the append (and before the
         # cache is released) — the checkpoint also makes the returned
         # DataFrame independent of this batch's cached/staged state
@@ -651,17 +712,39 @@ class SubstringIndex:
                 <= n_grams * F.lit(self.max_shared_frac_tenths)
             ).alias("keep"),
         )
+        append_frame = batch_counts.select(
+            "_h",
+            F.col("_nb").alias("n_docs"),
+            *([PBUCKET_COL] if n_pb else []),
+        )
+        if epoch_id is None and on_result is None and has_history:
+            # interactive path: profile checkpoint and append staging are
+            # independent jobs over the same materialized caches (the
+            # stored-side plan pinned the pre-append file list above) —
+            # overlap them (guide §2.6).  Exactly-once feeds keep the
+            # strict results-durable-before-stamp order below; cold first
+            # batches stay sequential (their caches are unmaterialized —
+            # two concurrent consumers would compute the gram pipeline
+            # twice).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_prof = pool.submit(
+                    lambda: prof.localCheckpoint(eager=True)
+                )
+                fut_append = pool.submit(self.table.append, append_frame)
+                out = fut_prof.result()
+                fut_append.result()
+            batch_counts.unpersist()
+            grams.unpersist()
+            return out
         # profile materializes BEFORE the append (pre-append snapshot +
         # independence from the cached/staged batch state)
         prof = prof.localCheckpoint(eager=True)
         if on_result is not None:
             on_result(prof)  # sink effect before the epoch stamp
         self.table.append(
-            batch_counts.select(
-                "_h",
-                F.col("_nb").alias("n_docs"),
-                *([PBUCKET_COL] if n_pb else []),
-            ),
+            append_frame,
             summary={"epoch_id": str(epoch_id)} if epoch_id is not None else None,
         )
         batch_counts.unpersist()
@@ -1205,9 +1288,19 @@ class ClusterIndex:
             # join job to learn what the manifest already says — nothing
             # is stored yet
             tdf = spark.createDataFrame(pd.DataFrame({"doc": touched_np}))
-            if n_pb:
-                tdf = tdf.withColumn(PBUCKET_COL, pbucket_col(F.col("doc"), n_pb))
-            part_vals = _pbucket_probe_values(self.assign, tdf) if n_pb else None
+            # bucket set computed DRIVER-side from the held ids (the
+            # xxhash64 replica) — the former distinct().collect() over a
+            # local 1-column frame was a whole Spark job per epoch that
+            # fetched values this process already held
+            part_vals = (
+                _pbucket_probe_values(
+                    self.assign,
+                    tdf,
+                    buckets=_pbucket_values_np(touched_np, n_pb),
+                )
+                if n_pb
+                else None
+            )
             epdf = (
                 self.assign.to_df(spark, partition_values=part_vals)
                 .join(F.broadcast(tdf.select("doc")), "doc", "leftsemi")

@@ -582,7 +582,30 @@ class LakeTable:
             # planner's min/max bounds pruning actually eliminates files
             # (the WRITE ORDERED BY effect, JsonSchemaConverter.java:262-280).
             n_parts = target_partitions or _auto_write_partitions(out, meta)
-            if n_parts == 1:
+            # the single-file fast path additionally requires 4x headroom
+            # between the PLAN estimate and the target file size: Catalyst
+            # estimates undershoot badly after selective filters/anti-joins,
+            # and while the post-write footer check re-splits an oversize
+            # file, the mis-estimated write itself would have funneled the
+            # whole frame through ONE task first.  With est*4 <= target, a
+            # 4x undershoot still lands within one target file; anything
+            # wider takes the ranged path, whose persist+materialize step
+            # sizes the fan-out from the TRUE cached bytes.  A caller-
+            # EXPLICIT target_partitions=1 keeps the fast path (the caller
+            # knows its data).
+            target_fs = int(
+                meta.properties.get(
+                    "write.target-file-size-bytes", 512 * 1024 * 1024
+                )
+            )
+            est = (
+                _plan_size_est(out)
+                if n_parts == 1 and not target_partitions
+                else None
+            )
+            if n_parts == 1 and (
+                target_partitions or (est is not None and est * 4 <= target_fs)
+            ):
                 # CDC-sized keyed commit (plan estimate fits ONE target
                 # file): round-robin into a single partition + in-partition
                 # key sort — one pass.  The former persist+count (cache
@@ -609,6 +632,10 @@ class LakeTable:
                     out = out.repartitionByRange(n_parts, *key_cols)
                 else:
                     out = out.repartitionByRange(*key_cols)
+                # a 1-file ranged write keeps the footer-check safety net
+                # too — the materialized estimate can still be wrong for
+                # exotic plans, and the check is free when sizes are sane
+                single_file = n_parts == 1
         elif target_partitions:
             out = out.repartition(target_partitions)
         sort_cols = [] if preserve_layout else (meta.sort_order or key_cols)
@@ -775,14 +802,27 @@ class LakeTable:
         restage = os.path.join(self.data_dir, uuidlib.uuid4().hex)
         try:
             # the staged file already holds exactly the output columns
-            # (incl. any preserve_lineage columns) — re-range as-is
-            (
-                spark.read.parquet(staging)
-                .repartitionByRange(n2, *key_cols)
-                .sortWithinPartitions(*key_cols)
-                .write.mode("error")
-                .parquet(restage)
+            # (incl. any preserve_lineage columns) — re-range as-is.
+            # Mirror _stage_write's layout contract: in-partition order is
+            # the declared sort order (falling back to key_cols) and the
+            # write.max-records-per-file rolling cap re-applies — a table
+            # whose sort order differs from its identifier fields must not
+            # lose its WRITE ORDERED BY clustering to the re-split.
+            frame = spark.read.parquet(staging).repartitionByRange(
+                n2, *key_cols
             )
+            sort_cols = [
+                c
+                for c in (meta.sort_order or key_cols)
+                if c in frame.columns
+            ]
+            if sort_cols:
+                frame = frame.sortWithinPartitions(*sort_cols)
+            writer = frame.write.mode("error")
+            max_recs = meta.properties.get("write.max-records-per-file")
+            if max_recs:
+                writer = writer.option("maxRecordsPerFile", int(max_recs))
+            writer.parquet(restage)
             _uniquify_staged(restage)
         except Exception:
             shutil.rmtree(restage, ignore_errors=True)
@@ -901,10 +941,15 @@ class LakeTable:
         ]
         if not key_cols:
             raise ValueError("commit_row_delta requires identifier fields")
-        add = self._stage_write(add_df, meta) if add_df is not None else []
-        add_deletes: list[DeleteFile] = []
-        if delete_positions_df is not None:
+
+        def _stage_add() -> list[DataFile]:
+            return self._stage_write(add_df, meta) if add_df is not None else []
+
+        def _stage_posdel() -> list[DeleteFile]:
+            if delete_positions_df is None:
+                return []
             staging = os.path.join(self.data_dir, "posdel-" + uuidlib.uuid4().hex)
+            out: list[DeleteFile] = []
             try:
                 (
                     delete_positions_df.select(
@@ -921,7 +966,7 @@ class LakeTable:
                     delete_positions_df.sparkSession, staging, meta
                 ):
                     if f.rows:
-                        add_deletes.append(
+                        out.append(
                             DeleteFile(
                                 # file_name min/max bounds let the read
                                 # side prune this delete from scans that
@@ -932,11 +977,14 @@ class LakeTable:
                         )
                     else:  # empty batch touched nothing: drop the file
                         os.remove(f.path)
+                return out
             except Exception:
-                self._abort_staged(add, add_deletes)
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
-        if delete_keys_df is not None:
+
+        def _stage_eqdel() -> list[DeleteFile]:
+            if delete_keys_df is None:
+                return []
             staging = os.path.join(self.data_dir, "deletes-" + uuidlib.uuid4().hex)
             try:
                 # few small files per batch: a CDC batch's distinct keys are
@@ -955,15 +1003,54 @@ class LakeTable:
                     .parquet(staging)
                 )
                 _uniquify_staged(staging)
-                for f in self._collect_stats(
-                    (add_df or delete_keys_df).sparkSession, staging, meta
-                ):
-                    add_deletes.append(
-                        DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
+                return [
+                    DeleteFile(f.path, f.rows, 0, list(key_cols), f.bounds, f.bytes)
+                    for f in self._collect_stats(
+                        (add_df or delete_keys_df).sparkSession, staging, meta
                     )
+                ]
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+
+        # The 2-3 staging writes are INDEPENDENT Spark jobs over different
+        # inputs into different staging dirs — submit them concurrently so
+        # the per-job driver fixed cost (scheduling + commit + footer
+        # stats) overlaps instead of serializing (guide §2.6: actions are
+        # only sequential because driver code calls them sequentially).
+        # Every MoR upsert pays this per commit; each staging keeps its
+        # own abort, and a failure aborts whatever the others staged.
+        stages = [_stage_add, _stage_posdel, _stage_eqdel]
+        n_live = sum(
+            x is not None for x in (add_df, delete_positions_df, delete_keys_df)
+        )
+        add: list[DataFile] = []
+        add_deletes: list[DeleteFile] = []
+        if n_live > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_live) as pool:
+                futs = [pool.submit(fn) for fn in stages]
+                results, first_err = [], None
+                for fut in futs:
+                    try:
+                        results.append(fut.result())
+                    except Exception as e:  # keep draining: abort needs all
+                        results.append(None)
+                        first_err = first_err or e
+            if first_err is not None:
+                staged_add = results[0] or []
+                staged_dels = [d for r in results[1:] if r for d in r]
+                self._abort_staged(staged_add, staged_dels)
+                raise first_err
+            add = results[0]
+            add_deletes = results[1] + results[2]
+        else:
+            try:
+                add = _stage_add()
+                add_deletes = _stage_posdel() + _stage_eqdel()
             except Exception:
                 self._abort_staged(add, add_deletes)
-                shutil.rmtree(staging, ignore_errors=True)
                 raise
         try:
             self._commit_snapshot(
@@ -1952,22 +2039,15 @@ def _auto_write_partitions(
             )
         )
 
-        def _read_est(frame: DataFrame) -> int:
-            return int(
-                frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-
-        est = _read_est(df)
-        if materialize and df.is_cached and 0 < est < 4 * target:
+        est = _plan_size_est(df)
+        if materialize and df.is_cached and est is not None and est < 4 * target:
             df.count()
             # stats() memoizes per QueryExecution — the post-materialize
             # read needs a fresh plan handle to see the cached size
-            est = _read_est(df.select("*"))
-        # Catalyst reports ~Long.Max for plans with unknown stats (e.g.
-        # local relations, some cached plans) — treat as unknown and let
-        # AQE's shuffle coalescing pick the fan-out instead of pinning
-        # the cap
-        if est <= 0 or est >= 1 << 60:
+            est = _plan_size_est(df.select("*"))
+        # unknown stats (None) -> let AQE's shuffle coalescing pick the
+        # fan-out instead of pinning the cap
+        if est is None:
             return None
         cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         return max(1, min(-(-est // target), cap))
@@ -1975,6 +2055,19 @@ def _auto_write_partitions(
         # contract: sizing unavailable (unreachable JVM stats, non-numeric
         # confs like shuffle.partitions='auto') -> None, never a crash
         return None
+
+
+def _plan_size_est(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan byte estimate, or None when unknown.
+    Catalyst reports ~Long.Max for plans with unknown stats (local
+    relations, some cached plans) — mapped to None."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return est if 0 < est < 1 << 60 else None
 
 
 def _uniquify_staged(staging: str) -> None:

@@ -1319,7 +1319,15 @@ def iceberg_export_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         merge_into(t, upd, delete_style="equality")
         dest = _os.path.join(wh, "published")
         export_iceberg_table(t, dest)
-        out = read_iceberg_table(spark, dest, lineage=True)
+        # materialize the chain read ONCE: both the equality assert and
+        # the final aggregate consume it, and the MoR+lineage chain read
+        # (delete application + lineage attach) is the gate's most
+        # expensive scan — replaying it per consumer doubled the cost
+        # (guide §1.2 "don't compute things twice"; needed columns =
+        # status + key + both lineage cols, i.e. the whole narrow table)
+        out = read_iceberg_table(spark, dest, lineage=True).localCheckpoint(
+            eager=True
+        )
         # distributed multiset-equality check: pins chain lineage
         # row-for-row equal to the engine's native lineage without
         # materializing either side on the driver (duplicate-sensitive,
@@ -1423,7 +1431,10 @@ def iceberg_export_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v3 export must carry puffin deletion vectors, "
             "not position-delete parquet"
         )
-        out = read_iceberg_table(spark, dest)
+        # materialize the chain read once: the DV-applying chain read is
+        # consumed by BOTH the equality assert and the final aggregate —
+        # replaying it per consumer doubled the gate's dominant scan
+        out = read_iceberg_table(spark, dest).localCheckpoint(eager=True)
         native = t.to_df(spark)
         assert _multisets_equal(
             out, native
@@ -7062,83 +7073,73 @@ def quality_rank_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_local_r7*.json), so losing their driver row costs no family
 # coverage.
 _CHECK_PRIORITY = [
-    # ROUND-15 ROTATION (VERDICT r14 item 1, seed = CORRECTNESS_r12.json):
-    # the driver checks the first ~50 entries.  Seed = the 49 gates whose
-    # freshest driver row is r12 (recomputed: r12 keys minus r13 keys
-    # minus r14 keys — exactly 49).  Slot 1 = cluster_strict_split_pairs,
-    # the NEW gate from this round's cap swap (VERDICT item 6 — r14's
-    # strict-split semantic gets its driver row immediately;
-    # ngram_jaccard_pairs retired, its family stays driver-covered via
-    # minhash_near_dup + containment_near_dup and pytest-pinned).  Slot
-    # 51 = incremental_minhash_pairs (VERDICT item 1's named fill): the
-    # two orders collide at the ~50-entry budget — the 49 stale gates
-    # are mandatory for the no-gate-older-than-two-rounds bar and the
-    # new gate has no row at all, while incremental_minhash_pairs is
-    # r13-fresh (within the bar) — so it rides last and lands only if
-    # the driver budget stretches; it is first in line for r16 either
-    # way.  Zero overlap with the r14 window; expected post-r15
-    # histogram ≈ {r13: 49, r14: 49, r15: 50} (ngram retired from r14's
-    # 50).
-    # --- fill: the new gate ---
-    "cluster_strict_split_pairs",
-    # --- r12-stale: CDC semantics ---
-    "cdc_envelope_roundtrip",
-    "cdc_struct_roundtrip",
-    "cdc_upsert_orders",
-    "cdc_soft_delete_orders",
-    "cdc_dedup_last_wins",
-    "cdc_dedup_op_priority",
-    "cdc_route_by_destination",
-    "cdc_schema_evolution",
-    # --- r12-stale: writer fidelity / lakehouse read paths ---
-    "iceberg_export_dv_roundtrip",
-    "iceberg_export_lineage_roundtrip",
-    "row_lineage_upsert",
-    "wap_branch_publish",
-    "incremental_append_scan",
-    "pruned_point_lookup",
-    # --- r12-stale: TPC-H relational shapes ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_or_of_ands",
-    "q22_idle_balances",
-    # --- r12-stale: joins / set-ops / windows / scalar surface ---
-    "anti_customers_without_orders",
-    "asof_last_click_before_purchase",
-    "interval_join_attribution",
-    "range_join_order_overlaps",
-    "sessionize_events",
-    "setops_customer_status",
-    "topk_orders_per_priority",
-    "window_rank_functions",
-    "grouping_sets_revenue",
-    "events_hourly_rollup",
-    "json_props_extract",
-    "variant_props_extract",
-    # --- r12-stale: dedup / decontamination ---
-    "exact_substring_dedup",
-    "containment_near_dup",
-    "decontaminate_bloom_docs",
-    "source_overlap_matrix",
-    # --- r12-stale: text analysis / shaping / curation ---
-    "lang_id",
-    "quality_score",
-    "quality_top_p_docs",
-    "token_count_bpe",
-    "doc_chunking",
-    "mixture_sample_sources",
-    "pipeline_end_to_end",
-    # --- r12-stale: multimodal ---
-    "image_ahash_clusters",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "key_frame_selection",
-    # --- budget-permitting fill (r13-fresh, heaviest rewritten path) ---
+    # ROUND-16 ROTATION (VERDICT r15 item 7, seed = CORRECTNESS_r13.json):
+    # the driver checks the first ~50 entries.  Seed = the 50 gates whose
+    # freshest driver row is r13 (recomputed: r13 keys minus r14 keys
+    # minus r15 keys — exactly 50; verified zero overlap with the r15
+    # window).  Slot 1 = incremental_minhash_pairs, r15's named fill that
+    # rode position 51 and is first in line by that round's contract.
+    # Expected post-r16 histogram ≈ {r14: 49, r15: 50, r16: 50}
+    # (ngram_jaccard_pairs retired out of r14's 50 in the r15 cap swap).
+    # --- the r15 position-51 carry ---
     "incremental_minhash_pairs",
+    # --- r13-stale: incremental / lakehouse read paths ---
+    "incremental_substring_profile",
+    "changed_rows_scan",
+    "changed_rows_with_deletes",
+    "sql_read_surface",
+    "iceberg_export_roundtrip",
+    "iceberg_export_partitioned_roundtrip",
+    # --- r13-stale: TPC-H / relational / event analytics ---
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "retention_cohorts",
+    "event_transition_matrix",
+    # --- r13-stale: dedup / decontamination / overlap ---
+    "dedup_exact",
+    "dedup_canonical_clusters",
+    "simhash_near_dup",
+    "containment_capped_near_dup",
+    "source_overlap_sketch",
+    "decontaminate_docs",
+    "decontaminate_fuzzy_docs",
+    "segment_dedup_docs",
+    "winnowing_fingerprint_docs",
+    # --- r13-stale: text analysis / LM / tokenizer ---
+    "bigram_logprob_docs",
+    "bpe_encode_docs",
+    "bpe_train_merges",
+    "bpe_vocab_after_merges",
+    "gopher_rules_filter",
+    "pii_redact_docs",
+    "quality_classifier_filter",
+    # --- r13-stale: curation / training-data shaping ---
+    "cms_heavy_hitters",
+    "dsir_importance_weights",
+    "stratified_sample_docs",
+    "temperature_mixture_sample",
+    "hard_negative_mining",
+    "epoch_plan_sources",
+    # --- r13-stale: retrieval / graph ---
+    "bm25_topk_docs",
+    "hybrid_rrf_retrieval",
+    "pagerank_link_graph",
+    "triangle_count_graph",
+    # --- r13-stale: ANN / vectors ---
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "ann_ivf_incremental_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_eval",
+    "pq_adc_topk",
+    "pq_encode_codes",
+    "kmeans_lloyd_step",
+    "semantic_dedup_embeddings",
+    "bitext_mining_pairs",
+    # --- r13-stale: multimodal ---
+    "multimodal_image_features",
+    "image_ahash_near_dup",
 ]
 
 

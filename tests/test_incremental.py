@@ -15,6 +15,40 @@ def _pairs_set(df):
     }
 
 
+def test_xxhash64_long_np_matches_spark_and_pbucket_col(spark):
+    """The driver-side xxhash64 replica must be bit-identical to Spark's
+    F.xxhash64 over longs (it feeds manifest FILE PRUNING — a wrong hash
+    silently drops files that hold matches)."""
+    import random
+
+    import numpy as np
+
+    from debezium_server_iceberg_spark.functions.incremental import (
+        _pbucket_values_np,
+        _xxhash64_long_np,
+        pbucket_col,
+    )
+
+    rng = random.Random(13)
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 2**53 + 1] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: (r["h"], r["b"])
+        for r in df.select(
+            "v",
+            F.xxhash64("v").alias("h"),
+            pbucket_col(F.col("v"), 16).alias("b"),
+        ).collect()
+    }
+    ours = _xxhash64_long_np(np.array(vals, dtype=np.int64))
+    for v, h in zip(vals, ours):
+        assert got[v][0] == int(h), f"xxhash64 mismatch for {v}"
+    want_buckets = {got[v][1] for v in vals}
+    assert _pbucket_values_np(np.array(vals, dtype=np.int64), 16) == want_buckets
+
+
 def test_incremental_equals_batch_at_once(spark, warehouse):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     oneshot = _pairs_set(

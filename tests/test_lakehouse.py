@@ -764,6 +764,49 @@ def test_minhash_remove_docs_pruned_probe_skips_delete_file(spark, warehouse):
     assert all(not _delete_touches_scan(d, b1_only, names) for d in dels)
 
 
+def test_single_file_fast_path_requires_estimate_headroom(
+    spark, warehouse, monkeypatch
+):
+    """A frame whose PLAN estimate lacks 4x headroom under the target file
+    size must never take the repartition(1) branch (VERDICT r15 item 6):
+    the ranged path's persist+materialize step sizes the fan-out from the
+    TRUE cached bytes instead."""
+    import debezium_server_iceberg_spark.lakehouse.table as tmod
+
+    cat = LakeCatalog(warehouse)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(i, f"v{i:05d}") for i in range(5000)], schema)
+
+    # simulate a mis-estimated wide frame: the pre-shuffle estimate says
+    # "fits one file" (n_parts=1) but with est == target (no headroom);
+    # the materialized true size says 3 files
+    monkeypatch.setattr(tmod, "_plan_size_est", lambda frame: 4096)
+
+    def fake_auto(frame, meta, materialize=False):
+        return 3 if materialize else 1
+
+    monkeypatch.setattr(tmod, "_auto_write_partitions", fake_auto)
+    t = cat.create_table(
+        "ns",
+        "guarded",
+        schema,
+        identifier_fields=["id"],
+        properties={"write.target-file-size-bytes": "4096"},
+    )
+    t.append(df)
+    files = sorted(t.current_files(), key=lambda f: f.bounds["id"][0])
+    # ranged, true-size fan-out — NOT one file through one task
+    assert len(files) == 3
+    for a, b in zip(files, files[1:]):
+        assert a.bounds["id"][1] < b.bounds["id"][0]
+    assert t.to_df(spark).count() == 5000
+
+
 def test_keyed_single_file_fast_path_and_oversize_resplit(spark, warehouse, monkeypatch):
     """The keyed-append fast path writes ONE key-sorted file when the plan
     estimate fits a single target file, and the footer-stats safety net
